@@ -1,0 +1,263 @@
+package graft.core
+
+import java.security.MessageDigest
+import javax.crypto.Cipher
+import javax.crypto.spec.SecretKeySpec
+import scala.collection.immutable.TreeMap
+import PObj._
+
+/** Standard security handler state (reference src/PDF/Encrypt.hs:43-49). */
+final case class Security(
+    revision: Int,
+    version: Int,
+    key: Array[Byte],
+    keyLength: Int,
+    aes: Boolean)
+
+/** PDF Standard security handler: file/object keys, RC4, AES-128-CBC.
+  * Re-expression of /root/reference/src/PDF/Encrypt.hs. */
+object Crypt {
+  private val padString: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(bs: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("MD5").digest(bs)
+
+  private def padPassword(pw: Array[Byte]): Array[Byte] =
+    (pw ++ padString).take(32)
+
+  private def int32LE(n: Int): Array[Byte] =
+    Array((n & 0xff).toByte, ((n >> 8) & 0xff).toByte, ((n >> 16) & 0xff).toByte, ((n >>> 24) & 0xff).toByte)
+  private def int24LE(n: Int): Array[Byte] =
+    Array((n & 0xff).toByte, ((n >> 8) & 0xff).toByte, ((n >> 16) & 0xff).toByte)
+  private def int16LE(n: Int): Array[Byte] =
+    Array((n & 0xff).toByte, ((n >> 8) & 0xff).toByte)
+
+  /** securityFromEncryptDict (Encrypt.hs:51-66). */
+  def securityFromEncryptDict(encDict: TreeMap[String, PObj], trailer: TreeMap[String, PObj],
+                              password: Option[String]): Option[Security] = {
+    def dictInt(d: TreeMap[String, PObj], k: String): Option[Int] =
+      d.get(k).collect { case PNum(n) => Util.hsTruncate(n) }
+    def dictBytes(d: TreeMap[String, PObj], k: String): Option[Array[Byte]] =
+      d.get(k).flatMap {
+        case PText(s) => Some(s.toCharArray.map(c => (c & 0xff).toByte))
+        case PHex(h) => hexToBytes(h)
+        case _ => None
+      }
+    for {
+      r <- dictInt(encDict, "/R")
+      v <- dictInt(encDict, "/V")
+      o <- dictBytes(encDict, "/O")
+      u <- dictBytes(encDict, "/U")
+      p <- dictInt(encDict, "/P")
+      fileId <- firstId(trailer)
+      pw = password.map(s => s.toCharArray.map(c => (c & 0xff).toByte)).getOrElse(Array.emptyByteArray)
+      aes = v >= 4 || usesAes(encDict)
+      metaEnc = encDict.get("/EncryptMetadata") match {
+        case Some(PBool(false)) => false
+        case _ => true
+      }
+      keyLen = dictInt(encDict, "/Length") match {
+        case Some(n) => math.max(5, n / 8)
+        case None => if (r >= 3 || v >= 2) 16 else 5
+      }
+      key <- authenticateFileKey(pw, o, u, p, fileId, r, v, aes, metaEnc, keyLen)
+    } yield Security(r, v, key, keyLen, aes)
+  }
+
+  private def usesAes(d: TreeMap[String, PObj]): Boolean =
+    d.get("/CF") match {
+      case Some(PDict(cf)) => cf.get("/StdCF") match {
+        case Some(PDict(std)) => std.get("/CFM") match {
+          case Some(PName("/AESV2")) | Some(PName("/AESV3")) => true
+          case _ => false
+        }
+        case _ => false
+      }
+      case _ => false
+    }
+
+  private def firstId(trailer: TreeMap[String, PObj]): Option[Array[Byte]] =
+    trailer.get("/ID") match {
+      case Some(PArray(entry +: _)) => entry match {
+        case PHex(h) => hexToBytes(h)
+        case PText(s) => hexToBytes(s).orElse(Some(s.toCharArray.map(c => (c & 0xff).toByte)))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  def hexToBytes(h: String): Option[Array[Byte]] = {
+    if (h.isEmpty) return Some(Array.emptyByteArray)
+    val out = new Array[Byte]((h.length + 1) / 2)
+    var i = 0
+    while (i < h.length) {
+      val a = Character.digit(h.charAt(i), 16)
+      if (a < 0) return None
+      val b = if (i + 1 < h.length) Character.digit(h.charAt(i + 1), 16) else 0
+      if (i + 1 < h.length && b < 0) return None
+      out(i / 2) = ((a << 4) | b).toByte
+      i += 2
+    }
+    Some(out)
+  }
+
+  private def authenticateFileKey(pw: Array[Byte], o: Array[Byte], u: Array[Byte], p: Int,
+      fileId: Array[Byte], r: Int, v: Int, aes: Boolean, metaEnc: Boolean, keyLen: Int): Option[Array[Byte]] =
+    ownerPasswordKey(pw, o, u, p, fileId, r, aes, metaEnc, keyLen)
+      .orElse(userPasswordKey(pw, o, u, p, fileId, r, aes, metaEnc, keyLen))
+
+  private def userPasswordKey(pw: Array[Byte], o: Array[Byte], u: Array[Byte], p: Int,
+      fileId: Array[Byte], r: Int, aes: Boolean, metaEnc: Boolean, keyLen: Int): Option[Array[Byte]] = {
+    val key = if (r >= 4 || aes) computeFileKeyAes(pw, o, p, fileId, r, metaEnc)
+              else computeFileKey(pw, o, p, fileId, r, keyLen, metaEnc)
+    if (verifyUserPassword(r, fileId, key, u)) Some(key) else None
+  }
+
+  private def ownerPasswordKey(ownerPw: Array[Byte], o: Array[Byte], u: Array[Byte], p: Int,
+      fileId: Array[Byte], r: Int, aes: Boolean, metaEnc: Boolean, keyLen: Int): Option[Array[Byte]] = {
+    val oKey = computeOwnerValueKey(ownerPw, r, keyLen)
+    val userPw = decryptOToUserPassword(oKey, r, o)
+    userPasswordKey(userPw, o, u, p, fileId, r, aes, metaEnc, keyLen)
+  }
+
+  /** Algorithm 3 (a-d) (Encrypt.hs:96-100). */
+  private def computeOwnerValueKey(ownerPw: Array[Byte], r: Int, keyLen: Int): Array[Byte] = {
+    var h = md5(padPassword(ownerPw))
+    if (r >= 3) { var i = 0; while (i < 50) { h = md5(h); i += 1 } }
+    h.take(keyLen)
+  }
+
+  /** Algorithm 7 (b) (Encrypt.hs:103-106). */
+  private def decryptOToUserPassword(oKey: Array[Byte], r: Int, o: Array[Byte]): Array[Byte] = {
+    if (r <= 2) rc4(oKey, o)
+    else {
+      var ct = o
+      var m = 19
+      while (m >= 0) { ct = rc4(xorKey(oKey, m), ct); m -= 1 }
+      ct
+    }
+  }
+
+  /** Algorithm 2 (Encrypt.hs:168-182). */
+  private def computeFileKey(pw: Array[Byte], o: Array[Byte], p: Int, fileId: Array[Byte],
+      r: Int, keyLen: Int, metaEnc: Boolean): Array[Byte] = {
+    val suffix = if (r >= 4 && !metaEnc) Array(0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte) else Array.emptyByteArray
+    val base = padPassword(pw) ++ o ++ int32LE(p) ++ fileId ++ suffix
+    var h = md5(base)
+    if (r >= 3) { var i = 0; while (i < 50) { h = md5(h.take(keyLen)); i += 1 } }
+    h.take(keyLen)
+  }
+
+  private def computeFileKeyAes(pw: Array[Byte], o: Array[Byte], p: Int, fileId: Array[Byte],
+      r: Int, metaEnc: Boolean): Array[Byte] = {
+    val suffix = if (r >= 4 && !metaEnc) Array(0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte) else Array.emptyByteArray
+    val base = padPassword(pw) ++ o ++ int32LE(p) ++ fileId ++ suffix
+    var h = md5(base)
+    var i = 0
+    while (i < 50) { h = md5(h.take(16)); i += 1 }
+    h.take(16)
+  }
+
+  private def verifyUserPassword(r: Int, fileId: Array[Byte], key: Array[Byte], u: Array[Byte]): Boolean = {
+    val computed = computeU(r, fileId, key)
+    if (r >= 3) java.util.Arrays.equals(computed.take(16), u.take(16))
+    else java.util.Arrays.equals(computed.take(32), u.take(32))
+  }
+
+  private def computeU(r: Int, fileId: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    if (r <= 2) rc4(key, padString)
+    else {
+      val hashed = md5(padString ++ fileId)
+      var ct = rc4(key, hashed)
+      var i = 1
+      while (i <= 19) { ct = rc4(xorKey(key, i), ct); i += 1 }
+      ct.take(16) ++ new Array[Byte](16)
+    }
+  }
+
+  private def xorKey(key: Array[Byte], i: Int): Array[Byte] =
+    key.map(b => (b ^ i).toByte)
+
+  /** Per-object key (Encrypt.hs:216-224). */
+  def objectKey(sec: Security, objNum: Int, genNum: Int): Array[Byte] = {
+    val n = sec.keyLength
+    val ext = sec.key.take(n) ++ int24LE(objNum) ++ int16LE(genNum)
+    val digest = if (sec.aes) md5(ext ++ "sAlT".getBytes("ISO-8859-1")) else md5(ext)
+    digest.take(math.min(n + 5, 16))
+  }
+
+  /** Linear-time RC4 keystream XOR (Encrypt.hs:254-292). */
+  def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    if (data.isEmpty || key.isEmpty) return data.clone()
+    val s = new Array[Int](256)
+    var i = 0
+    while (i < 256) { s(i) = i; i += 1 }
+    var j = 0
+    i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0
+    var y = 0
+    var n = 0
+    while (n < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + s(x)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(n) = (data(n) ^ s((s(x) + s(y)) & 0xff)).toByte
+      n += 1
+    }
+    out
+  }
+
+  def rc4KeyStream(key: Array[Byte], n: Int): Array[Byte] =
+    rc4(key, new Array[Byte](math.max(0, n)))
+
+  def decryptString(sec: Security, objNum: Int, genNum: Int, bs: Array[Byte]): Array[Byte] = {
+    val ok = objectKey(sec, objNum, genNum)
+    if (sec.aes) stripPkcs7(aesDecrypt(ok, bs)) else rc4(ok, bs)
+  }
+
+  def decryptStream(sec: Security, objNum: Int, genNum: Int, bs: Array[Byte]): Array[Byte] =
+    decryptString(sec, objNum, genNum, bs)
+
+  private def stripPkcs7(bs: Array[Byte]): Array[Byte] = {
+    if (bs.isEmpty) return bs
+    val pad = bs(bs.length - 1) & 0xff
+    if (pad >= 1 && pad <= 16 && bs.length >= pad &&
+        bs.slice(bs.length - pad, bs.length).forall(_ == bs(bs.length - 1)))
+      bs.take(bs.length - pad)
+    else bs
+  }
+
+  /** AES-128-CBC: first 16 bytes are the IV; trailing partial block dropped
+    * (Encrypt.hs:321-338). */
+  private def aesDecrypt(key: Array[Byte], bs: Array[Byte]): Array[Byte] = {
+    if (bs.length < 16) return bs
+    try {
+      val cipher = Cipher.getInstance("AES/ECB/NoPadding")
+      cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key.take(16), "AES"))
+      val body = bs.drop(16)
+      val nBlocks = body.length / 16
+      val out = new Array[Byte](nBlocks * 16)
+      var prev = bs.take(16)
+      var b = 0
+      while (b < nBlocks) {
+        val block = body.slice(b * 16, b * 16 + 16)
+        val plain = cipher.doFinal(block)
+        var k = 0
+        while (k < 16) { out(b * 16 + k) = (plain(k) ^ prev(k)).toByte; k += 1 }
+        prev = block
+        b += 1
+      }
+      out
+    } catch { case _: Exception => bs }
+  }
+}
