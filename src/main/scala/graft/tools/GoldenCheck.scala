@@ -16,13 +16,16 @@ object GoldenCheck {
       val name = Paths.get(pdf).getFileName.toString.stripSuffix(".pdf")
       if (only.forall(_ == name)) {
         val bytes = Files.readAllBytes(Paths.get(pdf))
-        for ((mode, dir) <- List(("tagged", "expected"), ("geom", "expected-geom"))) {
+        for ((mode, dir) <- List(("tagged", "expected"), ("geom", "expected-geom"),
+                                 ("legacy", "expected-legacy"))) {
           val expPath = fixDir.resolve(dir).resolve(name + ".txt")
           if (Files.exists(expPath)) {
             val expected = new String(Files.readAllBytes(expPath), "UTF-8")
             val pw = if (name.contains("encrypted")) None else None
             val actual = (mode match {
               case "tagged" => Extract.extractPdf(bytes, pw)
+              case "legacy" =>
+                DocStructure.openDocument(bytes, pw).map(d => Legacy.legacyText(d)._1)
               case _ => Extract.extractPdfGeom(bytes, pw)
             }) match {
               case Right(t) => t + "\n"
