@@ -1,24 +1,76 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.spark.{CorpusGen, Pipeline}
+
+/** Per-round benchmark: one JSON line with per-query seconds plus the
+  * extraction headline (docs/s + byte-identical match rate) on a corpus
+  * whose parquet is materialized outside the timed section. */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  final case class ExtractionResult(docs: Long, secs: Double, docsPerSec: Double, matchRate: Double)
+
+  def buildSession(cpus: Int): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark
+  }
+
+  /** Materialize a corpus parquet (untimed), then time the full extraction
+    * + match-rate job end-to-end (scan -> kernel -> join vs ground truth). */
+  def extractionBench(spark: SparkSession, docs: Long, partitions: Int, dir: String): ExtractionResult = {
+    val corpusPath = s"$dir/corpus"
+    CorpusGen.corpus(spark, docs, partitions).write.mode("overwrite").parquet(corpusPath)
+    val stored = spark.read.parquet(corpusPath)
+    val t0 = System.nanoTime()
+    val extracted = Pipeline.extract(spark, stored)
+    val agg = extracted.toDF()
+      .join(stored.select("url", "expected"), Seq("url"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("text") === col("expected"), 1L).otherwise(0L)).as("matched"))
+      .collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val n = agg.getLong(0)
+    val matched = agg.getLong(1)
+    ExtractionResult(n, secs, n / secs, matched.toDouble / math.max(n, 1))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
+    val spark = buildSession(cpus)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val ex = extractionBench(spark, benchDocs, cpus * 4, tmp)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    results("extract_corpus") = ex.secs
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(
+      "{\"metric\":\"total\",\"value\":" + fmt(total) + ",\"unit\":\"sec\"" +
+        ",\"queries\":" + qs +
+        ",\"sf\":\"" + sfDir + "\",\"cpus\":" + cpus +
+        ",\"extraction\":{\"docs\":" + ex.docs +
+        ",\"secs\":" + fmt(ex.secs) +
+        ",\"docs_per_sec\":" + f"${ex.docsPerSec}%.1f" +
+        ",\"match_rate\":" + ex.matchRate + "}}")
     spark.stop()
   }
 }

@@ -1,0 +1,47 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+/** Deterministic synthetic extraction corpus in the BASELINE.json
+  * input_hint shape: (url, warc_ts, html, text, lang). Row i carries
+  * FixtureGen variant (i mod |kinds|); the expected extracted text is known
+  * by construction, so match rate is checkable at any scale. */
+object CorpusGen {
+
+  final case class CorpusRow(
+      url: String,
+      warc_ts: Timestamp,
+      html: Array[Byte],
+      text: String,
+      lang: String,
+      expected: String,
+      kind: String)
+
+  private val epochMs = 1577836800000L // 2020-01-01T00:00:00Z
+
+  def row(i: Long): CorpusRow = {
+    val d = FixtureGen.docFor(i)
+    CorpusRow(
+      url = s"https://corpus.test/${d.kind}/$i",
+      warc_ts = new Timestamp(epochMs + i * 1000L),
+      html = d.bytes,
+      text = if (d.kind == "textrow") d.expected else null,
+      lang = d.lang,
+      expected = d.expected,
+      kind = d.kind)
+  }
+
+  /** Build the corpus as a DataFrame. Rows are generated ON THE EXECUTORS
+    * from the row index (spark.range), so generation itself scales: no
+    * driver-side materialization, any target size. */
+  def corpus(spark: SparkSession, rows: Long, partitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val base = if (partitions > 0) spark.range(0, rows, 1, partitions) else spark.range(rows)
+    base.as[Long].mapPartitions(_.map(row)).toDF()
+  }
+
+  /** Input-shape view (drops the ground-truth columns). */
+  def inputView(corpus: DataFrame): DataFrame =
+    corpus.select("url", "warc_ts", "html", "text", "lang")
+}

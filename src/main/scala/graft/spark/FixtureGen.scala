@@ -1,0 +1,277 @@
+package graft.spark
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import scala.collection.mutable.ArrayBuffer
+import graft.core.{Crypt, Filters, Security}
+
+/** Deterministic synthetic PDF/HTML builders for the extraction corpus.
+  *
+  * Own construction (inspired by what the reference's fixture generator
+  * exercises — classic xref, xref streams, ObjStm, Flate, RC4 — but each
+  * document's EXPECTED extracted text is known by construction, so the
+  * corpus carries its own ground truth at any scale with no external data).
+  */
+object FixtureGen {
+
+  final case class Doc(kind: String, bytes: Array[Byte], expected: String, lang: String)
+
+  private def b(s: String): Array[Byte] = s.getBytes(ISO_8859_1)
+
+  /** Assemble a classic-xref PDF from numbered object bodies (1..n). */
+  private def classicPdf(objects: Seq[String], trailerExtra: String = ""): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]
+    val offsets = new ArrayBuffer[Int]
+    out ++= b("%PDF-1.5\n%µ¶\n")
+    for ((body, i) <- objects.zipWithIndex) {
+      offsets += out.length
+      out ++= b(s"${i + 1} 0 obj\n$body\nendobj\n")
+    }
+    val xrefAt = out.length
+    out ++= b(s"xref\n0 ${objects.length + 1}\n")
+    out ++= b(f"0000000000 65535 f \n")
+    for (off <- offsets) out ++= b(f"$off%010d 00000 n \n")
+    out ++= b(s"trailer\n<< /Size ${objects.length + 1} /Root 1 0 R$trailerExtra >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toArray
+  }
+
+  private def contentObj(stream: String, compress: Boolean): String =
+    if (compress) {
+      val deflated = new String(Filters.deflate(b(stream)), ISO_8859_1)
+      s"<< /Length ${deflated.length} /Filter /FlateDecode >>\nstream\n$deflated\nendstream"
+    } else s"<< /Length ${stream.length} >>\nstream\n$stream\nendstream"
+
+  private val helvetica = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+  private def pageObj(parent: Int, contents: Int, font: Int): String =
+    s"<< /Type /Page /Parent $parent 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /Font << /F1 $font 0 R >> >> /Contents $contents 0 R >>"
+
+  /** One page, one text line, classic xref. Expected = line + "\n". */
+  def classic(i: Long): Doc = {
+    val line = s"Classic document $i body text"
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\n"
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      pageObj(2, 4, 5),
+      contentObj(content, compress = false),
+      helvetica))
+    Doc("classic", pdf, line + "\n", "en")
+  }
+
+  /** Flate-compressed content stream. */
+  def flate(i: Long): Doc = {
+    val line = s"Compressed stream document $i"
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\n"
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      pageObj(2, 4, 5),
+      contentObj(content, compress = true),
+      helvetica))
+    Doc("flate", pdf, line + "\n", "en")
+  }
+
+  /** PDF-1.5 cross-reference stream (/W [1 2 2], type-1 entries). */
+  def xrefStream(i: Long): Doc = {
+    val line = s"Xref stream document $i"
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\n"
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      pageObj(2, 4, 5),
+      contentObj(content, compress = false),
+      helvetica)
+    val out = new ArrayBuffer[Byte]
+    val offsets = new ArrayBuffer[Int]
+    out ++= b("%PDF-1.5\n%µ¶\n")
+    for ((body, k) <- objects.zipWithIndex) {
+      offsets += out.length
+      out ++= b(s"${k + 1} 0 obj\n$body\nendobj\n")
+    }
+    val xrefAt = out.length
+    // entries for objects 0..6 (6 = the xref stream itself)
+    val entries = new ArrayBuffer[Byte]
+    def entry(t: Int, f2: Int, f3: Int): Unit = {
+      entries += t.toByte
+      entries += ((f2 >> 8) & 0xff).toByte
+      entries += (f2 & 0xff).toByte
+      entries += ((f3 >> 8) & 0xff).toByte
+      entries += (f3 & 0xff).toByte
+    }
+    entry(0, 0, 0xffff)
+    for (off <- offsets) entry(1, off, 0)
+    entry(1, xrefAt, 0)
+    val raw = new String(entries.toArray, ISO_8859_1)
+    out ++= b(s"6 0 obj\n<< /Type /XRef /Size 7 /W [1 2 2] /Root 1 0 R /Length ${raw.length} >>\nstream\n$raw\nendstream\nendobj\n")
+    out ++= b(s"startxref\n$xrefAt\n%%EOF\n")
+    Doc("xrefstream", out.toArray, line + "\n", "en")
+  }
+
+  /** Object stream (/Type /ObjStm) holding catalog/pages/page dicts,
+    * referenced from an xref stream with type-2 entries. */
+  def objStm(i: Long): Doc = {
+    val line = s"Object stream document $i"
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\n"
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val o3 = pageObj(2, 4, 5)
+    val o5 = helvetica
+    // ObjStm body: header pairs then bodies
+    val bodies = Seq((1, o1), (2, o2), (3, o3), (5, o5))
+    val bodyStr = new StringBuilder
+    val pairs = new StringBuilder
+    for ((num, body) <- bodies) {
+      pairs.append(s"$num ${bodyStr.length} ")
+      bodyStr.append(body).append("\n")
+    }
+    val header = pairs.toString
+    val stmContent = header + bodyStr.toString
+    val out = new ArrayBuffer[Byte]
+    out ++= b("%PDF-1.5\n%µ¶\n")
+    val off4 = out.length
+    out ++= b(s"4 0 obj\n${contentObj(content, compress = false)}\nendobj\n")
+    val off6 = out.length
+    out ++= b(s"6 0 obj\n<< /Type /ObjStm /N ${bodies.length} /First ${header.length} /Length ${stmContent.length} >>\nstream\n$stmContent\nendstream\nendobj\n")
+    val xrefAt = out.length
+    val entries = new ArrayBuffer[Byte]
+    def entry(t: Int, f2: Int, f3: Int): Unit = {
+      entries += t.toByte
+      entries += ((f2 >> 8) & 0xff).toByte
+      entries += (f2 & 0xff).toByte
+      entries += ((f3 >> 8) & 0xff).toByte
+      entries += (f3 & 0xff).toByte
+    }
+    entry(0, 0, 0xffff)     // 0 free
+    entry(2, 6, 0)          // 1 in objstm 6 idx 0
+    entry(2, 6, 1)          // 2
+    entry(2, 6, 2)          // 3
+    entry(1, off4, 0)       // 4 in file
+    entry(2, 6, 3)          // 5
+    entry(1, off6, 0)       // 6 objstm container
+    entry(1, xrefAt, 0)     // 7 xref stream
+    val raw = new String(entries.toArray, ISO_8859_1)
+    out ++= b(s"7 0 obj\n<< /Type /XRef /Size 8 /W [1 2 2] /Root 1 0 R /Length ${raw.length} >>\nstream\n$raw\nendstream\nendobj\n")
+    out ++= b(s"startxref\n$xrefAt\n%%EOF\n")
+    Doc("objstm", out.toArray, line + "\n", "en")
+  }
+
+  /** 4 pages with a repeated header + bare page numbers (stripped by the
+    * cross-page layout) and one body line per page that merges into a
+    * single paragraph. */
+  def multipage(i: Long): Doc = {
+    val bodyLines = Seq(
+      s"Corpus sample $i starts a sentence that",
+      "continues on the second page and",
+      "keeps going on the third page and",
+      "finally ends on the fourth page")
+    val pages = bodyLines.zipWithIndex.map { case (line, p) =>
+      s"BT /F1 10 Tf 72 770 Td (Corpus Header) Tj ET\n" +
+        s"BT /F1 12 Tf 72 400 Td ($line) Tj ET\n" +
+        s"BT /F1 10 Tf 300 30 Td (${p + 1}) Tj ET\n"
+    }
+    val n = pages.length
+    // objects: 1 catalog, 2 pages, 3..3+n-1 page dicts, then n contents, then font
+    val firstPage = 3
+    val firstContent = firstPage + n
+    val fontObj = firstContent + n
+    val kids = (0 until n).map(k => s"${firstPage + k} 0 R").mkString(" ")
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      s"<< /Type /Pages /Kids [$kids] /Count $n >>") ++
+      (0 until n).map(k => pageObj(2, firstContent + k, fontObj)) ++
+      pages.map(contentObj(_, compress = false)) :+
+      helvetica
+    val pdf = classicPdf(objs)
+    Doc("multipage", pdf, bodyLines.mkString(" ") + "\n", "en")
+  }
+
+  /** Tagged PDF: /StructTreeRoot -> /Document -> two /P elements with MCIDs. */
+  def tagged(i: Long): Doc = {
+    val para1 = s"Tagged paragraph one of document $i."
+    val para2 = "Tagged paragraph two follows!"
+    val content =
+      s"/P <</MCID 0>> BDC BT /F1 12 Tf 72 720 Td ($para1) Tj ET EMC\n" +
+        s"/P <</MCID 1>> BDC BT /F1 12 Tf 72 700 Td ($para2) Tj ET EMC\n"
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R /StructTreeRoot 6 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      pageObj(2, 4, 5),
+      contentObj(content, compress = false),
+      helvetica,
+      "<< /Type /StructTreeRoot /K 7 0 R >>",
+      "<< /S /Document /K [8 0 R 9 0 R] >>",
+      "<< /S /P /Pg 3 0 R /K 0 >>",
+      "<< /S /P /Pg 3 0 R /K 1 >>"))
+    Doc("tagged", pdf, para1 + "\n\n" + para2 + "\n", "en")
+  }
+
+  /** RC4 40-bit (V1/R2) encrypted document, empty user password. */
+  def encryptedRc4(i: Long): Doc = {
+    val line = s"Encrypted document $i payload"
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\n"
+    val pad = Array(
+      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+      0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+      0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+    def md5(x: Array[Byte]) = java.security.MessageDigest.getInstance("MD5").digest(x)
+    def padPw(pw: Array[Byte]) = (pw ++ pad).take(32)
+    val fileId = md5(b(s"corpus-id-$i"))
+    val ownerKey = md5(padPw(b("owner"))).take(5)
+    val oValue = Crypt.rc4(ownerKey, padPw(Array.emptyByteArray)) // RC4 of padded user pw
+    val p = -1
+    val pLe = Array((p & 0xff).toByte, ((p >> 8) & 0xff).toByte, ((p >> 16) & 0xff).toByte, ((p >>> 24) & 0xff).toByte)
+    val fileKey = md5(padPw(Array.emptyByteArray) ++ oValue ++ pLe ++ fileId).take(5)
+    val uValue = Crypt.rc4(fileKey, pad)
+    val sec = Security(revision = 2, version = 1, key = fileKey, keyLength = 5, aes = false)
+    // encrypt the content stream with the object key of object 4
+    val encContent = Crypt.rc4(Crypt.objectKey(sec, 4, 0), b(content))
+    val encContentStr = new String(encContent, ISO_8859_1)
+    def hex(xs: Array[Byte]) = xs.map(x => f"${x & 0xff}%02x").mkString
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      pageObj(2, 4, 5),
+      s"<< /Length ${encContentStr.length} >>\nstream\n$encContentStr\nendstream",
+      helvetica,
+      s"<< /Filter /Standard /V 1 /R 2 /O <${hex(oValue)}> /U <${hex(uValue)}> /P $p >>")
+    val pdf = classicPdf(objs,
+      trailerExtra = s" /Encrypt 6 0 R /ID [<${hex(fileId)}> <${hex(fileId)}>]")
+    Doc("encrypted", pdf, line + "\n", "en")
+  }
+
+  /** HTML page with boilerplate nav/header/footer around main paragraphs. */
+  def htmlPage(i: Long): Doc = {
+    val p1 = s"Main article paragraph one for page $i with useful content."
+    val p2 = "A second paragraph continues the article body."
+    val html =
+      s"""<!DOCTYPE html>
+         |<html><head><title>Page $i</title><style>body{color:red}</style>
+         |<script>var x = 1 < 2;</script></head>
+         |<body>
+         |<nav class="top-nav"><ul><li>Home</li><li>About</li></ul></nav>
+         |<header><h1>Site Banner</h1></header>
+         |<div class="sidebar">Related links and ads</div>
+         |<main><article>
+         |<p>$p1</p>
+         |<p>$p2</p>
+         |</article></main>
+         |<footer>Copyright $i</footer>
+         |</body></html>""".stripMargin
+    Doc("html", html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      p1 + "\n\n" + p2 + "\n", "en")
+  }
+
+  /** Non-PDF non-HTML payload: extraction falls back to the text column. */
+  def textRow(i: Long): Doc = {
+    val t = s"Plain text fallback row $i with pre-extracted content."
+    Doc("textrow", Array[Byte](0x1f.toByte, 0x2e, 0x3d), t, "en")
+  }
+
+  val kinds: Vector[Long => Doc] = Vector(
+    classic, flate, xrefStream, objStm, multipage, tagged, encryptedRc4, htmlPage, textRow)
+
+  /** Deterministic corpus row i. */
+  def docFor(i: Long): Doc = kinds((i % kinds.length).toInt)(i)
+}

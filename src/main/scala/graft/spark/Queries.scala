@@ -1,0 +1,469 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's query surface: extraction queries over the synthetic corpus
+  * plus relational / training-data-pipeline operators over the driver's
+  * parquet tables, each with a DuckDB oracle where SQL-expressible.
+  *
+  * Every aggregate is aliased identically in the DataFrame code and the
+  * oracle SQL; money sums go through exact decimals and come back as
+  * rounded doubles so both engines agree bit-for-bit.
+  */
+object Queries {
+
+  final case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------- relational core ----------
+
+  private val q1 = Q(
+    (spark, dir) => {
+      t(spark, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double").as("sum_base_price"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))), 2)
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+           |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           |  count(*) AS count_order
+           |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  private val q2 = Q(
+    (spark, dir) => {
+      val orders = t(spark, dir, "orders")
+      val customer = t(spark, dir, "customer")
+      val nation = t(spark, dir, "nation")
+      // dims are tiny: broadcast both sides of the star
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("order_cnt"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+           |  count(*) AS order_cnt
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val q3 = Q(
+    (spark, dir) =>
+      t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice").cast("decimal(18,2)"), 2).cast("double").as("o_total"))
+        .orderBy(col("o_total").desc, col("o_orderkey").asc)
+        .limit(10),
+    Some("""SELECT o_orderkey, o_custkey,
+           |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS o_total
+           |FROM orders ORDER BY o_total DESC, o_orderkey ASC LIMIT 10""".stripMargin))
+
+  private val q4 = Q(
+    (spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      t(spark, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"), col("event_type").as("last_event_type"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  private val q5 = Q(
+    (spark, dir) => {
+      val customer = t(spark, dir, "customer")
+      val orders = t(spark, dir, "orders")
+      customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("customers_without_orders"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey, count(*) AS customers_without_orders
+           |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val q6 = Q(
+    (spark, dir) => {
+      // sessionized event stats per user+type: distributed agg with two keys
+      t(spark, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+          count(lit(1)).as("events"),
+          round(sum(col("value").cast("decimal(18,4)")), 4).cast("double").as("sum_value"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, count(*) AS events,
+           |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value,
+           |  min(ts) AS first_ts, max(ts) AS last_ts
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  // ---------- training-data ops: deduplication ----------
+
+  private val d1 = Q(
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keeper_doc_id"))
+        .orderBy("content_hash"),
+    Some("""SELECT md5(text) AS content_hash, count(*) AS copies, min(doc_id) AS keeper_doc_id
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Identical 48-bit token hash on both engines:
+    * fold (acc*31 + charcode) % 1000000007 over the token's chars. */
+  private def tokenHashCol(tok: Column): Column =
+    aggregate(
+      sequence(lit(1), length(tok)),
+      lit(7L),
+      (acc, i) => pmod(acc * 31 + ascii(substring(tok, i, lit(1))).cast("long"), lit(1000000007L)))
+
+  private val duckTokenHash =
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), [CAST(ord(t[i:i]) AS BIGINT) for i in range(1, len(t)+1)]), (a, b) -> (a*31 + b) % 1000000007)"
+
+  private val d2 = Q(
+    (spark, dir) => {
+      // MinHash over the distinct-token set: 4 permutations (a*x+b) mod p,
+      // banded 2x2 -> bucket keys for LSH near-dup joins.
+      val p = 1000000007L
+      val docs = t(spark, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(array_distinct(
+          filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("t"))
+        .withColumn("x", tokenHashCol(col("t")))
+      val sig = toks.groupBy("doc_id").agg(
+        min(pmod(col("x") * 1299721 + 104729, lit(p))).as("mh0"),
+        min(pmod(col("x") * 7919 + 7507, lit(p))).as("mh1"),
+        min(pmod(col("x") * 104183 + 337, lit(p))).as("mh2"),
+        min(pmod(col("x") * 909091 + 5861, lit(p))).as("mh3"))
+      sig
+        .withColumn("band0", md5(concat_ws(":", col("mh0"), col("mh1"))))
+        .withColumn("band1", md5(concat_ws(":", col("mh2"), col("mh3"))))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, $duckTokenHash AS x
+            |  FROM (SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS t
+            |        FROM documents)
+            |), sig AS (
+            |  SELECT doc_id,
+            |    min((x*1299721 + 104729) % 1000000007) AS mh0,
+            |    min((x*7919 + 7507) % 1000000007) AS mh1,
+            |    min((x*104183 + 337) % 1000000007) AS mh2,
+            |    min((x*909091 + 5861) % 1000000007) AS mh3
+            |  FROM toks GROUP BY 1
+            |)
+            |SELECT doc_id, mh0, mh1, mh2, mh3,
+            |  md5(concat(CAST(mh0 AS VARCHAR), ':', CAST(mh1 AS VARCHAR))) AS band0,
+            |  md5(concat(CAST(mh2 AS VARCHAR), ':', CAST(mh3 AS VARCHAR))) AS band1
+            |FROM sig ORDER BY doc_id""".stripMargin))
+
+  private val d3 = Q(
+    (spark, dir) => {
+      // SimHash (16-bit) over distinct tokens: majority vote per bit.
+      val docs = t(spark, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(array_distinct(
+          filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("t"))
+        .withColumn("x", tokenHashCol(col("t")))
+      val bits = toks.select(col("doc_id"), col("x"),
+        explode(sequence(lit(0), lit(15))).as("b"))
+      bits
+        .groupBy("doc_id", "b")
+        .agg(sum(expr("CASE WHEN (shiftright(x, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END")).as("vote"))
+        .groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN vote > 0 THEN CAST(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) AS BIGINT) ELSE CAST(0 AS BIGINT) END")).as("simhash16"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, $duckTokenHash AS x
+            |  FROM (SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS t
+            |        FROM documents)
+            |), votes AS (
+            |  SELECT doc_id, b,
+            |    sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+            |  FROM toks, (SELECT unnest(range(0, 16)) AS b)
+            |  GROUP BY 1, 2
+            |)
+            |SELECT doc_id,
+            |  CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash16
+            |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val d4 = Q(
+    (spark, dir) => {
+      // character-3-gram profile: the building block of n-gram Jaccard dedup
+      t(spark, dir, "documents").select(
+        col("doc_id"),
+        expr("size(array_distinct(transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))))")
+          .as("distinct_3grams"),
+        greatest(length(col("text")) - 2, lit(0)).as("total_3grams"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  count(DISTINCT text[i:i+2]) AS distinct_3grams,
+           |  greatest(len(text) - 2, 0) AS total_3grams
+           |FROM documents, LATERAL (SELECT unnest(range(1, greatest(len(text)-2, 0) + 1)) AS i)
+           |GROUP BY doc_id, len(text) ORDER BY doc_id""".stripMargin))
+
+  // ---------- training-data ops: text analysis ----------
+
+  private val t1 = Q(
+    (spark, dir) =>
+      t(spark, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("tokens"),
+        size(array_distinct(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))).as("distinct_tokens"),
+        length(col("text")).as("chars"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  len(regexp_extract_all(text, '\S+')) AS tokens,
+           |  len(list_distinct(regexp_extract_all(text, '\S+'))) AS distinct_tokens,
+           |  len(text) AS chars
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val t2 = Q(
+    (spark, dir) => {
+      val d = t(spark, dir, "documents")
+      val toks = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      d.select(
+        col("doc_id"),
+        length(col("text")).as("chars"),
+        toks.as("tokens"),
+        size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).as("punct"),
+        size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).as("digits"),
+        size(regexp_extract_all(col("text"), lit("(?i)\\b(the|a|of|and|to|in|is|that|it|for)\\b"), lit(0))).as("stopwords"))
+        .withColumn("quality_ok",
+          col("chars") >= 50 && col("tokens") >= 10 &&
+            (col("punct") + col("digits")).cast("double") / greatest(col("chars"), lit(1)) < 0.3)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, len(text) AS chars,
+           |  len(regexp_extract_all(text, '\S+')) AS tokens,
+           |  len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+           |  len(regexp_extract_all(text, '[0-9]')) AS digits,
+           |  len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that|it|for)\b')) AS stopwords,
+           |  (len(text) >= 50 AND len(regexp_extract_all(text, '\S+')) >= 10
+           |   AND CAST(len(regexp_extract_all(text, '[.,!?;:]')) + len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(len(text), 1) < 0.3) AS quality_ok
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val t3 = Q(
+    (spark, dir) => {
+      // n-gram-heuristic language id: per-language marker-word hit counts,
+      // argmax with deterministic tiebreak order (en, de, es, und)
+      val d = t(spark, dir, "documents")
+      def hits(words: String) =
+        size(regexp_extract_all(lower(col("text")), lit(s"\\b($words)\\b"), lit(0)))
+      d.select(col("doc_id"), col("lang").as("labeled_lang"),
+        hits("the|and|of|is|that|with|for").as("en_hits"),
+        hits("der|die|das|und|ist|nicht|mit").as("de_hits"),
+        hits("el|la|los|las|es|y|con|por").as("es_hits"))
+        .withColumn("detected_lang",
+          when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+            .when(col("de_hits") >= col("es_hits") && col("de_hits") > 0, "de")
+            .when(col("es_hits") > 0, "es")
+            .otherwise("und"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang AS labeled_lang,
+           |  len(regexp_extract_all(lower(text), '\b(the|and|of|is|that|with|for)\b')) AS en_hits,
+           |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS de_hits,
+           |  len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|con|por)\b')) AS es_hits,
+           |  CASE
+           |    WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|is|that|with|for)\b')) >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b'))
+           |     AND len(regexp_extract_all(lower(text), '\b(the|and|of|is|that|with|for)\b')) >= len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|con|por)\b'))
+           |     AND len(regexp_extract_all(lower(text), '\b(the|and|of|is|that|with|for)\b')) > 0 THEN 'en'
+           |    WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) >= len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|con|por)\b'))
+           |     AND len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) > 0 THEN 'de'
+           |    WHEN len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|con|por)\b')) > 0 THEN 'es'
+           |    ELSE 'und' END AS detected_lang
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val t4 = Q(
+    (spark, dir) =>
+      t(spark, dir, "documents").select(
+        col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---------- similarity search over embeddings ----------
+
+  private val s1 = Q(
+    (spark, dir) => {
+      // brute-force cosine top-5 for the first 10 vectors; in-order float
+      // math on both engines + 6-decimal rounding for a stable ranking
+      val e = t(spark, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val dot = aggregate(zip_with(col("qv"), col("embedding"), (a, x) => a * x),
+        lit(0.0), (acc, x) => acc + x)
+      val qn = sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x))
+      val en = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(queries).join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          round(dot / (qn * en), 6).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "vec_id", "rank", "sim")
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+           |    round(
+           |      list_reduce(list_transform(range(1, len(q.embedding)+1), i -> CAST(q.embedding[i] * e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+           |      (sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x * x AS DOUBLE)), (x, y) -> x + y)) *
+           |       sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x * x AS DOUBLE)), (x, y) -> x + y))), 6) AS sim
+           |  FROM embeddings q JOIN embeddings e ON q.vec_id < 10 AND e.vec_id <> q.vec_id
+           |), ranked AS (
+           |  SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+           |  FROM pairs
+           |)
+           |SELECT qid, vec_id, rank, sim FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+
+  private val s2 = Q(
+    (spark, dir) => {
+      // LSH-bucketed ANN: sign of dot product with 8 deterministic
+      // hyperplanes -> bucket id; the scale path for similarity search
+      // (bucket-join instead of full cross join).
+      val e = t(spark, dir, "embeddings")
+      // deterministic pseudo-hyperplanes from the dimension index
+      val planes = (0 until 8).map { k =>
+        val proj = aggregate(
+          zip_with(col("embedding"),
+            transform(sequence(lit(0), size(col("embedding")) - 1),
+              i => cos(i.cast("double") * (k + 1) * 0.7 + k)),
+            (x, h) => x * h),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << k)).otherwise(lit(0L))
+      }
+      e.select(col("vec_id"), col("label"),
+        planes.reduce(_ + _).as("bucket"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id, label,
+           |  CAST((SELECT sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)
+           |   FROM (SELECT k, (SELECT sum(embedding[i+1] * cos(i * (k+1) * 0.7 + k))
+           |                    FROM (SELECT unnest(range(0, len(embedding))) AS i)) AS pr
+           |         FROM (SELECT unnest(range(0, 8)) AS k))) AS BIGINT) AS bucket
+           |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  // ---------- extraction queries over the synthetic corpus ----------
+
+  private def corpus(spark: SparkSession): DataFrame =
+    CorpusGen.corpus(spark, rows = 180, partitions = 8).cache()
+
+  private val x1 = Q(
+    (spark, _) => {
+      val c = corpus(spark)
+      Pipeline.extract(spark, CorpusGen.inputView(c))
+        .toDF()
+        .select("url", "mode", "ok", "pages", "chars")
+        .orderBy("url")
+    },
+    None)
+
+  private val x2 = Q(
+    (spark, _) => {
+      val c = corpus(spark)
+      val extracted = Pipeline.extract(spark, CorpusGen.inputView(c)).toDF()
+      extracted.join(c.select(col("url"), col("expected"), col("kind")), Seq("url"))
+        .select(col("url"), col("kind"),
+          (col("text") === col("expected")).as("match"))
+        .orderBy("url")
+    },
+    None)
+
+  private val x3 = Q(
+    (spark, _) => {
+      val c = corpus(spark)
+      Pipeline.extract(spark, CorpusGen.inputView(c))
+        .toDF()
+        .filter(col("text").rlike("sentence that"))
+        .select("url", "mode")
+        .orderBy("url")
+    },
+    None)
+
+  private val x4 = Q(
+    (spark, _) => {
+      val c = corpus(spark)
+      Pipeline.extractMeta(spark, CorpusGen.inputView(c))
+        .toDF()
+        .select("url", "pages", "tocEntries", "trailerJson")
+        .orderBy("url")
+    },
+    None)
+
+  private val x5 = Q(
+    (spark, _) => {
+      val c = corpus(spark)
+      Pipeline.extractPages(spark, CorpusGen.inputView(c))
+        .toDF()
+        .orderBy("url", "page")
+    },
+    None)
+
+  private val x6 = Q(
+    (spark, _) => {
+      val c = corpus(spark)
+      val extracted = Pipeline.extract(spark, CorpusGen.inputView(c))
+      Pipeline.partitionMetrics(spark, extracted)
+        .toDF()
+        .orderBy("partitionId")
+    },
+    None)
+
+  // ---------- registry ----------
+
+  val all: Map[String, Q] = Map(
+    "q1_agg" -> q1,
+    "q2_join_broadcast" -> q2,
+    "q3_topk" -> q3,
+    "q4_window_latest" -> q4,
+    "q5_anti_join" -> q5,
+    "q6_group_stats" -> q6,
+    "d1_dedup_exact" -> d1,
+    "d2_minhash_lsh" -> d2,
+    "d3_simhash" -> d3,
+    "d4_ngram_profile" -> d4,
+    "t1_token_stats" -> t1,
+    "t2_quality" -> t2,
+    "t3_langid" -> t3,
+    "t4_fingerprint" -> t4,
+    "s1_knn_cosine" -> s1,
+    "s2_ann_lsh_bucket" -> s2,
+    "x1_extract" -> x1,
+    "x2_extract_match" -> x2,
+    "x3_grep" -> x3,
+    "x4_metadata" -> x4,
+    "x5_page_text" -> x5,
+    "x6_partition_metrics" -> x6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, v) => k -> v.fn }
+
+  val oracleSql: Map[String, String] =
+    all.collect { case (k, Q(_, Some(sql))) => k -> sql }
+}

@@ -1,0 +1,242 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.immutable.TreeMap
+import graft.core._
+import graft.core.PObj._
+
+/** Unit tests mirroring the reference's test/Unit.hs groups: matrix algebra,
+  * content-stream micro-programs against a stub font, layout heuristics,
+  * number-lexer adversarial inputs, RC4 vectors, code splitting, CMaps. */
+class KernelSpec extends AnyFunSuite {
+
+  // ---- matrix algebra (Unit.hs:217-285) ----
+
+  test("matrix identity and composition") {
+    val m = Mat(2, 0, 0, 3, 5, 7)
+    assert(m.multiply(Mat.identity) == m)
+    assert(Mat.identity.multiply(m) == m)
+    val t = Mat.translate(10, 20)
+    assert(t.apply(1, 1) == ((11.0, 21.0)))
+    // (A*B)*C == A*(B*C)
+    val a = Mat(1, 2, 3, 4, 5, 6)
+    val b = Mat(7, 8, 9, 1, 2, 3)
+    val c = Mat(4, 5, 6, 7, 8, 9)
+    val l = a.multiply(b).multiply(c)
+    val r = a.multiply(b.multiply(c))
+    assert(math.abs(l.a - r.a) < 1e-9 && math.abs(l.f - r.f) < 1e-9)
+  }
+
+  // ---- content-stream micro-programs (Unit.hs:315-362) ----
+
+  private def stubDoc: DocStructure.Document =
+    new DocStructure.Document("".getBytes, TreeMap.empty, Map.empty, None, Some(Map.empty))
+
+  private def stubFont: FontInfo = FontInfo(
+    Encoding.NullMap, Map.empty,
+    simpleFirstChar = 65,
+    simpleWidths = Vector(Some(600.0), Some(700.0)), // A=600, B=700
+    Map.empty, Map.empty, FontInfo.DefaultVerticalW1,
+    wmode = 0, bytesPerCode = 1, defaultWidth = 500, isType0 = false)
+
+  private def interp(src: String): List[Glyph] =
+    Interp.interpretContentItems(stubDoc, DocStructure.emptyDict,
+      Map("/F1" -> stubFont), src.getBytes).collect {
+      case PageItem.ItemGlyph(g) => g
+    }
+
+  test("Tj places a glyph with origin, width, size") {
+    val gs = interp("BT /F1 10 Tf 100 700 Td (AB) Tj ET")
+    assert(gs.length == 1)
+    val g = gs.head
+    assert(g.text == "AB")
+    assert(g.x == 100.0 && g.y == 700.0)
+    assert(math.abs(g.width - 13.0) < 1e-9) // (600+700)/1000*10
+    assert(math.abs(g.size - 10.0) < 1e-9)
+  }
+
+  test("cm scale doubles device size and width") {
+    val gs = interp("q 2 0 0 2 0 0 cm BT /F1 10 Tf 100 300 Td (A) Tj ET Q")
+    assert(gs.length == 1)
+    val g = gs.head
+    assert(g.x == 200.0 && g.y == 600.0)
+    assert(math.abs(g.size - 20.0) < 1e-9)
+    assert(math.abs(g.width - 12.0) < 1e-9)
+  }
+
+  test("TJ kern advances the text matrix") {
+    val gs = interp("BT /F1 10 Tf 0 0 Td [(A) -200 (B)] TJ ET")
+    assert(gs.map(_.text) == List("A", "B"))
+    assert(math.abs(gs(1).x - 8.0) < 1e-9) // 6 + 200/1000*10
+  }
+
+  test("q/Q restores the graphics state") {
+    val gs = interp("q 2 0 0 2 0 0 cm Q BT /F1 10 Tf 50 50 Td (A) Tj ET")
+    assert(gs.head.x == 50.0 && gs.head.size == 10.0)
+  }
+
+  test("leading-dot and negative-fraction numbers lex correctly") {
+    val gs = interp("BT /F1 10 Tf 1 0 0 1 -.5 .25 Tm (A) Tj ET")
+    assert(gs.head.x == -0.5 && gs.head.y == 0.25)
+  }
+
+  test("BDC/EMC marked content assigns MCIDs") {
+    val gs = interp("/P <</MCID 3>> BDC BT /F1 10 Tf 0 0 Td (A) Tj ET EMC BT /F1 10 Tf 0 20 Td (B) Tj ET")
+    assert(gs.head.mcid.contains(3))
+    assert(gs(1).mcid.isEmpty)
+  }
+
+  test("word spacing applies to 1-byte code 32 only") {
+    val gs = interp("BT /F1 10 Tf 5 Tw 0 0 Td (A B) Tj ET")
+    // width = A(6) + space(500/1000*10 + 5) + B(7) = 23
+    assert(math.abs(gs.head.width - 23.0) < 1e-9)
+  }
+
+  // ---- layout heuristics (Unit.hs:377-658) ----
+
+  private def glyph(text: String, x: Double, y: Double, w: Double, size: Double): Glyph =
+    Glyph(text, x, y, w, size, "/F1", 0, None)
+
+  test("paragraph gap break at 1.6x typical leading") {
+    val items: List[PageItem] =
+      List(
+        glyph("Line one", 72, 700, 40, 10),
+        glyph("Line two", 72, 688, 40, 10),
+        glyph("Line three", 72, 676, 40, 10),
+        glyph("New para", 72, 640, 40, 10)).map(PageItem.ItemGlyph.apply)
+    val paras = Layout.layoutParagraphs(Layout.defaultOptions, items)
+    assert(paras == List("Line one Line two Line three", "New para"))
+  }
+
+  test("indent starts a new paragraph") {
+    val items: List[PageItem] =
+      List(
+        glyph("First line", 72, 700, 40, 10),
+        glyph("wrapped", 72, 688, 40, 10),
+        glyph("Indented start", 85, 676, 40, 10)).map(PageItem.ItemGlyph.apply)
+    val paras = Layout.layoutParagraphs(Layout.defaultOptions, items)
+    assert(paras == List("First line wrapped", "Indented start"))
+  }
+
+  test("hyphen join drops the space") {
+    assert(Layout.paraJoinSep("contin-", "uation") == "")
+    assert(Layout.paraJoinSep("日本", "語") == "")
+    assert(Layout.paraJoinSep("plain", "join") == " ")
+  }
+
+  test("intraLineSpace rules") {
+    assert(Layout.intraLineSpace(3.1, 10, Some('a'), Some('b')) == " ")
+    assert(Layout.intraLineSpace(2.0, 10, Some('語'), Some('日')) == "")
+    assert(Layout.intraLineSpace(21, 10, Some('語'), Some('日')) == " ")
+    assert(Layout.intraLineSpace(5, 10, Some('-'), Some('b')) == "")
+  }
+
+  test("header/footer strip removes repeated cores and bare page numbers") {
+    def page(n: Int): List[Line] = List(
+      Line(770, 72, 150, 10, 72, 0, "Running Header", Nil, lastSuper = false),
+      Line(400, 72, 200, 12, 72, 0, s"Body text $n", Nil, lastSuper = false),
+      Line(30, 300, 310, 10, 300, 0, n.toString, Nil, lastSuper = false))
+    val stripped = Layout.stripHeadersFooters(4, List(page(1), page(2), page(3), page(4)))
+    assert(stripped.forall(_.length == 1))
+    assert(stripped.head.head.text == "Body text 1")
+  }
+
+  test("roman numeral page numbers normalize to #") {
+    assert(Layout.normalizeHeaderFooterText("page xiv") == "page#")
+    assert(Layout.isBarePageNumber(Layout.normalizeHeaderFooterText("42")))
+    assert(Layout.isBarePageNumber(Layout.normalizeHeaderFooterText("3-4")))
+    assert(!Layout.isBarePageNumber(Layout.normalizeHeaderFooterText("Chapter 3")))
+  }
+
+  test("endsWithTerminal unwinds closing chars") {
+    assert(Layout.endsWithTerminal("done!"))
+    assert(Layout.endsWithTerminal("「終わり。」"))
+    assert(!Layout.endsWithTerminal("continues."))  // ASCII '.' is not terminal
+    assert(!Layout.endsWithTerminal("open"))
+  }
+
+  // ---- number parsing adversarial (Unit.hs:1396-1423) ----
+
+  test("adversarial number tokens do not crash the interpreter") {
+    for (src <- List("BT . Tf ET", "BT - Tf ET", "BT -.5. Td ET", "BT 1..5 0 Td ET",
+                     "BT /F1 10 Tf ( ", "<<>>", "[", "BT /F1 10 Tf 0 0 Td <41 Tj ET")) {
+      Interp.interpretContentItems(stubDoc, DocStructure.emptyDict,
+        Map("/F1" -> stubFont), src.getBytes)
+    }
+    succeed
+  }
+
+  // ---- encryption (EncryptSpec.hs:11-26) ----
+
+  test("RC4 keystream for key 01..05 matches the spec vector") {
+    val ks = Crypt.rc4KeyStream(Array[Byte](1, 2, 3, 4, 5), 5)
+    assert(ks.map(b => f"${b & 0xff}%02X").mkString(" ") == "B2 39 63 05 F0")
+  }
+
+  // ---- code splitting (Unit.hs:1355-1394) ----
+
+  test("UTF-16BE surrogate pairs combine into one code") {
+    val codes = Interp.unicodeBytesToCodes(List(0xD8, 0x3D, 0xDE, 0x00)) // U+1F600
+    assert(codes == List(0x1F600))
+    assert(Interp.unicodeBytesToCodes(List(0x00, 0x41, 0x30, 0x42)) == List(0x41, 0x3042))
+  }
+
+  test("SJIS lead bytes pair; ASCII passes through") {
+    assert(Interp.sjisBytesToCodes(List(0x41, 0x88, 0x9F, 0x42)) == List(0x41, 0x889F, 0x42))
+  }
+
+  test("JIS X 0208 codes resolve via the charset table") {
+    assert(Interp.encodingUnicode(Encoding.JISmap, 0x467C) == "日")
+    assert(Interp.encodingUnicode(Encoding.JISmap, 0x4B5C) == "本")
+    assert(Interp.encodingUnicode(Encoding.JISmap, 0x386C) == "語")
+  }
+
+  // ---- ToUnicode CMap parsing (Cmap.hs behavior) ----
+
+  test("bfchar and bfrange parse") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<41> <0061>
+        |<42> <0062>
+        |endbfchar
+        |1 beginbfrange
+        |<50> <52> <0070>
+        |endbfrange
+        |endcmap""".stripMargin
+    val m = CMapParse.parseCMap(cmap.getBytes)
+    assert(m(0x41) == "a" && m(0x42) == "b")
+    assert(m(0x50) == "p" && m(0x51) == "q" && m(0x52) == "r")
+  }
+
+  // ---- filters ----
+
+  test("ASCII85 decode with z shorthand") {
+    // "z" -> four zero bytes
+    assert(Filters.ascii85("z".getBytes).toList == List[Byte](0, 0, 0, 0))
+    val roundtrip = Filters.ascii85("87cUR@<Q".getBytes) // "Hello" region
+    assert(roundtrip.nonEmpty)
+  }
+
+  test("PNG Up predictor") {
+    // rows of 3 cols: first row raw (filter 0), second row Up (filter 2)
+    val data = Array[Byte](0, 1, 2, 3, 2, 1, 1, 1)
+    val out = Filters.decodePngPredictors(data, 3).toOption.get
+    assert(out.toList == List[Byte](1, 2, 3, 2, 3, 4))
+  }
+
+  // ---- HTML stripper ----
+
+  test("HTML boilerplate is dropped, entities decoded") {
+    val html =
+      """<html><head><title>T</title></head><body>
+        |<nav>menu</nav><p>Caf&eacute;? No: caf&#233; &amp; more.</p>
+        |<footer>foot</footer></body></html>""".stripMargin.replace("&eacute;", "&#xe9;")
+    val out = Html.extractParagraphs(html)
+    assert(out == List("Café? No: café & more."))
+  }
+}

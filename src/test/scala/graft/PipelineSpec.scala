@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.spark.{CorpusGen, Pipeline}
+
+/** End-to-end Spark pipeline tests: scan -> mapPartitions kernel ->
+  * predicates/joins, with a byte-identical match-rate gate against the
+  * corpus ground truth (the north-rule invariant), plus resume and
+  * metrics behavior. */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pipeline-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("extraction is byte-identical per url over the full corpus") {
+    val corpus = CorpusGen.corpus(spark, rows = 120, partitions = 6).cache()
+    val extracted = Pipeline.extract(spark, CorpusGen.inputView(corpus)).toDF()
+    val joined = extracted.join(corpus.select("url", "expected", "kind"), Seq("url"))
+    val total = joined.count()
+    val matched = joined.filter(col("text") === col("expected")).count()
+    assert(total == 120)
+    assert(matched == total, {
+      val bad = joined.filter(col("text") =!= col("expected"))
+        .select("url", "kind").limit(5).collect().mkString(", ")
+      s"mismatches: $bad"
+    })
+  }
+
+  test("all format branches are exercised on one codepath") {
+    val corpus = CorpusGen.corpus(spark, rows = 45, partitions = 3)
+    val modes = Pipeline.extract(spark, CorpusGen.inputView(corpus))
+      .toDF().groupBy("mode").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(modes.contains("pdf-tagged"))
+    assert(modes.contains("html"))
+    assert(modes.contains("text"))
+    assert(!modes.contains("error"))
+  }
+
+  test("grep: Catalyst predicate over extracted text") {
+    val corpus = CorpusGen.corpus(spark, rows = 45, partitions = 3)
+    val hits = Pipeline.extract(spark, CorpusGen.inputView(corpus))
+      .toDF().filter(col("text").rlike("sentence that")).count()
+    assert(hits == 5) // one multipage doc per 9-row cycle
+  }
+
+  test("resume: left-anti join drops done urls") {
+    val corpus = CorpusGen.corpus(spark, rows = 45, partitions = 3).cache()
+    val input = CorpusGen.inputView(corpus)
+    val done = input.select("url").limit(20)
+    val remaining = Pipeline.resumeRemaining(input, done)
+    assert(remaining.count() == 25)
+    // idempotent: resuming with everything done leaves nothing
+    assert(Pipeline.resumeRemaining(input, input.select("url")).count() == 0)
+  }
+
+  test("partition metrics account for every document") {
+    val corpus = CorpusGen.corpus(spark, rows = 90, partitions = 5)
+    val extracted = Pipeline.extract(spark, CorpusGen.inputView(corpus))
+    val m = Pipeline.partitionMetrics(spark, extracted).toDF()
+      .agg(sum("docs"), sum("okDocs"), sum("errorDocs")).collect()(0)
+    assert(m.getLong(0) == 90)
+    assert(m.getLong(1) == 90)
+    assert(m.getLong(2) == 0)
+  }
+
+  test("malformed payloads become error rows, not task failures") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("u1", "%PDF-1.5 garbage".getBytes, null: String),
+      ("u2", Array.fill(64)(0x7f.toByte), null: String),
+      ("u3", "<html><p>fine</p></html>".getBytes, null: String))
+    val df = rows.toDF("url", "html", "text")
+    val out = Pipeline.extract(spark, df).collect()
+    assert(out.length == 3)
+    val byUrl = out.map(d => d.url -> d).toMap
+    assert(!byUrl("u1").ok && byUrl("u1").error.nonEmpty)
+    assert(!byUrl("u2").ok)
+    assert(byUrl("u3").ok && byUrl("u3").text.contains("fine"))
+  }
+
+  test("page-level and metadata surfaces") {
+    val corpus = CorpusGen.corpus(spark, rows = 18, partitions = 2).cache()
+    val pages = Pipeline.extractPages(spark, CorpusGen.inputView(corpus)).toDF()
+    // multipage docs contribute 4 pages each
+    val mp = pages.filter(col("url").contains("/multipage/")).groupBy("url").count().collect()
+    assert(mp.forall(_.getLong(1) == 4))
+    val meta = Pipeline.extractMeta(spark, CorpusGen.inputView(corpus)).toDF()
+    val pageCounts = meta.select("url", "pages").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(pageCounts.filter(_._1.contains("/multipage/")).values.forall(_ == 4))
+    assert(pageCounts.filter(_._1.contains("/classic/")).values.forall(_ == 1))
+  }
+
+  test("column pruning reaches the scan") {
+    val corpus = CorpusGen.corpus(spark, rows = 9, partitions = 1)
+    val dir = java.nio.file.Files.createTempDirectory("corpus").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val input = spark.read.parquet(dir)
+    val plan = Pipeline.extract(spark, input).queryExecution.executedPlan.toString
+    // the parquet scan must read only the three needed columns
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.split("ReadSchema")(1).takeWhile(_ != '>').contains("warc_ts"))
+  }
+}
