@@ -17,6 +17,11 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // extraction is CPU-bound per row: keep scan partitions small enough
+      // that every core gets work even when the corpus parquet is compact
+      // (default 128MB splits would coalesce the whole corpus into a
+      // handful of tasks and flatline scaling)
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

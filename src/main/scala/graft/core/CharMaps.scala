@@ -168,7 +168,11 @@ object CharMaps {
     * UnmappedCid warning). TODO: generate a subset table. */
   lazy val adobeJapan16Map: Map[Int, String] = Map.empty
 
+  private val lowChars: Array[String] =
+    (0 until 256).map(i => String.valueOf(i.toChar)).toArray
+
   def safeChr(n: Int): String =
-    if (n >= 0 && n <= 0x10FFFF && !(n >= 0xD800 && n <= 0xDFFF)) new String(Character.toChars(n))
+    if (n >= 0 && n < 256) lowChars(n)
+    else if (n >= 0 && n <= 0x10FFFF && !(n >= 0xD800 && n <= 0xDFFF)) new String(Character.toChars(n))
     else "�"
 }

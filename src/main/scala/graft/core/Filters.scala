@@ -39,12 +39,14 @@ object Filters {
       s"unsupported stream filter $other (supported: /FlateDecode /DCTDecode /ASCII85Decode)"))
   }
 
-  /** zlib inflate, tolerant of trailing garbage. */
+  /** zlib inflate, tolerant of trailing garbage. Scratch buffer sized to
+    * the input (text deflates ~6x) instead of a fixed 64KB — the kernel
+    * inflates many small streams per document. */
   def inflate(s: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(s)
     val out = new ArrayBuffer[Byte]
-    val buf = new Array[Byte](65536)
+    val buf = new Array[Byte](math.max(1024, math.min(s.length * 6, 1 << 20)))
     try {
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(buf)

@@ -609,7 +609,7 @@ object Interp {
     textTd(0, -st.gs.leading, st)
 
   private sealed trait TJElem
-  private final case class TJString(bytes: List[Int]) extends TJElem
+  private final case class TJString(bytes: Array[Int]) extends TJElem
   private final case class TJAdjust(k: Double) extends TJElem
 
   private def showTJ(elems: List[TJElem], st: IState): Unit =
@@ -631,21 +631,46 @@ object Interp {
         st.ts = Some((tm2, tlm))
     }
 
-  private def showBytes(bytes: List[Int], st: IState): Unit =
+  private def showBytes(bytes: Array[Int], st: IState): Unit =
     (st.ts, st.gs.font, st.gs.fontRes) match {
       case (Some((tm, tlm)), Some(fi), Some(fname)) =>
         val gs = st.gs
-        val codes = bytesToCodes(fi, bytes)
+        val codes = bytesToCodesArr(fi, bytes)
         val originTrm = textRenderingMatrix(gs, tm)
         val (ox, oy) = originTrm.apply(0, 0)
         val segSize = { val (vx, vy) = originTrm.applyVec(0, 1); math.sqrt(vx * vx + vy * vy) }
-        var text = new StringBuilder
-        var curTm = tm
-        for (code <- codes) {
+        val text = new StringBuilder(codes.length)
+        // translate(tx,ty) premultiply keeps a..d; only e,f change — track
+        // the text matrix as locals to avoid two Mat allocations per glyph
+        var e = tm.e
+        var f = tm.f
+        val wmodeV = fi.wmode == 1
+        val tfs = gs.fontSize
+        val tc = gs.charSp
+        val tw = gs.wordSp
+        val th = gs.hScale
+        val oneByte = fi.bytesPerCode == 1
+        var k = 0
+        while (k < codes.length) {
+          val code = codes(k)
           text.append(codeToUnicode(fi, code))
-          val (tx, ty) = codeAdvance(gs, fi, code)
-          curTm = Mat.translate(tx, ty).multiply(curTm)
+          var tx = 0.0
+          var ty = 0.0
+          if (wmodeV) {
+            var w1 = fi.widthV(code)
+            if (w1 == 0) w1 = FontInfo.DefaultVerticalW1
+            ty = (w1 / 1000) * tfs + tc + tw
+          } else {
+            var w0 = fi.width(code)
+            if (w0 == 0) w0 = fi.defaultWidth
+            val space = if (oneByte && code == 32) tw else 0.0
+            tx = ((w0 / 1000) * tfs + tc + space) * th
+          }
+          e = tx * tm.a + ty * tm.c + e
+          f = tx * tm.b + ty * tm.d + f
+          k += 1
         }
+        val curTm = Mat(tm.a, tm.b, tm.c, tm.d, e, f)
         val endTrm = textRenderingMatrix(gs, curTm)
         val (ex, ey) = endTrm.apply(0, 0)
         val width = math.sqrt((ex - ox) * (ex - ox) + (ey - oy) * (ey - oy))
@@ -656,18 +681,60 @@ object Interp {
     }
 
   def bytesToCodes(fi: FontInfo, bytes: List[Int]): List[Int] =
+    bytesToCodesArr(fi, bytes.toArray).toList
+
+  def bytesToCodesArr(fi: FontInfo, bytes: Array[Int]): Array[Int] =
     fi.encoding match {
-      case Encoding.SJISmap => sjisBytesToCodes(bytes)
-      case Encoding.UnicodeMap => unicodeBytesToCodes(bytes)
-      case Encoding.JISmap => jisBytesToCodes(bytes)
-      case _ if fi.bytesPerCode == 2 => pairs2(bytes)
+      case Encoding.SJISmap => sjisBytesToCodesArr(bytes)
+      case Encoding.UnicodeMap => unicodeBytesToCodesArr(bytes)
+      case Encoding.JISmap => jisBytesToCodesArr(bytes)
+      case _ if fi.bytesPerCode == 2 => pairs2Arr(bytes)
       case _ => bytes
     }
 
-  private def pairs2(bs: List[Int]): List[Int] = bs match {
-    case a :: b :: rest => (a * 256 + b) :: pairs2(rest)
-    case _ => Nil
+  private def pairs2Arr(bs: Array[Int]): Array[Int] = {
+    val out = new Array[Int](bs.length / 2)
+    var i = 0
+    while (i + 1 < bs.length) { out(i / 2) = bs(i) * 256 + bs(i + 1); i += 2 }
+    out
   }
+
+  private def sjisBytesToCodesArr(bs: Array[Int]): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](bs.length)
+    var i = 0
+    while (i < bs.length) {
+      val b = bs(i)
+      if ((b >= 0x81 && b <= 0x9F) || (b >= 0xE0 && b <= 0xFC)) {
+        if (i + 1 < bs.length) { out += b * 256 + bs(i + 1); i += 2 }
+        else { out += b; i += 1 }
+      } else { out += b; i += 1 }
+    }
+    out.toArray
+  }
+
+  private def unicodeBytesToCodesArr(bs: Array[Int]): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](bs.length / 2)
+    var i = 0
+    while (i + 1 < bs.length) {
+      val unit = bs(i) * 256 + bs(i + 1)
+      if (unit >= 0xD800 && unit <= 0xDBFF) {
+        if (i + 3 < bs.length) {
+          val unit2 = bs(i + 2) * 256 + bs(i + 3)
+          if (unit2 >= 0xDC00 && unit2 <= 0xDFFF) {
+            out += 0x10000 + ((unit - 0xD800) << 10) + (unit2 - 0xDC00)
+            i += 4
+          } else { out += unit; i += 2 }
+        } else {
+          // lone high surrogate before a short tail: emit and stop
+          out += unit
+          i = bs.length
+        }
+      } else { out += unit; i += 2 }
+    }
+    out.toArray
+  }
+
+  private def jisBytesToCodesArr(bs: Array[Int]): Array[Int] = pairs2Arr(bs)
 
   def sjisBytesToCodes(bs: List[Int]): List[Int] = bs match {
     case Nil => Nil
@@ -776,13 +843,35 @@ object Interp {
     textMat.multiply(tm).multiply(gs.ctm)
   }
 
-  private def objBytes(o: PObj): Option[List[Int]] = o match {
-    case PText(s) => Some(s.toCharArray.toList.map(_.toInt))
-    case PHex(h) => Some(hexPairs(h))
+  private def objBytes(o: PObj): Option[Array[Int]] = o match {
+    case PText(s) =>
+      val out = new Array[Int](s.length)
+      var i = 0
+      while (i < s.length) { out(i) = s.charAt(i).toInt; i += 1 }
+      Some(out)
+    case PHex(h) => Some(hexPairsArr(h))
     case _ => None
   }
 
   /** hexPairs (StreamLex.hs:44-54): odd trailing digit padded with '0'. */
+  def hexPairsArr(h: String): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](h.length / 2 + 1)
+    var i = 0
+    while (i < h.length) {
+      val a = h.charAt(i)
+      if (i + 1 < h.length) {
+        val b = h.charAt(i + 1)
+        if (Lexer.isHexDigit(a) && Lexer.isHexDigit(b))
+          out += (Lexer.hexVal(a) << 4) | Lexer.hexVal(b)
+        i += 2
+      } else {
+        if (Lexer.isHexDigit(a)) out += Lexer.hexVal(a) << 4
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
   def hexPairs(h: String): List[Int] = {
     val out = List.newBuilder[Int]
     var i = 0

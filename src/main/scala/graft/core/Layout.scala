@@ -394,10 +394,11 @@ object Layout {
     pagesLines.map { ls =>
       if (ls.isEmpty) ls
       else {
-      val extent = pageBaselineExtent(ls)
-      if (ls.length <= 2) {
-        if (ls.exists(isRemoved(extent, _))) ls.filterNot(isRemoved(extent, _)) else ls
-      } else ls.filterNot(isRemoved(extent, _))
+        val extent = pageBaselineExtent(ls)
+        val flags = ls.map(isRemoved(extent, _))
+        if (ls.length <= 2) {
+          if (flags.contains(true)) ls.zip(flags).collect { case (l, false) => l } else ls
+        } else ls.zip(flags).collect { case (l, false) => l }
       }
     }
   }
@@ -479,11 +480,36 @@ object Layout {
 
   // ---------- paragraph grouping ----------
 
+  /** Incrementally-sorted positive-gap tracker: same values as sorting the
+    * accumulated gap list on every query (the reference re-sorts per line,
+    * Layout.hs:1199-1208) without the per-line sort. */
+  private final class GapTracker {
+    private val sorted = new scala.collection.mutable.ArrayBuffer[Double]
+    def add(g: Double): Unit =
+      if (g > 0) {
+        var lo = 0
+        var hi = sorted.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (sorted(mid) < g) lo = mid + 1 else hi = mid
+        }
+        sorted.insert(lo, g)
+      }
+    def typical(lineSize: Double): Double = {
+      val n = sorted.length
+      if (n <= 1) 1.2 * lineSize
+      else {
+        val mid = n / 2
+        if (n % 2 == 1) sorted(mid) else (sorted(mid - 1) + sorted(mid)) / 2
+      }
+    }
+  }
+
   def groupParagraphs(wmode: Int, graphics: List[Rect], bounds: (Double, Double),
       lines: List[Line]): List[List[Line]] = {
     val ordered = sortLinesByReadingOrder(lines).filter(l => strip(l.text).nonEmpty)
     val out = List.newBuilder[List[Line]]
-    var pageGaps: List[Double] = Nil
+    val pageGaps = new GapTracker
     var rest = ordered
     while (rest.nonEmpty) {
       val first = rest.head
@@ -494,10 +520,10 @@ object Layout {
       var stop = false
       while (!stop && tail.nonEmpty) {
         val l = tail.head
-        if (paragraphBreak(wmode, graphics, bounds, prev, l, pageGaps, minInline)) stop = true
+        if (paragraphBreakT(wmode, graphics, bounds, prev, l, pageGaps, minInline)) stop = true
         else {
           val g = baselineGap(wmode, prev, l)
-          if (g > 0) pageGaps = pageGaps :+ g
+          pageGaps.add(g)
           minInline = math.min(minInline, l.inlineStart)
           acc = l :: acc
           prev = l
@@ -512,13 +538,20 @@ object Layout {
 
   def paragraphBreak(wmode: Int, graphics: List[Rect], pageBounds: (Double, Double),
       prev: Line, cur: Line, gaps: List[Double], paraMinInline: Double): Boolean = {
+    val t = new GapTracker
+    gaps.foreach(t.add)
+    paragraphBreakT(wmode, graphics, pageBounds, prev, cur, t, paraMinInline)
+  }
+
+  private def paragraphBreakT(wmode: Int, graphics: List[Rect], pageBounds: (Double, Double),
+      prev: Line, cur: Line, gaps: GapTracker, paraMinInline: Double): Boolean = {
     val gap = baselineGap(wmode, prev, cur)
-    val typical = typicalLeading(gaps, cur.size)
+    val typical = gaps.typical(cur.size)
     val gapBreak = math.abs(gap) > 1.6 * typical
     negativeAdvance(wmode, prev, cur) ||
       listMarkerStart(cur) ||
-      afterListHeadingBreak(wmode, prev, cur, gaps) ||
-      sameHangListItemBreak(wmode, prev, cur, gaps) ||
+      afterListHeadingBreakT(wmode, prev, cur, gaps) ||
+      sameHangListItemBreakT(wmode, prev, cur, gaps) ||
       codeBlockBreak(prev, cur) ||
       (gapBreak && !cjkWrapContinuation(prev, cur)) ||
       indentBreak(paraMinInline, cur) ||
@@ -562,21 +595,21 @@ object Layout {
   private def hangWrappedContinuation(prev: Line, cur: Line): Boolean =
     cur.firstInline > prev.firstInline + 0.6 * prev.size
 
-  private def afterListHeadingBreak(wmode: Int, prev: Line, cur: Line, gaps: List[Double]): Boolean =
+  private def afterListHeadingBreakT(wmode: Int, prev: Line, cur: Line, gaps: GapTracker): Boolean =
     listMarkerStart(prev) && !hangWrappedContinuation(prev, cur) &&
-      math.abs(baselineGap(wmode, prev, cur)) >= 0.75 * typicalLeading(gaps, cur.size)
+      math.abs(baselineGap(wmode, prev, cur)) >= 0.75 * gaps.typical(cur.size)
 
   private def listItemEnd(l: Line): Boolean = {
     val t = strip(l.text)
     t.endsWith("こと") || endsWithTerminal(t)
   }
 
-  private def sameHangListItemBreak(wmode: Int, prev: Line, cur: Line, gaps: List[Double]): Boolean = {
+  private def sameHangListItemBreakT(wmode: Int, prev: Line, cur: Line, gaps: GapTracker): Boolean = {
     if (isCodeLine(prev) || isCodeLine(cur)) false
     else if (!listItemEnd(prev)) false
     else {
       val gap = math.abs(baselineGap(wmode, prev, cur))
-      val typical = typicalLeading(gaps, cur.size)
+      val typical = gaps.typical(cur.size)
       val tol = 0.35 * cur.size
       cjkAdjacent(lastChar(prev.text), firstChar(cur.text)) &&
         math.abs(cur.firstInline - prev.firstInline) <= tol &&

@@ -20,8 +20,10 @@ object CorpusGen {
 
   private val epochMs = 1577836800000L // 2020-01-01T00:00:00Z
 
-  def row(i: Long): CorpusRow = {
-    val d = FixtureGen.docFor(i)
+  def row(i: Long): CorpusRow = row(i, heavy = false)
+
+  def row(i: Long, heavy: Boolean): CorpusRow = {
+    val d = if (heavy) FixtureGen.docForHeavy(i) else FixtureGen.docFor(i)
     CorpusRow(
       url = s"https://corpus.test/${d.kind}/$i",
       warc_ts = new Timestamp(epochMs + i * 1000L),
@@ -35,10 +37,11 @@ object CorpusGen {
   /** Build the corpus as a DataFrame. Rows are generated ON THE EXECUTORS
     * from the row index (spark.range), so generation itself scales: no
     * driver-side materialization, any target size. */
-  def corpus(spark: SparkSession, rows: Long, partitions: Int = 0): DataFrame = {
+  def corpus(spark: SparkSession, rows: Long, partitions: Int = 0,
+      heavy: Boolean = false): DataFrame = {
     import spark.implicits._
     val base = if (partitions > 0) spark.range(0, rows, 1, partitions) else spark.range(rows)
-    base.as[Long].mapPartitions(_.map(row)).toDF()
+    base.as[Long].mapPartitions(_.map(i => row(i, heavy))).toDF()
   }
 
   /** Input-shape view (drops the ground-truth columns). */

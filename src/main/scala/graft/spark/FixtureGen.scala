@@ -269,9 +269,57 @@ object FixtureGen {
     Doc("textrow", Array[Byte](0x1f.toByte, 0x2e, 0x3d), t, "en")
   }
 
+  /** Realistic-weight document: 24 pages x 5 paragraphs x 8 lines with a
+    * repeated header + bare page numbers (both stripped by layout), flate
+    * compressed — close to a small real-world PDF in kernel cost. Every
+    * paragraph ends with '!' so pages never merge: the expected text is
+    * fully predictable. */
+  def book(i: Long): Doc = {
+    val nPages = 24
+    val parasPerPage = 5
+    val linesPerPara = 6
+    val expected = new StringBuilder
+    val pageStreams = (1 to nPages).map { pg =>
+      val sb = new StringBuilder
+      sb.append(s"BT /F1 8 Tf 72 770 Td (Corpus Book) Tj ET\n")
+      for (p <- 0 until parasPerPage) {
+        val lines = (0 until linesPerPara).map { l =>
+          val k = p * linesPerPara + l
+          val terminal = if (l == linesPerPara - 1) "!" else ""
+          s"Book $i page $pg paragraph $p line $l common crawl words$terminal"
+        }
+        for ((line, l) <- lines.zipWithIndex) {
+          val k = p * linesPerPara + l
+          val y = 620 - k * 12 - p * 8
+          sb.append(s"BT /F1 10 Tf 72 $y Td ($line) Tj ET\n")
+        }
+        if (expected.nonEmpty) expected.append("\n\n")
+        expected.append(lines.mkString(" "))
+      }
+      sb.append(s"BT /F1 8 Tf 300 24 Td ($pg) Tj ET\n")
+      sb.toString
+    }
+    val firstPage = 3
+    val firstContent = firstPage + nPages
+    val fontObj = firstContent + nPages
+    val kids = (0 until nPages).map(k => s"${firstPage + k} 0 R").mkString(" ")
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      s"<< /Type /Pages /Kids [$kids] /Count $nPages >>") ++
+      (0 until nPages).map(k => pageObj(2, firstContent + k, fontObj)) ++
+      pageStreams.map(contentObj(_, compress = true)) :+
+      helvetica
+    Doc("book", classicPdf(objs), expected.toString + "\n", "en")
+  }
+
   val kinds: Vector[Long => Doc] = Vector(
     classic, flate, xrefStream, objStm, multipage, tagged, encryptedRc4, htmlPage, textRow)
 
   /** Deterministic corpus row i. */
   def docFor(i: Long): Doc = kinds((i % kinds.length).toInt)(i)
+
+  /** Bench-weighted row: alternate heavy multi-page books with the light
+    * variants (average kernel cost close to a real crawl's PDF mix). */
+  def docForHeavy(i: Long): Doc =
+    if (i % 2 == 0) book(i) else docFor(i)
 }
