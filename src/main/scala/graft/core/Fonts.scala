@@ -68,8 +68,21 @@ object Fonts {
         case Some(PName("/ZapfDingbats")) => Encoding.WithCharSet("ZapfDingbats")
         case Some(PName("/Symbol")) => Encoding.WithCharSet("Symbol")
         case _ =>
-          // embedded /FontFile3 (CFF) or /FontFile (Type1) encodings: TODO
-          Encoding.NullMap
+          val fd = fontDescriptorFromDict(doc, d)
+          fd.get("/FontFile3") match {
+            case Some(PRef(fontfile)) =>
+              // CFF charset/encoding parsing: not implemented yet (reference
+              // CFF.hs); treated as NullMap until then
+              Encoding.NullMap
+            case _ => fd.get("/FontFile") match {
+              case Some(PRef(fontfile)) =>
+                doc.rawStreamByRef(fontfile) match {
+                  case Right(bs) => EmbeddedFont.type1Encoding(bs)
+                  case Left(_) => Encoding.NullMap
+                }
+              case _ => Encoding.NullMap
+            }
+          }
       }
       case _ => Encoding.NullMap
     }
@@ -160,7 +173,18 @@ object Fonts {
     }
 
   private def noToUnicodeFromDict(doc: Document, d: Dict): Map[Int, String] =
-    Map.empty // TODO: OpenType /FontFile2 `cmap` table (reference OpenType.hs)
+    firstDescendantFontDict(doc, d) match {
+      case None => Map.empty
+      case Some(cidDict) =>
+        fontDescriptorFromDict(doc, cidDict).get("/FontFile2") match {
+          case Some(PRef(fontfile)) =>
+            doc.rawStreamByRef(fontfile) match {
+              case Right(bs) => EmbeddedFont.openTypeCmap(bs)
+              case Left(_) => Map.empty
+            }
+          case _ => Map.empty
+        }
+    }
 
   /** fontInfoFromDict (DocumentStructure.hs:942-1002). */
   def fontInfoFromDict(doc: Document, d: Dict): FontInfo =

@@ -47,4 +47,17 @@ object CorpusGen {
   /** Input-shape view (drops the ground-truth columns). */
   def inputView(corpus: DataFrame): DataFrame =
     corpus.select("url", "warc_ts", "html", "text", "lang")
+
+  /** Variant corpus: same urls and kinds, different body text (for the
+    * document-diff surface). */
+  def variantCorpus(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
+    import spark.implicits._
+    val base = spark.range(0, rows, 1, partitions)
+    base.as[Long].mapPartitions(_.map { i =>
+      val d = FixtureGen.kinds((i % FixtureGen.kinds.length).toInt)(i + 1100)
+      val orig = row(i)
+      orig.copy(html = d.bytes, expected = d.expected,
+        text = if (d.kind == "textrow") d.expected else null)
+    }).toDF()
+  }
 }

@@ -312,8 +312,47 @@ object FixtureGen {
     Doc("book", classicPdf(objs), expected.toString + "\n", "en")
   }
 
+  /** Document with an /Outlines tree (toc query surface): two chapters,
+    * one nested section. */
+  def outlined(i: Long): Doc = {
+    val line = s"Outlined document $i body"
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\n"
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R /Outlines 6 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      pageObj(2, 4, 5),
+      contentObj(content, compress = false),
+      helvetica,
+      "<< /Type /Outlines /First 7 0 R /Last 8 0 R /Count 3 >>",
+      s"<< /Title (Chapter One $i) /Dest [3 0 R /Fit] /Next 8 0 R /First 9 0 R /Last 9 0 R >>",
+      "<< /Title (Chapter Two) /Dest [3 0 R /Fit] >>",
+      "<< /Title (Section One One) /Dest [3 0 R /Fit] >>"))
+    Doc("outlined", pdf, line + "\n", "en")
+  }
+
+  /** Page with a JPEG /Image XObject (DCTDecode pass-through) plus a text
+    * line; exercises the image-hit interpreter path. */
+  def jpegImage(i: Long): Doc = {
+    val line = s"Image page document $i"
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\nq 100 0 0 50 72 600 cm /Im1 Do Q\n"
+    val jpegBytes = Array[Int](0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10) ++
+      (0 until 26).map(k => ((i + k) % 251).toInt)
+    val jpegStr = new String(jpegBytes.map(_.toByte), ISO_8859_1)
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 5 0 R >> /XObject << /Im1 6 0 R >> >> /Contents 4 0 R >>",
+      contentObj(content, compress = false),
+      helvetica,
+      s"<< /Type /XObject /Subtype /Image /Width 4 /Height 2 /ColorSpace /DeviceRGB " +
+        s"/BitsPerComponent 8 /Filter /DCTDecode /Length ${jpegStr.length} >>\nstream\n$jpegStr\nendstream"))
+    Doc("jpegimage", pdf, line + "\n", "en")
+  }
+
   val kinds: Vector[Long => Doc] = Vector(
-    classic, flate, xrefStream, objStm, multipage, tagged, encryptedRc4, htmlPage, textRow)
+    classic, flate, xrefStream, objStm, multipage, tagged, encryptedRc4, htmlPage, textRow,
+    outlined, jpegImage)
 
   /** Deterministic corpus row i. */
   def docFor(i: Long): Doc = kinds((i % kinds.length).toInt)(i)

@@ -52,7 +52,13 @@ object Pipeline {
   val MaxPayloadBytes: Int = 512 << 20
 
   /** The per-row kernel: format dispatch on the same codepath. */
-  def extractRow(url: String, html: Array[Byte], textCol: String, geom: Boolean): ExtractedDoc = {
+  def extractRow(url: String, html: Array[Byte], textCol: String, geom: Boolean): ExtractedDoc =
+    extractRowMode(url, html, textCol, if (geom) "geom" else "tagged")
+
+  /** Mode: tagged (default, structure tree with geometry fallback), geom
+    * (pure glyph layout), legacy (stream-order extractor). */
+  def extractRowMode(url: String, html: Array[Byte], textCol: String, mode: String): ExtractedDoc = {
+    val geom = mode == "geom"
     val t0 = System.nanoTime()
     def done(mode: String, ok: Boolean, err: String, text: String, pages: Int): ExtractedDoc =
       ExtractedDoc(url, text, mode, ok, err, pages, if (text == null) 0 else text.length,
@@ -65,9 +71,13 @@ object Pipeline {
         DocStructure.openDocument(payload, None) match {
           case Right(doc) =>
             val pages = DocStructure.pageRefs(doc).map(_.length).getOrElse(0)
-            val r = if (geom) Extract.geomText(doc) else Extract.taggedText(doc)
+            val r = mode match {
+              case "geom" => Extract.geomText(doc)
+              case "legacy" => Right(Legacy.legacyText(doc)._1)
+              case _ => Extract.taggedText(doc)
+            }
             r match {
-              case Right(text) => done(if (geom) "pdf-geom" else "pdf-tagged", ok = true, "", text, pages)
+              case Right(text) => done(s"pdf-$mode", ok = true, "", text, pages)
               case Left(e) => done("error", ok = false, e.render, null, pages)
             }
           case Left(e) => done("error", ok = false, e.render, null, 0)
@@ -99,7 +109,11 @@ object Pipeline {
     * layout is skewed (e.g. crawl segments of wildly different row counts).
     */
   def extract(spark: SparkSession, input: DataFrame,
-      geom: Boolean = false, saltPartitions: Int = 0): Dataset[ExtractedDoc] = {
+      geom: Boolean = false, saltPartitions: Int = 0): Dataset[ExtractedDoc] =
+    extractMode(spark, input, if (geom) "geom" else "tagged", saltPartitions)
+
+  def extractMode(spark: SparkSession, input: DataFrame,
+      mode: String, saltPartitions: Int = 0): Dataset[ExtractedDoc] = {
     import spark.implicits._
     val pruned = input.select(col("url"), col("html"), col("text"))
     val redistributed =
@@ -108,7 +122,7 @@ object Pipeline {
     redistributed
       .as[(String, Array[Byte], String)]
       .mapPartitions { iter =>
-        iter.map { case (url, html, text) => extractRow(url, html, text, geom) }
+        iter.map { case (url, html, text) => extractRowMode(url, html, text, mode) }
       }
   }
 
@@ -201,5 +215,146 @@ object Pipeline {
           }
         }
       }
+  }
+}
+
+/** Additional query surfaces: images, document diff, multimodal binary
+  * features, and a Structured Streaming variant of the extraction — all on
+  * the same kernel. */
+object Surfaces {
+  import Pipeline._
+  import graft.core._
+
+  // ---------- image extraction (hpdft image verb) ----------
+
+  final case class ImageRow(url: String, page: Int, idx: Int, format: String,
+      x0: Double, y0: Double, x1: Double, y1: Double, sizeBytes: Int)
+
+  def extractImages(spark: SparkSession, input: DataFrame): Dataset[ImageRow] = {
+    import spark.implicits._
+    input.select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (url, html) =>
+          val payload = if (html == null) Array.emptyByteArray else html
+          if (!Html.looksLikePdf(payload)) Iterator.empty
+          else DocStructure.openDocument(payload, None) match {
+            case Right(doc) =>
+              val nPages = DocStructure.pageRefs(doc).map(_.length).getOrElse(0)
+              (1 to nPages).iterator.flatMap { page =>
+                Images.extractPageImages(doc, page).getOrElse(Nil).map { im =>
+                  ImageRow(url, page, im.index, im.format,
+                    im.bbox.x0, im.bbox.y0, im.bbox.x1, im.bbox.y1, im.bytes.length)
+                }
+              }
+            case Left(_) => Iterator.empty
+          }
+        }
+      }
+  }
+
+  // ---------- document diff (hpdft diff verb) ----------
+
+  final case class DiffRow(url: String, pageA: Int, pageB: Int, paraA: Int, paraB: Int,
+      oldText: String, newText: String, pagesA: Int, pagesB: Int)
+
+  /** Paragraph-level diff of two corpora joined on url. The join is the
+    * only shuffle; the per-pair LCS runs in the kernel. */
+  def diffDocuments(spark: SparkSession, a: DataFrame, b: DataFrame): Dataset[DiffRow] = {
+    import spark.implicits._
+    val lhs = a.select(col("url"), col("html").as("htmlA"))
+    val rhs = b.select(col("url"), col("html").as("htmlB"))
+    lhs.join(rhs, Seq("url"))
+      .as[(String, Array[Byte], Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (url, htmlA, htmlB) =>
+          (DocStructure.openDocument(htmlA, None), DocStructure.openDocument(htmlB, None)) match {
+            case (Right(da), Right(db)) =>
+              Diff.compareDocuments(Layout.defaultOptions, da, db) match {
+                case Right(res) =>
+                  val (pa, pb) = res.mismatch.map(m => (m.pagesA, m.pagesB)).getOrElse((0, 0))
+                  res.changes.map { c =>
+                    DiffRow(url, c.pageA.getOrElse(-1), c.pageB.getOrElse(-1),
+                      c.paraA.getOrElse(-1), c.paraB.getOrElse(-1),
+                      c.oldText, c.newText, pa, pb)
+                  }
+                case Left(_) => Nil
+              }
+            case _ => Nil
+          }
+        }
+      }
+  }
+
+  // ---------- multimodal binary features ----------
+
+  final case class BinaryFeatures(url: String, kind: String, sizeBytes: Int,
+      entropyMilli: Long, asciiFrac: Double, featureVec: Array[Float])
+
+  /** Treat the payload as an opaque binary column and compute typed
+    * features. The real plumbing (schema, partitioning, batched kernel) is
+    * exercised; the "decode" for media types is a STUB: a deterministic
+    * byte-histogram feature vector stands in for an image/audio decoder
+    * (no media libraries in this environment). */
+  def binaryFeatures(spark: SparkSession, input: DataFrame): Dataset[BinaryFeatures] = {
+    import spark.implicits._
+    input.select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (url, html) =>
+          val payload = if (html == null) Array.emptyByteArray else html
+          val kind =
+            if (Html.looksLikePdf(payload)) "pdf"
+            else if (Html.looksLikeHtml(payload)) "html"
+            else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) "jpeg"
+            else "binary"
+          val hist = new Array[Long](16)
+          var ascii = 0L
+          var i = 0
+          while (i < payload.length) {
+            val v = payload(i) & 0xff
+            hist(v >> 4) += 1
+            if (v >= 0x20 && v < 0x7f) ascii += 1
+            i += 1
+          }
+          val n = math.max(payload.length, 1)
+          var entropy = 0.0
+          var k = 0
+          while (k < 16) {
+            if (hist(k) > 0) {
+              val p = hist(k).toDouble / n
+              entropy -= p * math.log(p) / math.log(2)
+            }
+            k += 1
+          }
+          // STUB feature extraction: normalized 16-bin byte histogram in
+          // place of a real decoded-media embedding
+          val vec = hist.map(h => (h.toDouble / n).toFloat)
+          BinaryFeatures(url, kind, payload.length, (entropy * 1000).round, ascii.toDouble / n, vec)
+        }
+      }
+  }
+
+  // ---------- structured streaming extraction ----------
+
+  /** Same kernel as a Structured Streaming job: file-source readStream over
+    * a parquet directory, AvailableNow trigger, memory sink. Stateless map
+    * -> no watermark needed; at 100 TB this is the same plan with a real
+    * source (Kafka/files) and an Iceberg sink. */
+  def streamingExtract(spark: SparkSession, corpusDir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(corpusDir).schema
+    val stream = spark.readStream.schema(schema).parquet(corpusDir)
+    val extracted = stream.select(col("url"), col("html"), col("text"))
+      .as[(String, Array[Byte], String)]
+      .map { case (url, html, text) => Pipeline.extractRow(url, html, text, geom = false) }
+    val q = extracted.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
   }
 }

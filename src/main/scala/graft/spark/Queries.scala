@@ -435,6 +435,70 @@ object Queries {
     },
     None)
 
+  private val x7 = Q(
+    (spark, _) => {
+      val c = corpus(spark)
+      Pipeline.extractMode(spark, CorpusGen.inputView(c), "geom")
+        .toDF().select("url", "mode", "ok", "chars").orderBy("url")
+    },
+    None)
+
+  private val x8 = Q(
+    (spark, _) => {
+      val c = corpus(spark)
+      Pipeline.extractMode(spark, CorpusGen.inputView(c), "legacy")
+        .toDF().select("url", "mode", "ok", "chars").orderBy("url")
+    },
+    None)
+
+  private val x9 = Q(
+    (spark, _) => {
+      val c = corpus(spark)
+      Surfaces.extractImages(spark, CorpusGen.inputView(c))
+        .toDF().orderBy("url", "page", "idx")
+    },
+    None)
+
+  private val x10 = Q(
+    (spark, _) => {
+      val a = CorpusGen.corpus(spark, rows = 33, partitions = 3)
+      val b = CorpusGen.variantCorpus(spark, rows = 33, partitions = 3)
+      Surfaces.diffDocuments(spark, CorpusGen.inputView(a), CorpusGen.inputView(b))
+        .toDF().orderBy("url", "pageA", "paraA", "paraB")
+    },
+    None)
+
+  private val x11 = Q(
+    (spark, _) => {
+      val c = corpus(spark)
+      Surfaces.binaryFeatures(spark, CorpusGen.inputView(c))
+        .toDF().select("url", "kind", "sizeBytes", "entropyMilli", "asciiFrac")
+        .orderBy("url")
+    },
+    None)
+
+  private val x12 = Q(
+    (spark, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("stream_corpus").toString
+      CorpusGen.inputView(CorpusGen.corpus(spark, rows = 33, partitions = 3))
+        .write.mode("overwrite").parquet(dir)
+      val name = "stream_extract_" + java.lang.Long.toHexString(System.nanoTime())
+      Surfaces.streamingExtract(spark, dir, name)
+        .select("url", "mode", "ok", "chars").orderBy("url")
+    },
+    None)
+
+  private val x13 = Q(
+    (spark, _) => {
+      val c = corpus(spark)
+      Pipeline.extractMeta(spark, CorpusGen.inputView(c))
+        .toDF()
+        .filter(col("tocEntries") > 0)
+        .select("url", "tocEntries", "tocText")
+        .orderBy("url")
+    },
+    None)
+
   // ---------- registry ----------
 
   val all: Map[String, Q] = Map(
@@ -459,7 +523,14 @@ object Queries {
     "x3_grep" -> x3,
     "x4_metadata" -> x4,
     "x5_page_text" -> x5,
-    "x6_partition_metrics" -> x6)
+    "x6_partition_metrics" -> x6,
+    "x7_extract_geom" -> x7,
+    "x8_extract_legacy" -> x8,
+    "x9_images" -> x9,
+    "x10_diff" -> x10,
+    "x11_binary_features" -> x11,
+    "x12_streaming_extract" -> x12,
+    "x13_outlines_toc" -> x13)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, v) => k -> v.fn }

@@ -53,10 +53,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("grep: Catalyst predicate over extracted text") {
-    val corpus = CorpusGen.corpus(spark, rows = 45, partitions = 3)
+    val corpus = CorpusGen.corpus(spark, rows = 45, partitions = 3).cache()
+    val expected = corpus.filter(col("url").contains("/multipage/")).count()
     val hits = Pipeline.extract(spark, CorpusGen.inputView(corpus))
       .toDF().filter(col("text").rlike("sentence that")).count()
-    assert(hits == 5) // one multipage doc per 9-row cycle
+    assert(expected > 0 && hits == expected)
   }
 
   test("resume: left-anti join drops done urls") {

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core._
+import graft.spark.{CorpusGen, FixtureGen, Pipeline, Surfaces}
+
+/** Tests for the diff / images / outlines / multimodal / streaming query
+  * surfaces and the embedded-font fallbacks. */
+class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("surfaces-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("toc: outline tree flattens with depths and titles") {
+    val d = FixtureGen.outlined(7)
+    val doc = DocStructure.openDocument(d.bytes, None).toOption.get
+    val toc = Metadata.toc(doc)
+    assert(toc.map(e => (e.depth, e.title)) == List(
+      (0, "Chapter One 7"), (1, "Section One One"), (0, "Chapter Two")))
+  }
+
+  test("image extraction: jpeg passthrough with placement bbox") {
+    val d = FixtureGen.jpegImage(3)
+    val doc = DocStructure.openDocument(d.bytes, None).toOption.get
+    val images = Images.extractPageImages(doc, 1).toOption.get
+    assert(images.length == 1)
+    val im = images.head
+    assert(im.format == "jpeg")
+    assert(im.bbox == Rect(72, 600, 172, 650))
+    assert((im.bytes(0) & 0xff) == 0xff && (im.bytes(1) & 0xff) == 0xd8)
+  }
+
+  test("png encoding for raw rgb image data") {
+    val pixels = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 10).toByte)
+    val png = Images.encodePng(2, 2, pixels, rgb = true)
+    assert(png.take(8).map(_ & 0xff).toList == List(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    // decodes with the JDK reader
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+  }
+
+  test("diffParagraphs: LCS with replace merge") {
+    val a = List("one", "two", "three")
+    val b = List("one", "TWO", "three", "four")
+    val changes = Diff.diffParagraphs(a, b)
+    assert(changes == List(
+      Diff.TextChange(None, None, Some(1), Some(1), "two", "TWO"),
+      Diff.TextChange(None, None, None, Some(3), "", "four")))
+  }
+
+  test("diff surface: variant corpus produces changes per url") {
+    val a = CorpusGen.corpus(spark, rows = 11, partitions = 2)
+    val b = CorpusGen.variantCorpus(spark, rows = 11, partitions = 2)
+    val diffs = Surfaces.diffDocuments(spark, CorpusGen.inputView(a), CorpusGen.inputView(b)).toDF()
+    // every PDF kind embeds its index in the text, so each pdf url differs
+    val urls = diffs.select("url").distinct().count()
+    assert(urls >= 7) // 9 pdf kinds in 11 rows; html/textrow not diffed
+    val one = diffs.filter(col("url").contains("/classic/0")).collect()
+    assert(one.length == 1)
+    assert(one.head.getAs[String]("oldText").contains("Classic document 0"))
+    assert(one.head.getAs[String]("newText").contains("Classic document 1100"))
+  }
+
+  test("binary features: deterministic stub decode over binary column") {
+    val c = CorpusGen.corpus(spark, rows = 22, partitions = 2)
+    val feats = Surfaces.binaryFeatures(spark, CorpusGen.inputView(c)).toDF().collect()
+    assert(feats.length == 22)
+    val kinds = feats.map(_.getAs[String]("kind")).toSet
+    assert(kinds.contains("pdf") && kinds.contains("html"))
+    assert(feats.forall(r => r.getAs[Seq[Float]]("featureVec").length == 16))
+  }
+
+  test("streaming extraction matches batch results") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_test").toString
+    val corpus = CorpusGen.corpus(spark, rows = 22, partitions = 2).cache()
+    CorpusGen.inputView(corpus).write.mode("overwrite").parquet(dir)
+    val streamed = Surfaces.streamingExtract(spark, dir, "stream_spec")
+    val joined = streamed.join(corpus.select("url", "expected"), Seq("url"))
+    assert(joined.count() == 22)
+    assert(joined.filter(col("text") === col("expected")).count() == 22)
+  }
+
+  test("Type1 embedded encoding scrape") {
+    val font = ("%!PS /FontName /Test def /Encoding 256 array " +
+      "0 1 255 {1 index exch /.notdef put} for " +
+      "dup 65 /alpha put dup 66 /beta put readonly def").getBytes
+    EmbeddedFont.type1Encoding(font) match {
+      case Encoding.DiffEncoding(m) =>
+        assert(m.get(65).contains("/alpha") && m.get(66).contains("/beta"))
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("OpenType cmap format 4 parses glyph->unicode") {
+    // build a tiny sfnt with one cmap subtable: format 4, one segment
+    // mapping chars 65..66 with delta 3 (gid = c + 3)
+    import java.io.ByteArrayOutputStream
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val sub = new ByteArrayOutputStream()
+    sub.write(be16(4)); sub.write(be16(32)); sub.write(be16(0)) // format, length, language
+    sub.write(be16(4)) // segCountX2 (2 segments: real + sentinel)
+    sub.write(be16(4)); sub.write(be16(1)); sub.write(be16(0)) // search params
+    sub.write(be16(66)); sub.write(be16(0xffff)) // endCodes
+    sub.write(be16(0)) // reservedPad
+    sub.write(be16(65)); sub.write(be16(0xffff)) // startCodes
+    sub.write(be16(3)); sub.write(be16(1)) // idDelta
+    sub.write(be16(0)); sub.write(be16(0)) // idRangeOffsets
+    val subBytes = sub.toByteArray
+    val cmapTable = new ByteArrayOutputStream()
+    cmapTable.write(be16(0)); cmapTable.write(be16(1)) // version, numRecords
+    cmapTable.write(be16(3)); cmapTable.write(be16(1)); cmapTable.write(be32(12)) // record
+    cmapTable.write(subBytes)
+    val cmapBytes = cmapTable.toByteArray
+    val font = new ByteArrayOutputStream()
+    font.write(be32(0x00010000)); font.write(be16(1)) // sfnt, 1 table
+    font.write(be16(0)); font.write(be16(0)); font.write(be16(0))
+    font.write("cmap".getBytes); font.write(be32(0)); font.write(be32(28)); font.write(be32(cmapBytes.length))
+    font.write(cmapBytes)
+    val m = EmbeddedFont.openTypeCmap(font.toByteArray)
+    assert(m.get(68).contains("A")) // gid 65+3 -> 'A'
+    assert(m.get(69).contains("B"))
+  }
+}
