@@ -71,9 +71,10 @@ object Fonts {
           val fd = fontDescriptorFromDict(doc, d)
           fd.get("/FontFile3") match {
             case Some(PRef(fontfile)) =>
-              // CFF charset/encoding parsing: not implemented yet (reference
-              // CFF.hs); treated as NullMap until then
-              Encoding.NullMap
+              doc.rawStreamByRef(fontfile) match {
+                case Right(bs) => Cff.encoding(bs)
+                case Left(_) => Encoding.NullMap
+              }
             case _ => fd.get("/FontFile") match {
               case Some(PRef(fontfile)) =>
                 doc.rawStreamByRef(fontfile) match {

@@ -137,3 +137,34 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.get(69).contains("B"))
   }
 }
+
+class CffSpec extends AnyFunSuite {
+  test("CFF encoding: custom encoding array + charset SIDs") {
+    val out = new java.io.ByteArrayOutputStream()
+    def bytes(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+    // header
+    bytes(1, 0, 4, 1)
+    // Name INDEX: 1 entry "Test"
+    bytes(0, 1, 1, 1, 5); out.write("Test".getBytes)
+    // TopDict INDEX: 1 dict with charset(15)=54, encoding(16)=50, charstrings(17)=40
+    bytes(0, 1, 1, 1, 19)
+    bytes(29, 0, 0, 0, 54, 15)
+    bytes(29, 0, 0, 0, 50, 16)
+    bytes(29, 0, 0, 0, 40, 17)
+    // String INDEX: empty
+    bytes(0, 0, 1, 1)
+    // CharStrings INDEX at 40: 3 glyphs (1 byte each)
+    bytes(0, 3, 1, 1, 2, 3, 4); bytes(0xaa, 0xbb, 0xcc)
+    // encoding array at 50: format 0, nCodes 3 -> reads 2 codes (65, 66)
+    bytes(0, 3, 65, 66)
+    // charset at 54: format 0, 2 SIDs (34 -> 'B'? no: SID 34 = 'A'; 113 = double dagger)
+    bytes(0, 0, 34, 0, 113)
+    val cff = out.toByteArray
+    Cff.encoding(cff) match {
+      case Encoding.DiffEncoding(m) =>
+        assert(m.get(65).contains("A"))
+        assert(m.get(66).contains("‡"))
+      case other => fail(s"unexpected: $other")
+    }
+  }
+}
