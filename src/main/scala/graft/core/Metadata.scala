@@ -186,6 +186,11 @@ object Metadata {
     case _ => destFromObj(o, doc)
   }
 
+  /** `hpdft object -r N` analogue: pretty-print one object (streams
+    * summarized). */
+  def objectAt(doc: Document, ref: Int): Option[String] =
+    doc.objsByRef(ref).map(os => "[" + os.map(ppObj).mkString(", ") + "]")
+
   // ---------- pretty-printing (Definition.hs ppObj) ----------
 
   def ppObj(o: PObj): String = o match {

@@ -350,6 +350,27 @@ object FixtureGen {
     Doc("jpegimage", pdf, line + "\n", "en")
   }
 
+  /** Nested Form XObjects (Fm0 containing Fm1) for the form-export surface;
+    * not part of the corpus cycle. */
+  def formParent(i: Long): Doc = {
+    val inner = s"BT /F1 10 Tf 10 10 Td (Inner form $i) Tj ET\n"
+    val outer = s"BT /F1 10 Tf 5 40 Td (Outer form $i) Tj ET\nq /Fm1 Do Q\n"
+    val content = "q 1 0 0 1 100 500 cm /Fm0 Do Q\n"
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 5 0 R >> /XObject << /Fm0 6 0 R >> >> /Contents 4 0 R >>",
+      contentObj(content, compress = false),
+      helvetica,
+      s"<< /Type /XObject /Subtype /Form /BBox [0 0 200 100] /Matrix [1 0 0 1 0 0] " +
+        s"/Resources << /Font << /F1 5 0 R >> /XObject << /Fm1 7 0 R >> >> " +
+        s"/Length ${outer.length} >>\nstream\n$outer\nendstream",
+      s"<< /Type /XObject /Subtype /Form /BBox [0 0 100 50] " +
+        s"/Resources << /Font << /F1 5 0 R >> >> /Length ${inner.length} >>\nstream\n$inner\nendstream"))
+    Doc("formparent", pdf, s"Outer form $i\n\nInner form $i\n", "en")
+  }
+
   val kinds: Vector[Long => Doc] = Vector(
     classic, flate, xrefStream, objStm, multipage, tagged, encryptedRc4, htmlPage, textRow,
     outlined, jpegImage)

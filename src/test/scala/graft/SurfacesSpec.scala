@@ -168,3 +168,24 @@ class CffSpec extends AnyFunSuite {
     }
   }
 }
+
+class FormExtractSpec extends AnyFunSuite {
+  test("form export: closure, renumber, reopenable standalone PDF") {
+    val d = FixtureGen.formParent(5)
+    val doc = DocStructure.openDocument(d.bytes, None).toOption.get
+    // the original document extracts both form texts via Do recursion
+    assert(Extract.extractPdf(d.bytes, None) == Right(d.expected))
+    assert(FormExtract.pageFormNames(doc, 1) == Right(List("Fm0")))
+    val pdf = FormExtract.extractFormPdf(doc, 1, "Fm0").toOption.get
+    // the exported standalone PDF reopens with this engine and renders the
+    // form content (outer + nested inner)
+    val reopened = DocStructure.openDocument(pdf, None)
+    assert(reopened.isRight)
+    val text = Extract.extractPdf(pdf, None).toOption.get
+    assert(text.contains("Outer form 5"))
+    assert(text.contains("Inner form 5"))
+    // closure copied the form, nested form, and font (3 objects -> ids 5..7)
+    val reDoc = reopened.toOption.get
+    assert(reDoc.objsByRef(5).isDefined && reDoc.objsByRef(7).isDefined)
+  }
+}
