@@ -33,7 +33,8 @@ object Bench {
     * + match-rate job end-to-end (scan -> kernel -> join vs ground truth). */
   def extractionBench(spark: SparkSession, docs: Long, partitions: Int, dir: String): ExtractionResult = {
     val corpusPath = s"$dir/corpus"
-    CorpusGen.corpus(spark, docs, partitions).write.mode("overwrite").parquet(corpusPath)
+    CorpusGen.corpus(spark, docs, partitions, heavy = true)
+      .write.mode("overwrite").parquet(corpusPath)
     val stored = spark.read.parquet(corpusPath)
     val t0 = System.nanoTime()
     val extracted = Pipeline.extract(spark, stored)

@@ -162,11 +162,31 @@ object CharMaps {
     b.result()
   }
 
-  /** Adobe-Japan1-6 CID -> unicode. The reference embeds a generated binary
-    * map; no public JVM source exists, so this starts empty (CID text then
-    * falls back to safeChr, and the legacy extractor emits `[N]` with an
-    * UnmappedCid warning). TODO: generate a subset table. */
-  lazy val adobeJapan16Map: Map[Int, String] = Map.empty
+  /** Adobe-Japan1 CID -> unicode, derived from the standard's published
+    * structure: CIDs 1-95 are the ASCII printables (CID = code - 0x20 + 1),
+    * and CIDs 633-7477 assign contiguously over JIS X 0208 rows 1-7 then
+    * 16-84 (assigned cells only), decoded via the JVM's EUC-JP table.
+    * Verified anchors: 0xFF10 fullwidth zero = 780, hiragana small-a = 842,
+    * katakana small-a = 925, U+4E9C (level-1 kanji start) = 1125,
+    * U+65E5 = 3284, U+5F0C (level-2 start) = 4090. Supplement CIDs (7478+,
+    * vertical/proportional variants 96-632) are not covered; those fall
+    * back to safeChr / the legacy `[N]` placeholder. */
+  lazy val adobeJapan16Map: Map[Int, String] = {
+    val cs = Charset.forName("EUC-JP")
+    val b = Map.newBuilder[Int, String]
+    for (code <- 0x20 to 0x7e) b += (code - 0x20 + 1) -> code.toChar.toString
+    var cid = 633
+    val rows = (1 to 7) ++ (16 to 84)
+    for (ku <- rows; ten <- 1 to 94) {
+      val bytes = Array((0x80 | (0x20 + ku)).toByte, (0x80 | (0x20 + ten)).toByte)
+      val s = new String(bytes, cs)
+      if (s.length == 1 && s.charAt(0) != '�') {
+        b += cid -> s
+        cid += 1
+      }
+    }
+    b.result()
+  }
 
   private val lowChars: Array[String] =
     (0 until 256).map(i => String.valueOf(i.toChar)).toArray

@@ -191,6 +191,17 @@ class KernelSpec extends AnyFunSuite {
     assert(Interp.encodingUnicode(Encoding.JISmap, 0x386C) == "語")
   }
 
+  test("Adobe-Japan1 CID map anchors") {
+    val m = CharMaps.adobeJapan16Map
+    assert(m(34) == "A")
+    assert(m(780) == "\uff10") // fullwidth zero
+    assert(m(842) == "\u3041") // small hiragana a
+    assert(m(925) == "\u30a1") // small katakana a
+    assert(m(1125) == "\u4e9c") // first level-1 kanji
+    assert(m(3284) == "\u65e5") // sun/day
+    assert(m(4090) == "\u5f0c") // first level-2 kanji
+  }
+
   // ---- ToUnicode CMap parsing (Cmap.hs behavior) ----
 
   test("bfchar and bfrange parse") {
