@@ -173,6 +173,23 @@ class KernelSpec extends AnyFunSuite {
     assert(ks.map(b => f"${b & 0xff}%02X").mkString(" ") == "B2 39 63 05 F0")
   }
 
+  test("AES-128-CBC object decryption round-trips") {
+    // encrypt with javax.crypto the way a conforming writer would, then
+    // decrypt through the kernel's Security path
+    val sec = Security(revision = 4, version = 4,
+      key = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte), keyLength = 16, aes = true)
+    val objKey = Crypt.objectKey(sec, 12, 0)
+    val plain = "Secret stream payload!".getBytes("ISO-8859-1")
+    val iv = Array.tabulate[Byte](16)(i => (i * 11).toByte)
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val ct = iv ++ cipher.doFinal(plain)
+    val out = Crypt.decryptString(sec, 12, 0, ct)
+    assert(new String(out, "ISO-8859-1") == "Secret stream payload!")
+  }
+
   // ---- code splitting (Unit.hs:1355-1394) ----
 
   test("UTF-16BE surrogate pairs combine into one code") {

@@ -109,6 +109,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pageCounts.filter(_._1.contains("/classic/")).values.forall(_ == 1))
   }
 
+  test("salted repartition produces identical results") {
+    val corpus = CorpusGen.corpus(spark, rows = 33, partitions = 2).cache()
+    val plain = Pipeline.extract(spark, CorpusGen.inputView(corpus))
+      .toDF().select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val salted = Pipeline.extract(spark, CorpusGen.inputView(corpus), saltPartitions = 7)
+      .toDF().select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(plain == salted)
+  }
+
   test("column pruning reaches the scan") {
     val corpus = CorpusGen.corpus(spark, rows = 9, partitions = 1)
     val dir = java.nio.file.Files.createTempDirectory("corpus").toString
