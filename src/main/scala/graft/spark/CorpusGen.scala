@@ -48,6 +48,44 @@ object CorpusGen {
   def inputView(corpus: DataFrame): DataFrame =
     corpus.select("url", "warc_ts", "html", "text", "lang")
 
+  /** Corpus built from the reference's own golden fixture PDFs (row i =
+    * fixture (i mod n), unique url, expected = the golden text) — the
+    * BASELINE.json metric's "hpdft golden fixtures embedded as rows".
+    * Fixture bytes are loaded once on the driver and broadcast via the
+    * closure; returns None when the reference checkout is absent. */
+  def referenceCorpus(spark: SparkSession, rows: Long, partitions: Int,
+      fixturesDir: String = "/root/reference/data/fixtures"): Option[DataFrame] = {
+    import spark.implicits._
+    val dir = java.nio.file.Paths.get(fixturesDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return None
+    val stream = java.nio.file.Files.list(dir)
+    val pdfs =
+      try stream.toArray.map(_.toString).filter(_.endsWith(".pdf")).sorted.toList
+      finally stream.close()
+    val fixtures: Array[(String, Array[Byte], String)] = pdfs.flatMap { pdf =>
+      val name = java.nio.file.Paths.get(pdf).getFileName.toString.stripSuffix(".pdf")
+      val expPath = dir.resolve("expected").resolve(name + ".txt")
+      if (java.nio.file.Files.exists(expPath)) {
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pdf))
+        val expectedFile = new String(java.nio.file.Files.readAllBytes(expPath), "UTF-8")
+        // golden convention: extractor output + "\n" == expected file bytes
+        Some((name, bytes, expectedFile.stripSuffix("\n")))
+      } else None
+    }.toArray
+    if (fixtures.isEmpty) return None
+    Some(spark.range(0, rows, 1, partitions).as[Long].mapPartitions(_.map { i =>
+      val (name, bytes, expected) = fixtures((i % fixtures.length).toInt)
+      CorpusRow(
+        url = s"https://fixtures.test/$name/$i",
+        warc_ts = new Timestamp(epochMs + i * 1000L),
+        html = bytes,
+        text = null,
+        lang = if (name.startsWith("cmap-")) "ja" else "en",
+        expected = expected,
+        kind = name)
+    }).toDF())
+  }
+
   /** Variant corpus: same urls and kinds, different body text (for the
     * document-diff surface). */
   def variantCorpus(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {

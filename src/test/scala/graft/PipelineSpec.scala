@@ -109,6 +109,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pageCounts.filter(_._1.contains("/classic/")).values.forall(_ == 1))
   }
 
+  test("reference golden fixtures are byte-identical through the Spark pipeline") {
+    CorpusGen.referenceCorpus(spark, rows = 60, partitions = 4) match {
+      case None => cancel("reference fixtures not available")
+      case Some(corpus) =>
+        val cached = corpus.cache()
+        val joined = Pipeline.extract(spark, CorpusGen.inputView(cached)).toDF()
+          .join(cached.select("url", "expected", "kind"), Seq("url"))
+        val total = joined.count()
+        val matched = joined.filter(col("text") === col("expected")).count()
+        assert(total == 60)
+        assert(matched == total, {
+          val bad = joined.filter(col("text") =!= col("expected"))
+            .select("kind").distinct().collect().mkString(",")
+          s"mismatching fixtures: $bad"
+        })
+    }
+  }
+
   test("salted repartition produces identical results") {
     val corpus = CorpusGen.corpus(spark, rows = 33, partitions = 2).cache()
     val plain = Pipeline.extract(spark, CorpusGen.inputView(corpus))

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.spark.{CorpusGen, Pipeline, Queries}
+
+/** Physical-plan assertions: the plans the engine is supposed to produce at
+  * scale — broadcasts for dimension joins, no shuffle in the extraction
+  * pass, bounded exchanges in the heavy aggregations. */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def planOf(name: String): String =
+    Queries.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("extraction pass plans with zero shuffles") {
+    val corpus = CorpusGen.corpus(spark, rows = 9, partitions = 1)
+    val plan = Pipeline.extract(spark, CorpusGen.inputView(corpus))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("dimension joins broadcast (q2)") {
+    val plan = planOf("q2_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // orders never shuffles for the join itself
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("knn query broadcasts its query vectors (s1)") {
+    val plan = planOf("s1_knn_cosine")
+    assert(plan.contains("Broadcast"), plan.take(2000))
+  }
+
+  test("minhash pipeline keeps one aggregation shuffle (d2)") {
+    val plan = planOf("d2_minhash_lsh")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // one partial->final agg exchange + the deterministic output sort
+    assert(exchanges <= 3, s"$exchanges exchanges:\n${plan.take(3000)}")
+  }
+
+  test("anti-join resume broadcasts the done set when small") {
+    val corpus = CorpusGen.corpus(spark, rows = 20, partitions = 2)
+    val input = CorpusGen.inputView(corpus)
+    val done = input.select("url").limit(5)
+    val plan = Pipeline.resumeRemaining(input, done).queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan.take(2000))
+  }
+}
