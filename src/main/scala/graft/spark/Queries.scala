@@ -119,6 +119,74 @@ object Queries {
            |  min(ts) AS first_ts, max(ts) AS last_ts
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  private val q7 = Q(
+    (spark, dir) => {
+      // large-large join: lineitem x orders (sort-merge at scale), revenue
+      // per order priority and month
+      val l = t(spark, dir, "lineitem")
+      val o = t(spark, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"), date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("line_cnt"))
+        .orderBy("o_orderpriority", "order_month")
+    },
+    Some("""SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS order_month,
+           |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+           |  count(*) AS line_cnt
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  private val q8 = Q(
+    (spark, dir) => {
+      // rollup over region -> nation with supplier account stats
+      val s = t(spark, dir, "supplier")
+      val n = t(spark, dir, "nation")
+      val r = t(spark, dir, "region")
+      s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("suppliers"),
+          round(sum(col("s_acctbal").cast("decimal(18,2)")), 2).cast("double").as("acctbal_sum"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    Some("""SELECT r_name, n_name, count(*) AS suppliers,
+           |  CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS acctbal_sum
+           |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY ROLLUP (r_name, n_name)
+           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin))
+
+  private val q9 = Q(
+    (spark, dir) =>
+      // correlated-subquery shape: parts priced above their type's average
+      t(spark, dir, "part")
+        .withColumn("type_avg",
+          round(avg(col("p_retailprice").cast("decimal(18,2)")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("p_type")), 2).cast("double"))
+        .filter(col("p_retailprice") > col("type_avg"))
+        .select(col("p_partkey"), col("p_type"),
+          round(col("p_retailprice").cast("decimal(18,2)"), 2).cast("double").as("price"),
+          col("type_avg"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_type,
+           |  CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price, type_avg
+           |FROM (SELECT *, CAST(round(avg(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_type), 2) AS DOUBLE) AS type_avg
+           |      FROM part)
+           |WHERE p_retailprice > type_avg ORDER BY p_partkey""".stripMargin))
+
+  private val q10 = Q(
+    (spark, dir) =>
+      // set op + distinct: customers and suppliers sharing a nation
+      t(spark, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+        .intersect(t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct())
+        .orderBy("nationkey"),
+    Some("""SELECT DISTINCT c_nationkey AS nationkey FROM customer
+           |INTERSECT
+           |SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+           |ORDER BY nationkey""".stripMargin))
+
   // ---------- training-data ops: deduplication ----------
 
   private val d1 = Q(
@@ -508,6 +576,10 @@ object Queries {
     "q4_window_latest" -> q4,
     "q5_anti_join" -> q5,
     "q6_group_stats" -> q6,
+    "q7_large_join" -> q7,
+    "q8_rollup" -> q8,
+    "q9_window_avg" -> q9,
+    "q10_intersect" -> q10,
     "d1_dedup_exact" -> d1,
     "d2_minhash_lsh" -> d2,
     "d3_simhash" -> d3,
