@@ -228,7 +228,14 @@ object FixtureGen {
     // encrypt the content stream with the object key of object 4
     val encContent = Crypt.rc4(Crypt.objectKey(sec, 4, 0), b(content))
     val encContentStr = new String(encContent, ISO_8859_1)
-    def hex(xs: Array[Byte]) = xs.map(x => f"${x & 0xff}%02x").mkString
+    // Case-mixed hex: a value whose bytes happen to start FE FF would
+    // otherwise be parsed as a UTF-16BE string marker ("feff"/"FEFF") by
+    // hpdft-compatible parsers (including this engine) and break /O //U
+    // authentication ~1 in 65k documents. "FEff.." matches neither form.
+    def hex(xs: Array[Byte]) = {
+      val h = xs.map(x => f"${x & 0xff}%02x").mkString
+      if (h.length >= 2) h.substring(0, 2).toUpperCase + h.substring(2) else h
+    }
     val objs = Seq(
       "<< /Type /Catalog /Pages 2 0 R >>",
       "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
