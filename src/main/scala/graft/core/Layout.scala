@@ -507,7 +507,7 @@ object Layout {
 
   def groupParagraphs(wmode: Int, graphics: List[Rect], bounds: (Double, Double),
       lines: List[Line]): List[List[Line]] = {
-    val ordered = sortLinesByReadingOrder(lines).filter(l => strip(l.text).nonEmpty)
+    val ordered = sortLinesByReadingOrder(lines).filter(l => !l.text.forall(Util.isHsSpace))
     val out = List.newBuilder[List[Line]]
     val pageGaps = new GapTracker
     var rest = ordered
@@ -600,8 +600,11 @@ object Layout {
       math.abs(baselineGap(wmode, prev, cur)) >= 0.75 * gaps.typical(cur.size)
 
   private def listItemEnd(l: Line): Boolean = {
-    val t = strip(l.text)
-    t.endsWith("こと") || endsWithTerminal(t)
+    val t = l.text
+    var j = t.length
+    while (j > 0 && Util.isHsSpace(t.charAt(j - 1))) j -= 1
+    (j >= 2 && t.charAt(j - 2) == '\u3053' && t.charAt(j - 1) == '\u3068') ||
+      endsWithTerminal(t)
   }
 
   private def sameHangListItemBreakT(wmode: Int, prev: Line, cur: Line, gaps: GapTracker): Boolean = {
@@ -620,25 +623,37 @@ object Layout {
 
   // ---------- code lines ----------
 
-  private def numberedCodeStart(t: String): Boolean =
-    t.headOption.exists(_.isDigit) && {
-      val ds = t.takeWhile(_.isDigit)
-      ds.nonEmpty && stripStart(t.drop(ds.length)).headOption.exists(c => c == ' ' || c == '.')
-    }
-
-  def isCodeLine(l: Line): Boolean =
-    numberedCodeStart(stripStart(l.text)) ||
-      (l.size <= 7.5 && smallMonospaceLine(l) && highLatinFraction(l.text))
-
-  private def smallMonospaceLine(l: Line): Boolean = {
-    val t = strip(l.text)
-    t.nonEmpty && l.size > 0 && t.exists(isLatinLetter) && !t.exists(isCJK)
+  private def numberedCodeStart(t: String, from: Int): Boolean = {
+    var i = from
+    if (i >= t.length || !t.charAt(i).isDigit) return false
+    while (i < t.length && t.charAt(i).isDigit) i += 1
+    while (i < t.length && Util.isHsSpace(t.charAt(i))) i += 1
+    i < t.length && (t.charAt(i) == ' ' || t.charAt(i) == '.')
   }
 
-  private def highLatinFraction(t: String): Boolean = {
-    val chars = t.filterNot(Util.isHsSpace)
-    val latin = chars.count(isLatinLetter)
-    chars.nonEmpty && latin.toDouble / chars.length >= 0.5
+  def isCodeLine(l: Line): Boolean = {
+    val t = l.text
+    var start = 0
+    while (start < t.length && Util.isHsSpace(t.charAt(start))) start += 1
+    numberedCodeStart(t, start) ||
+      (l.size <= 7.5 && l.size > 0 && monospaceLatinHeavy(t))
+  }
+
+  /** smallMonospaceLine && highLatinFraction in one allocation-free pass. */
+  private def monospaceLatinHeavy(t: String): Boolean = {
+    var nonSpace = 0
+    var latin = 0
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (!Util.isHsSpace(c)) {
+        nonSpace += 1
+        if (isLatinLetter(c)) latin += 1
+        if (isCJK(c)) return false
+      }
+      i += 1
+    }
+    nonSpace > 0 && latin > 0 && latin.toDouble / nonSpace >= 0.5
   }
 
   private def codeBlockBreak(prev: Line, cur: Line): Boolean =
@@ -700,10 +715,11 @@ object Layout {
   private val closingChars = "」』）)]】〉》\"'"
 
   def endsWithTerminal(t: String): Boolean = {
-    var s = strip(t)
-    while (s.nonEmpty) {
-      val c = s.last
-      if (closingChars.indexOf(c) >= 0) s = s.dropRight(1)
+    var j = t.length
+    while (j > 0 && Util.isHsSpace(t.charAt(j - 1))) j -= 1
+    while (j > 0) {
+      val c = t.charAt(j - 1)
+      if (closingChars.indexOf(c) >= 0) j -= 1
       else return terminalChars.indexOf(c) >= 0
     }
     false
