@@ -57,15 +57,18 @@ object Pipeline {
 
   /** Mode: tagged (default, structure tree with geometry fallback), geom
     * (pure glyph layout), legacy (stream-order extractor). */
-  def extractRowMode(url: String, html: Array[Byte], textCol: String, mode: String): ExtractedDoc = {
-    val geom = mode == "geom"
+  def extractRowMode(url: String, html: Array[Byte], textCol: String, mode: String): ExtractedDoc =
+    extractRowMode(url, html, textCol, mode, MaxPayloadBytes)
+
+  def extractRowMode(url: String, html: Array[Byte], textCol: String, mode: String,
+      maxPayloadBytes: Int): ExtractedDoc = {
     val t0 = System.nanoTime()
     def done(mode: String, ok: Boolean, err: String, text: String, pages: Int): ExtractedDoc =
       ExtractedDoc(url, text, mode, ok, err, pages, if (text == null) 0 else text.length,
         (System.nanoTime() - t0) / 1000)
     try {
       val payload = if (html == null) Array.emptyByteArray else html
-      if (payload.length > MaxPayloadBytes)
+      if (payload.length > maxPayloadBytes)
         done("error", ok = false, "payload too large", null, 0)
       else if (Html.looksLikePdf(payload)) {
         DocStructure.openDocument(payload, None) match {

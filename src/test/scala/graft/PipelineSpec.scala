@@ -127,6 +127,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("oversized payloads are counted, not parsed") {
+    val d = Pipeline.extractRowMode("u", new Array[Byte](2048), null, "tagged", maxPayloadBytes = 1024)
+    assert(!d.ok && d.error == "payload too large" && d.mode == "error")
+  }
+
   test("salted repartition produces identical results") {
     val corpus = CorpusGen.corpus(spark, rows = 33, partitions = 2).cache()
     val plain = Pipeline.extract(spark, CorpusGen.inputView(corpus))
