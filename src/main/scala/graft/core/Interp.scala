@@ -47,6 +47,7 @@ object Interp {
     var depth: Int = 0
     var operands: List[PObj] = Nil
     var mcStack: List[MCEntry] = Nil
+    val nbuf = new Array[Double](6) // reusable numeric-operand buffer
   }
 
   /** Interpret a page's content (by page object ref). */
@@ -125,9 +126,9 @@ object Interp {
 
   // ---------- tokenizer ----------
 
-  private sealed trait Token
-  private final case class TokOperand(o: PObj) extends Token
-  private final case class TokOperator(op: String) extends Token
+  // Tokenizer protocol: readToken returns a PObj (operand), a String
+  // (operator), or null (no token) — avoids a wrapper + Option allocation
+  // per token on the hottest path in the engine.
 
   @inline private def isWs(c: Int): Boolean =
     c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f'
@@ -151,9 +152,9 @@ object Interp {
   private def keywordEnd(cur: Cursor): Boolean =
     cur.atEnd || { val c = cur.peek; isWs(c) || c == '%' || isDelim(c) }
 
-  private def readToken(cur: Cursor): Option[Token] = {
+  private def readToken(cur: Cursor): AnyRef = {
     skipWsTok(cur)
-    if (cur.atEnd) return None
+    if (cur.atEnd) return null
     cur.peek match {
       case '[' => readArray(cur)
       case '<' =>
@@ -161,8 +162,8 @@ object Interp {
       case '(' => readLiteral(cur)
       case '/' => readName(cur)
       case '-' | '+' | '.' => readNumber(cur)
-      case '\'' => cur.pos += 1; Some(TokOperator("'"))
-      case '"' => cur.pos += 1; Some(TokOperator("\""))
+      case '\'' => cur.pos += 1; "'"
+      case '"' => cur.pos += 1; "\""
       case 't' => readKeyword(cur, "true", PBool(true))
       case 'f' => readKeyword(cur, "false", PBool(false))
       case 'n' => readKeyword(cur, "null", PNull)
@@ -171,18 +172,18 @@ object Interp {
     }
   }
 
-  private def readKeyword(cur: Cursor, kw: String, value: PObj): Option[Token] = {
+  private def readKeyword(cur: Cursor, kw: String, value: PObj): AnyRef = {
     if (cur.startsWith(kw)) {
       val save = cur.pos
       cur.pos += kw.length
-      if (keywordEnd(cur)) return Some(TokOperand(value))
+      if (keywordEnd(cur)) return value
       cur.pos = save
     }
     readOperator(cur)
   }
 
   /** spanNum8 + parsePdfNumber (Interpret.hs:939-964, StreamLex.hs:20-42). */
-  private def readNumber(cur: Cursor): Option[Token] = {
+  private def readNumber(cur: Cursor): AnyRef = {
     val save = cur.pos
     var neg = false
     if (cur.peek == '-') { neg = true; cur.pos += 1 }
@@ -198,43 +199,43 @@ object Interp {
       if (fracDigits == 0 && intDigits == 0) {
         // bare "." is not a number (spanNum8 rewinds fully)
         cur.pos = save
-        if (neg) { cur.pos = save + 1; return Some(TokOperand(PNum(0))) } // "-." -> "-" = 0
-        return None
+        if (neg) { cur.pos = save + 1; return PNum(0) } // "-." -> "-" = 0
+        return null
       }
       // trailing dot: `5.` parses as 5.0 (parsePdfNumber appends "0")
     }
     if (intDigits == 0 && fracDigits == 0) {
       // lone "-" tokenizes as 0 in the reference (parsePdfNumber "-" = 0)
-      if (neg) return Some(TokOperand(PNum(0)))
+      if (neg) return PNum(0)
       cur.pos = save
-      return None
+      return null
     }
-    Some(TokOperand(PNum(if (neg) -v else v)))
+    PNum(if (neg) -v else v)
   }
 
-  private def readName(cur: Cursor): Option[Token] = {
+  private def readName(cur: Cursor): AnyRef = {
     val start = cur.pos
     cur.pos += 1
     val sb = new StringBuilder("/")
     while (!cur.atEnd && !isWs(cur.peek) && !isDelim(cur.peek)) {
       sb.append(cur.peek.toChar); cur.pos += 1
     }
-    if (cur.pos - start > 1) Some(TokOperand(PName(sb.toString)))
-    else { cur.pos = start; None }
+    if (cur.pos - start > 1) PName(sb.toString)
+    else { cur.pos = start; null }
   }
 
   /** Literal string in content streams (Interpret.hs:985-1012): octal up to
     * 3 digits (extra octal digits dropped), unknown escape -> '?'. */
-  private def readLiteral(cur: Cursor): Option[Token] = {
+  private def readLiteral(cur: Cursor): AnyRef = {
     cur.pos += 1
     val sb = new StringBuilder
     var depth = 1
     while (true) {
-      if (cur.atEnd) return None
+      if (cur.atEnd) return null
       val c = cur.next()
-      if (c == ')' && depth == 1) return Some(TokOperand(PText(sb.toString)))
+      if (c == ')' && depth == 1) return PText(sb.toString)
       else if (c == '\\') {
-        if (cur.atEnd) return None
+        if (cur.atEnd) return null
         val e = cur.next()
         e match {
           case ')' => sb.append(')')
@@ -260,58 +261,76 @@ object Interp {
     None
   }
 
-  private def readHexStr(cur: Cursor): Option[Token] = {
+  private def readHexStr(cur: Cursor): AnyRef = {
     cur.pos += 1
     val sb = new StringBuilder
     while (!cur.atEnd && cur.peek != '>') {
       val c = cur.next()
       if (Lexer.isHexDigit(c)) sb.append(c.toChar)
     }
-    if (cur.atEnd) return None
+    if (cur.atEnd) return null
     cur.pos += 1 // consume '>'
-    if (sb.isEmpty) None else Some(TokOperand(PHex(sb.toString)))
+    if (sb.isEmpty) null else PHex(sb.toString)
   }
 
-  private def readArray(cur: Cursor): Option[Token] = {
+  private def readArray(cur: Cursor): AnyRef = {
     cur.pos += 1
     val items = Vector.newBuilder[PObj]
     while (true) {
       skipWsTok(cur)
-      if (cur.atEnd) return None
-      if (cur.peek == ']') { cur.pos += 1; return Some(TokOperand(PArray(items.result()))) }
+      if (cur.atEnd) return null
+      if (cur.peek == ']') { cur.pos += 1; return PArray(items.result()) }
       readToken(cur) match {
-        case Some(TokOperand(o)) => items += o
-        case _ => return None
+        case o: PObj => items += o
+        case _ => return null
       }
     }
-    None
+    null
   }
 
-  private def readDict(cur: Cursor): Option[Token] = {
+  private def readDict(cur: Cursor): AnyRef = {
     cur.pos += 2
     var m = TreeMap.empty[String, PObj]
     while (true) {
       skipWsTok(cur)
-      if (cur.startsWith(">>")) { cur.pos += 2; return Some(TokOperand(PDict(m))) }
+      if (cur.startsWith(">>")) { cur.pos += 2; return PDict(m) }
       readToken(cur) match {
-        case Some(TokOperand(PName(key))) =>
+        case PName(key) =>
           skipWsTok(cur)
           readToken(cur) match {
-            case Some(TokOperand(v)) => m = m.updated(key, v) // M.insert: later wins
-            case _ => return None
+            case v: PObj => m = m.updated(key, v) // M.insert: later wins
+            case _ => return null
           }
-        case _ => return None
+        case _ => return null
       }
     }
-    None
+    null
   }
 
-  private def readOperator(cur: Cursor): Option[Token] = {
+  /** Known operator names interned so hot streams don't allocate a string
+    * per operator token. */
+  private val knownOps: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]
+    for (op <- List("q", "Q", "cm", "BT", "ET", "Tf", "Tc", "Tw", "Tz", "TL", "Ts",
+      "Tr", "Td", "TD", "Tm", "T*", "Tj", "TJ", "Do", "m", "l", "c", "v", "y",
+      "re", "h", "n", "S", "s", "f", "F", "f*", "B", "B*", "b", "b*", "W", "W*",
+      "BDC", "BMC", "EMC", "BI", "ID", "EI", "gs", "cs", "CS", "rg", "RG", "g",
+      "G", "k", "K", "d", "i", "j", "J", "M", "ri", "sh", "w", "SC", "SCN",
+      "sc", "scn", "d0", "d1", "MP", "DP", "BX", "EX", "true", "false", "null"))
+      m.put(op, op)
+    m
+  }
+
+  private def readOperator(cur: Cursor): AnyRef = {
     val start = cur.pos
     val sb = new StringBuilder
     while (!cur.atEnd && isOpChar(cur.peek)) { sb.append(cur.peek.toChar); cur.pos += 1 }
-    if (sb.isEmpty) { cur.pos = start; None }
-    else Some(TokOperator(sb.toString))
+    if (sb.isEmpty) { cur.pos = start; null }
+    else {
+      val raw = sb.toString
+      val interned = knownOps.get(raw)
+      if (interned != null) interned else raw
+    }
   }
 
   /** Skip `BI ... ID ... EI` inline image (Interpret.hs:1061-1083): find a
@@ -352,35 +371,37 @@ object Interp {
     while (!cur.atEnd) {
       val before = cur.pos
       readToken(cur) match {
-        case Some(TokOperand(o)) =>
+        case o: PObj =>
           st.operands = o :: st.operands
           skipWsTok(cur)
-        case Some(TokOperator("BI")) =>
+        case "BI" =>
           emitInlineImage(st)
           skipWsTok(cur)
           skipInlineImage(cur)
-        case Some(TokOperator(op)) =>
+        case op: String =>
           execOp(op, st)
           st.operands = Nil
           skipWsTok(cur)
-        case None =>
+        case _ =>
           cur.pos = before + 1
       }
     }
   }
 
-  private def popNums(n: Int, st: IState): Option[List[Double]] = {
+  /** Pops n numeric operands into st.nbuf with nbuf(0) = top of stack
+    * (the LAST operand written); returns false (stack untouched) when any
+    * of the top n operands is non-numeric. */
+  private def popNums(n: Int, st: IState): Boolean = {
     var stack = st.operands
-    var acc: List[Double] = Nil
-    var k = n
-    while (k > 0) {
+    var k = 0
+    while (k < n) {
       stack match {
-        case PNum(x) :: rest => acc = x :: acc; stack = rest; k -= 1
-        case _ => return None
+        case PNum(x) :: rest => st.nbuf(k) = x; stack = rest; k += 1
+        case _ => return false
       }
     }
     st.operands = stack
-    Some(acc.reverse) // reversed pop order: acc(0) = deepest? see callers
+    true
   }
 
   private def execOp(op: String, st: IState): Unit = op match {
@@ -389,11 +410,10 @@ object Interp {
       case g :: gs => st.gs = g; st.gsStack = gs
       case Nil => ()
     }
-    case "cm" => popNums(6, st) match {
-      // operand stack is LIFO: popNums returns [f,e,d,c,b,a]
-      case Some(List(f, e, d, c, b, a)) =>
-        st.gs.ctm = Mat(a, b, c, d, e, f).multiply(st.gs.ctm)
-      case _ => ()
+    case "cm" => if (popNums(6, st)) {
+      // operand stack is LIFO: nbuf = [f,e,d,c,b,a]
+      val b = st.nbuf
+      st.gs.ctm = Mat(b(5), b(4), b(3), b(2), b(1), b(0)).multiply(st.gs.ctm)
     }
     case "BT" => st.ts = Some((Mat.identity, Mat.identity))
     case "ET" => st.ts = None
@@ -401,25 +421,22 @@ object Interp {
       case PNum(size) :: PName(font) :: _ => resolveFont(font, size, st)
       case _ => ()
     }
-    case "Tc" => popNums(1, st).foreach { case List(v) => st.gs.charSp = v }
-    case "Tw" => popNums(1, st).foreach { case List(v) => st.gs.wordSp = v }
-    case "Tz" => popNums(1, st).foreach { case List(v) => st.gs.hScale = v / 100 }
-    case "TL" => popNums(1, st).foreach { case List(v) => st.gs.leading = v }
-    case "Ts" => popNums(1, st).foreach { case List(v) => st.gs.rise = v }
-    case "Tr" => popNums(1, st).foreach { case List(v) => st.gs.render = Util.hsTruncate(v) }
-    case "Td" => popNums(2, st) match {
-      case Some(List(ty, tx)) => textTd(tx, ty, st)
-      case _ => ()
+    case "Tc" => if (popNums(1, st)) st.gs.charSp = st.nbuf(0)
+    case "Tw" => if (popNums(1, st)) st.gs.wordSp = st.nbuf(0)
+    case "Tz" => if (popNums(1, st)) st.gs.hScale = st.nbuf(0) / 100
+    case "TL" => if (popNums(1, st)) st.gs.leading = st.nbuf(0)
+    case "Ts" => if (popNums(1, st)) st.gs.rise = st.nbuf(0)
+    case "Tr" => if (popNums(1, st)) st.gs.render = Util.hsTruncate(st.nbuf(0))
+    case "Td" => if (popNums(2, st)) textTd(st.nbuf(1), st.nbuf(0), st)
+    case "TD" => if (popNums(2, st)) {
+      val ty = st.nbuf(0)
+      st.gs.leading = -ty
+      textTd(st.nbuf(1), ty, st)
     }
-    case "TD" => popNums(2, st) match {
-      case Some(List(ty, tx)) => st.gs.leading = -ty; textTd(tx, ty, st)
-      case _ => ()
-    }
-    case "Tm" => popNums(6, st) match {
-      case Some(List(f, e, d, c, b, a)) =>
-        val m = Mat(a, b, c, d, e, f)
-        st.ts = Some((m, m))
-      case _ => ()
+    case "Tm" => if (popNums(6, st)) {
+      val b = st.nbuf
+      val m = Mat(b(5), b(4), b(3), b(2), b(1), b(0))
+      st.ts = Some((m, m))
     }
     case "T*" => if (st.ts.isDefined) textLeadingNewline(st)
     case "Tj" => st.operands match {
@@ -453,35 +470,25 @@ object Interp {
       case PName(name) :: _ => invokeXObject(name, st)
       case _ => ()
     }
-    case "m" => popNums(2, st) match {
-      case Some(List(y, x)) => st.path = List(devicePoint(st, x, y))
-      case _ => ()
+    case "m" => if (popNums(2, st)) st.path = List(devicePoint(st, st.nbuf(1), st.nbuf(0)))
+    case "l" => if (popNums(2, st)) st.path = devicePoint(st, st.nbuf(1), st.nbuf(0)) :: st.path
+    case "c" => if (popNums(6, st)) {
+      val b = st.nbuf // [y3,x3,y2,x2,y1,x1]
+      prependPath(st, List(devicePoint(st, b(5), b(4)), devicePoint(st, b(3), b(2)), devicePoint(st, b(1), b(0))))
     }
-    case "l" => popNums(2, st) match {
-      case Some(List(y, x)) => st.path = devicePoint(st, x, y) :: st.path
-      case _ => ()
+    case "v" => if (popNums(4, st)) {
+      val b = st.nbuf // [y3,x3,y2,x2]
+      prependPath(st, List(devicePoint(st, b(3), b(2)), devicePoint(st, b(1), b(0))))
     }
-    case "c" => popNums(6, st) match {
-      case Some(List(y3, x3, y2, x2, y1, x1)) =>
-        prependPath(st, List(devicePoint(st, x1, y1), devicePoint(st, x2, y2), devicePoint(st, x3, y3)))
-      case _ => ()
+    case "y" => if (popNums(4, st)) {
+      val b = st.nbuf // [y3,x3,y1,x1]
+      prependPath(st, List(devicePoint(st, b(3), b(2)), devicePoint(st, b(1), b(0))))
     }
-    case "v" => popNums(4, st) match {
-      case Some(List(y3, x3, y2, x2)) =>
-        prependPath(st, List(devicePoint(st, x2, y2), devicePoint(st, x3, y3)))
-      case _ => ()
-    }
-    case "y" => popNums(4, st) match {
-      case Some(List(y3, x3, y1, x1)) =>
-        prependPath(st, List(devicePoint(st, x1, y1), devicePoint(st, x3, y3)))
-      case _ => ()
-    }
-    case "re" => popNums(4, st) match {
-      case Some(List(h, w, y, x)) =>
-        prependPath(st, List(
-          devicePoint(st, x, y), devicePoint(st, x + w, y),
-          devicePoint(st, x, y + h), devicePoint(st, x + w, y + h)))
-      case _ => ()
+    case "re" => if (popNums(4, st)) {
+      val h = st.nbuf(0); val w = st.nbuf(1); val y = st.nbuf(2); val x = st.nbuf(3)
+      prependPath(st, List(
+        devicePoint(st, x, y), devicePoint(st, x + w, y),
+        devicePoint(st, x, y + h), devicePoint(st, x + w, y + h)))
     }
     case "h" => ()
     case "n" => st.path = Nil
