@@ -347,10 +347,14 @@ object Layout {
     if (ls.isEmpty) Nil
     else {
       val (w0, w1) = ls.partition(_.wmode == 0)
+      // stable sorts with explicit comparators (sortBy would box a tuple
+      // key per line on a hot path)
       def sortHoriz(xs: List[Line]) =
-        xs.sortBy(l => (-l.baseline, l.firstInline))
+        xs.sortWith((a, b) => a.baseline > b.baseline ||
+          (a.baseline == b.baseline && a.firstInline < b.firstInline))
       def sortVert(xs: List[Line]) =
-        xs.sortBy(l => (-l.baseline, -l.firstInline))
+        xs.sortWith((a, b) => a.baseline > b.baseline ||
+          (a.baseline == b.baseline && a.firstInline > b.firstInline))
       if (w0.isEmpty || w1.isEmpty) {
         if (w1.isEmpty) sortHoriz(w0) else sortVert(w1)
       } else sortHoriz(w0) ++ sortVert(w1)
@@ -704,11 +708,25 @@ object Layout {
     case Nil => ""
     case _ if ls.forall(isCodeLine) => joinCodeLines(ls)
     case _ =>
-      strip(ls.map(l => strip(l.text)).reduceLeft { (a, b) =>
-        val a2 = stripEnd(a)
-        val b2 = stripStart(b)
-        a2 + paraJoinSep(a2, b2) + b2
-      })
+      // single-builder equivalent of the reference's foldl1 merge
+      // (stripEnd(acc) ++ paraJoinSep ++ stripStart(piece) per step)
+      val sb = new StringBuilder
+      var first = true
+      for (l <- ls) {
+        val t = strip(l.text)
+        if (first) { sb.append(t); first = false }
+        else {
+          var end = sb.length
+          while (end > 0 && Util.isHsSpace(sb.charAt(end - 1))) end -= 1
+          sb.setLength(end)
+          val sep =
+            if (end > 0 && t.nonEmpty && isCJK(sb.charAt(end - 1)) && isCJK(t.charAt(0))) ""
+            else if (end > 0 && hyphenContinues(sb.charAt(end - 1))) ""
+            else " "
+          sb.append(sep).append(t)
+        }
+      }
+      strip(sb.toString)
   }
 
   private val terminalChars = "。．！？!?…"
