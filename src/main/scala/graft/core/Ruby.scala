@@ -107,12 +107,7 @@ object Ruby {
   private final case class PlainSeg(l: Line) extends Seg
   private final case class ClusterSeg(pairs: List[(Line, Line)]) extends Seg
 
-  private def findRubyForBody(wmode: Int, pool: List[Line], body: Line): Option[Line] = {
-    val rs = pool.filter(rubyAlignsWithParent(wmode, _, body))
-    if (rs.isEmpty) None
-    else Some(rs.maxBy(r => rubyOverlapFrac(r, body))) // NOTE: Haskell maximumBy keeps last max
-  }
-
+  /** Haskell maximumBy keeps the LAST maximal element. */
   private def findRubyLast(wmode: Int, pool: List[Line], body: Line): Option[Line] = {
     val rs = pool.filter(rubyAlignsWithParent(wmode, _, body))
     if (rs.isEmpty) None

@@ -276,11 +276,15 @@ object Surfaces {
               Diff.compareDocuments(Layout.defaultOptions, da, db) match {
                 case Right(res) =>
                   val (pa, pb) = res.mismatch.map(m => (m.pagesA, m.pagesB)).getOrElse((0, 0))
-                  res.changes.map { c =>
+                  val changeRows = res.changes.map { c =>
                     DiffRow(url, c.pageA.getOrElse(-1), c.pageB.getOrElse(-1),
                       c.paraA.getOrElse(-1), c.paraB.getOrElse(-1),
                       c.oldText, c.newText, pa, pb)
                   }
+                  // a bare page-count mismatch must still surface as a row
+                  if (changeRows.isEmpty && res.mismatch.isDefined)
+                    List(DiffRow(url, -1, -1, -1, -1, "", "", pa, pb))
+                  else changeRows
                 case Left(_) => Nil
               }
             case _ => Nil
