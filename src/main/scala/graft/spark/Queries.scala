@@ -293,6 +293,68 @@ object Queries {
            |FROM documents, LATERAL (SELECT unnest(range(1, greatest(len(text)-2, 0) + 1)) AS i)
            |GROUP BY doc_id, len(text) ORDER BY doc_id""".stripMargin))
 
+  private val d5 = Q(
+    (spark, dir) => {
+      // LSH bucket statistics: the scale-path view of minhash dedup (bucket
+      // sizes bound the candidate-join cost; no O(pairs) output)
+      val p = 1000000007L
+      val docs = t(spark, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(array_distinct(
+          filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("t"))
+        .withColumn("x", tokenHashCol(col("t")))
+      val sig = toks.groupBy("doc_id").agg(
+        min(pmod(col("x") * 1299721 + 104729, lit(p))).as("mh0"),
+        min(pmod(col("x") * 7919 + 7507, lit(p))).as("mh1"))
+      sig.groupBy(md5(concat_ws(":", col("mh0"), col("mh1"))).as("bucket"))
+        .agg(count(lit(1)).as("docs"),
+          (count(lit(1)) * (count(lit(1)) - 1) / 2).cast("long").as("candidate_pairs"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, $duckTokenHash AS x
+            |  FROM (SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS t
+            |        FROM documents)
+            |), sig AS (
+            |  SELECT doc_id,
+            |    min((x*1299721 + 104729) % 1000000007) AS mh0,
+            |    min((x*7919 + 7507) % 1000000007) AS mh1
+            |  FROM toks GROUP BY 1
+            |)
+            |SELECT md5(concat(CAST(mh0 AS VARCHAR), ':', CAST(mh1 AS VARCHAR))) AS bucket,
+            |  count(*) AS docs,
+            |  CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS candidate_pairs
+            |FROM sig GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val d6 = Q(
+    (spark, dir) => {
+      // verified near-dup pairs on a bounded slice: LSH candidates -> exact
+      // token-set Jaccard >= 0.5 (the verify stage of minhash dedup)
+      val docs = t(spark, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          array_sort(array_distinct(filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("toks"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS toks
+           |  FROM documents WHERE doc_id < 200
+           |)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+           |FROM d a JOIN d b ON a.doc_id < b.doc_id
+           |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+           |ORDER BY 1, 2""".stripMargin))
+
   // ---------- training-data ops: text analysis ----------
 
   private val t1 = Q(
@@ -584,6 +646,8 @@ object Queries {
     "d2_minhash_lsh" -> d2,
     "d3_simhash" -> d3,
     "d4_ngram_profile" -> d4,
+    "d5_lsh_buckets" -> d5,
+    "d6_near_dup_verify" -> d6,
     "t1_token_stats" -> t1,
     "t2_quality" -> t2,
     "t3_langid" -> t3,
