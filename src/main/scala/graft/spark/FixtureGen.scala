@@ -357,6 +357,66 @@ object FixtureGen {
     Doc("jpegimage", pdf, line + "\n", "en")
   }
 
+  /** AES-128 (V4/R4, /CFM /AESV2) encrypted document, empty user password.
+    * The writer mirrors Algorithms 2/3/4/5 so the engine's decrypt path is
+    * exercised end-to-end. */
+  def encryptedAes(i: Long): Doc = {
+    val line = s"AES encrypted document $i"
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\n"
+    def md5(x: Array[Byte]) = java.security.MessageDigest.getInstance("MD5").digest(x)
+    val pad = Array(
+      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+      0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+      0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+    def padPw(pw: Array[Byte]) = (pw ++ pad).take(32)
+    def xorKey(k: Array[Byte], m: Int) = k.map(b => (b ^ m).toByte)
+    val fileId = md5(b(s"aes-corpus-id-$i"))
+    // Algorithm 3: O from the owner password (R4: 51 md5 rounds, 20 RC4 rounds)
+    var oKey = md5(padPw(b("owner")))
+    for (_ <- 1 to 50) oKey = md5(oKey)
+    oKey = oKey.take(16)
+    var oValue = padPw(Array.emptyByteArray)
+    for (m <- 0 to 19) oValue = Crypt.rc4(xorKey(oKey, m), oValue)
+    // Algorithm 2 (AES form): 51 md5 rounds
+    val p = -3904
+    val pLe = Array((p & 0xff).toByte, ((p >> 8) & 0xff).toByte, ((p >> 16) & 0xff).toByte, ((p >>> 24) & 0xff).toByte)
+    var fileKey = md5(padPw(Array.emptyByteArray) ++ oValue ++ pLe ++ fileId)
+    for (_ <- 1 to 50) fileKey = md5(fileKey.take(16))
+    fileKey = fileKey.take(16)
+    // Algorithm 5: U (first 16 bytes checked for R >= 3)
+    var uValue = Crypt.rc4(fileKey, md5(pad ++ fileId))
+    for (m <- 1 to 19) uValue = Crypt.rc4(xorKey(fileKey, m), uValue)
+    uValue = uValue.take(16) ++ new Array[Byte](16)
+    val sec = Security(revision = 4, version = 4, key = fileKey, keyLength = 16, aes = true)
+    // AES-CBC encrypt the content stream with object 4's key
+    val objKey = Crypt.objectKey(sec, 4, 0)
+    val iv = md5(b(s"iv-$i")).take(16)
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val encContent = iv ++ cipher.doFinal(b(content))
+    val encContentStr = new String(encContent, ISO_8859_1)
+    def hex(xs: Array[Byte]) = {
+      val h = xs.map(x => f"${x & 0xff}%02x").mkString
+      if (h.length >= 2) h.substring(0, 2).toUpperCase + h.substring(2) else h
+    }
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      pageObj(2, 4, 5),
+      s"<< /Length ${encContentStr.length} >>\nstream\n$encContentStr\nendstream",
+      helvetica,
+      s"<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+        s"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+        s"/StmF /StdCF /StrF /StdCF " +
+        s"/O <${hex(oValue)}> /U <${hex(uValue)}> /P $p >>")
+    val pdf = classicPdf(objs,
+      trailerExtra = s" /Encrypt 6 0 R /ID [<${hex(fileId)}> <${hex(fileId)}>]")
+    Doc("encryptedaes", pdf, line + "\n", "en")
+  }
+
   /** Nested Form XObjects (Fm0 containing Fm1) for the form-export surface;
     * not part of the corpus cycle. */
   def formParent(i: Long): Doc = {
@@ -380,7 +440,7 @@ object FixtureGen {
 
   val kinds: Vector[Long => Doc] = Vector(
     classic, flate, xrefStream, objStm, multipage, tagged, encryptedRc4, htmlPage, textRow,
-    outlined, jpegImage)
+    outlined, jpegImage, encryptedAes)
 
   /** Deterministic corpus row i. */
   def docFor(i: Long): Doc = kinds((i % kinds.length).toInt)(i)
