@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.spark.CorpusGen
+
+/** The extract_text Catalyst expression through plain SQL. */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    // needs its own session: extensions only apply at session construction
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("extensions-spec")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  test("extract_text(html) works in SQL and matches the pipeline") {
+    val corpus = CorpusGen.corpus(spark, rows = 24, partitions = 2).cache()
+    corpus.createOrReplaceTempView("crawl")
+    val rows = spark.sql(
+      """SELECT url, extract_text(html) AS text, expected
+        |FROM crawl WHERE url NOT LIKE '%textrow%'""".stripMargin).collect()
+    assert(rows.length == 22)
+    assert(rows.forall(r => r.getString(1) == r.getString(2)))
+    // composes with predicates over the extracted text
+    val grepped = spark.sql(
+      "SELECT count(*) FROM crawl WHERE extract_text(html) RLIKE 'sentence that'")
+      .collect()(0).getLong(0)
+    assert(grepped == 2)
+  }
+}
