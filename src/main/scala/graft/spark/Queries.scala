@@ -499,6 +499,61 @@ object Queries {
            |         FROM (SELECT unnest(range(0, 8)) AS k))) AS BIGINT) AS bucket
            |FROM embeddings ORDER BY vec_id""".stripMargin))
 
+  private val s3 = Q(
+    (spark, dir) => {
+      // LSH-bucketed ANN search: candidates restricted to the query's
+      // bucket (the scale path — bucket join instead of cross join),
+      // then exact cosine top-3 within the bucket
+      val e = t(spark, dir, "embeddings")
+      val planes = (0 until 8).map { k =>
+        val proj = aggregate(
+          zip_with(col("embedding"),
+            transform(sequence(lit(0), size(col("embedding")) - 1),
+              i => cos(i.cast("double") * (k + 1) * 0.7 + k)),
+            (x, h) => x * h),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << k)).otherwise(lit(0L))
+      }
+      val bucketed = e.select(col("vec_id"), col("embedding"),
+        planes.reduce(_ + _).as("bucket"))
+      val queries = bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+      val dot = aggregate(zip_with(col("qv"), col("embedding"), (a, x) => a * x),
+        lit(0.0), (acc, x) => acc + x)
+      val qn = sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x))
+      val en = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      queries.join(bucketed, Seq("bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), col("bucket"),
+          round(dot / (qn * en), 6).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "vec_id", "bucket", "rank", "sim")
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH bucketed AS (
+           |  SELECT vec_id, embedding,
+           |    CAST((SELECT sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)
+           |     FROM (SELECT k, (SELECT sum(embedding[i+1] * cos(i * (k+1) * 0.7 + k))
+           |                      FROM (SELECT unnest(range(0, len(embedding))) AS i)) AS pr
+           |           FROM (SELECT unnest(range(0, 8)) AS k))) AS BIGINT) AS bucket
+           |  FROM embeddings
+           |), pairs AS (
+           |  SELECT q.vec_id AS qid, e.vec_id AS vec_id, q.bucket AS bucket,
+           |    round(
+           |      list_reduce(list_transform(range(1, len(q.embedding)+1), i -> CAST(q.embedding[i] * e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+           |      (sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x * x AS DOUBLE)), (x, y) -> x + y)) *
+           |       sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x * x AS DOUBLE)), (x, y) -> x + y))), 6) AS sim
+           |  FROM bucketed q JOIN bucketed e ON q.bucket = e.bucket AND q.vec_id < 10 AND e.vec_id <> q.vec_id
+           |), ranked AS (
+           |  SELECT qid, vec_id, bucket, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+           |  FROM pairs
+           |)
+           |SELECT qid, vec_id, bucket, rank, sim FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
   // ---------- extraction queries over the synthetic corpus ----------
 
   private def corpus(spark: SparkSession): DataFrame =
@@ -654,6 +709,7 @@ object Queries {
     "t4_fingerprint" -> t4,
     "s1_knn_cosine" -> s1,
     "s2_ann_lsh_bucket" -> s2,
+    "s3_ann_search" -> s3,
     "x1_extract" -> x1,
     "x2_extract_match" -> x2,
     "x3_grep" -> x3,
