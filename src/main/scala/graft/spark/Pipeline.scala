@@ -342,6 +342,42 @@ object Surfaces {
       }
   }
 
+  // ---------- multimodal frame sampling (stub decode) ----------
+
+  final case class FrameRow(url: String, frameIdx: Int, byteOffset: Long,
+      width: Int, height: Int, featureVec: Array[Float])
+
+  /** Frame-sampling shape for media payloads: emits every-Nth-"frame" rows
+    * with typed metadata and a per-frame feature vector. The DECODE IS A
+    * STUB (deterministic byte-window histogram standing in for a real
+    * video/image decoder — no media libraries in this container); the
+    * Spark-side plumbing (schema, flatMap fan-out, batch shape) is real. */
+  def sampleFrames(spark: SparkSession, input: DataFrame, everyNBytes: Int = 4096,
+      maxFrames: Int = 8): Dataset[FrameRow] = {
+    import spark.implicits._
+    input.select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (url, payload0) =>
+          val payload = if (payload0 == null) Array.emptyByteArray else payload0
+          val n = math.min(maxFrames, math.max(payload.length / everyNBytes, 0))
+          (0 until n).iterator.map { f =>
+            val off = f.toLong * everyNBytes
+            val hist = new Array[Float](8)
+            var i = off.toInt
+            val end = math.min(payload.length, i + everyNBytes)
+            while (i < end) { hist((payload(i) & 0xff) >> 5) += 1f; i += 1 }
+            val total = math.max(end - off.toInt, 1)
+            var k = 0
+            while (k < 8) { hist(k) /= total; k += 1 }
+            // stub "dimensions" derived deterministically from content
+            FrameRow(url, f, off, 16 + (payload(off.toInt) & 0x3f),
+              16 + (payload(math.min(off.toInt + 1, payload.length - 1)) & 0x3f), hist)
+          }
+        }
+      }
+  }
+
   // ---------- structured streaming extraction ----------
 
   /** Same kernel as a Structured Streaming job: file-source readStream over

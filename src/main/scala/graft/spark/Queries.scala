@@ -428,6 +428,20 @@ object Queries {
            |    ELSE 'und' END AS detected_lang
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  private val t5 = Q(
+    (spark, dir) =>
+      // BPE-ish pretokenizer counting (GPT-2-style word/number/punct classes)
+      t(spark, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"), lit(0))).as("bpe_tokens"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("ws_tokens"))
+        .orderBy("doc_id"),
+    Some("SELECT doc_id, " +
+      "len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS bpe_tokens, " +
+      "len(regexp_extract_all(text, '\\S+')) AS ws_tokens " +
+      "FROM documents ORDER BY doc_id"))
+
   private val t4 = Q(
     (spark, dir) =>
       t(spark, dir, "documents").select(
@@ -636,6 +650,15 @@ object Queries {
     },
     None)
 
+  private val x14 = Q(
+    (spark, _) => {
+      val c = corpus(spark)
+      Surfaces.sampleFrames(spark, CorpusGen.inputView(c), everyNBytes = 256)
+        .toDF().select("url", "frameIdx", "byteOffset", "width", "height")
+        .orderBy("url", "frameIdx")
+    },
+    None)
+
   private val x9 = Q(
     (spark, _) => {
       val c = corpus(spark)
@@ -707,6 +730,7 @@ object Queries {
     "t2_quality" -> t2,
     "t3_langid" -> t3,
     "t4_fingerprint" -> t4,
+    "t5_bpe_tokens" -> t5,
     "s1_knn_cosine" -> s1,
     "s2_ann_lsh_bucket" -> s2,
     "s3_ann_search" -> s3,
@@ -722,7 +746,8 @@ object Queries {
     "x10_diff" -> x10,
     "x11_binary_features" -> x11,
     "x12_streaming_extract" -> x12,
-    "x13_outlines_toc" -> x13)
+    "x13_outlines_toc" -> x13,
+    "x14_frame_sample" -> x14)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, v) => k -> v.fn }

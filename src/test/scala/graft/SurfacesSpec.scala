@@ -85,6 +85,14 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.forall(r => r.getAs[Seq[Float]]("featureVec").length == 16))
   }
 
+  test("frame sampling emits typed rows with stub features") {
+    val c = CorpusGen.corpus(spark, rows = 12, partitions = 2)
+    val frames = Surfaces.sampleFrames(spark, CorpusGen.inputView(c), everyNBytes = 256).toDF().collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Seq[Float]]("featureVec").length == 8))
+    assert(frames.forall(r => r.getAs[Int]("width") >= 16 && r.getAs[Int]("height") >= 16))
+  }
+
   test("streaming extraction matches batch results") {
     val dir = java.nio.file.Files.createTempDirectory("stream_test").toString
     val corpus = CorpusGen.corpus(spark, rows = 22, partitions = 2).cache()
