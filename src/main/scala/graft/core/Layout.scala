@@ -153,32 +153,42 @@ object Layout {
   private def usableGlyph(g: Glyph): Boolean =
     g.size > 0 && !g.x.isNaN && !g.x.isInfinite && !g.y.isNaN && !g.y.isInfinite
 
-  /** IQR-band coordinate-outlier removal (Layout.hs:795-828). */
+  /** IQR-band coordinate-outlier removal (Layout.hs:795-828).
+    * Primitive-array math: the band is computed once per orientation (the
+    * reference's own O(n^2) fix) and without boxing per glyph. */
   def filterPageGlyphs(glyphs: List[Glyph]): List[Glyph] = {
-    val horizVis = glyphs.filter(g => g.wmode == 0 && g.y >= 0)
-    val vert = glyphs.filter(_.wmode == 1)
-    def band(measure: Glyph => Double, gs: List[Glyph]): Option[(Double, Double)] = {
-      val ys = gs.map(measure).sorted
-      if (ys.length < 4) None
-      else {
-        def quantile(q: Double): Double = {
-          val n = ys.length
-          val i = math.min(n - 1, math.max(0, Util.hsTruncate(q * (n - 1))))
-          ys(i)
+    def band(vert: Boolean): Option[(Double, Double)] = {
+      var n = 0
+      for (g <- glyphs)
+        if (if (vert) g.wmode == 1 else g.wmode == 0 && g.y >= 0) n += 1
+      if (n < 4) return None
+      val ys = new Array[Double](n)
+      val sizes = new Array[Double](n)
+      var i = 0
+      for (g <- glyphs)
+        if (if (vert) g.wmode == 1 else g.wmode == 0 && g.y >= 0) {
+          ys(i) = if (vert) baselineOf(1, g) else g.y
+          sizes(i) = g.size
+          i += 1
         }
-        val q1 = quantile(0.25)
-        val q3 = quantile(0.75)
-        val iqr = q3 - q1
-        val medSize = medianOf(gs.map(_.size))
-        val spread = math.max(math.max(1, iqr), 1.2 * medSize)
-        val pad = 3 * spread
-        Some((q1 - pad, q3 + pad))
-      }
+      java.util.Arrays.sort(ys)
+      java.util.Arrays.sort(sizes)
+      def quantile(q: Double): Double =
+        ys(math.min(n - 1, math.max(0, Util.hsTruncate(q * (n - 1)))))
+      val q1 = quantile(0.25)
+      val q3 = quantile(0.75)
+      val iqr = q3 - q1
+      val medSize =
+        if (n % 2 == 1) sizes(n / 2) else (sizes(n / 2 - 1) + sizes(n / 2)) / 2
+      val spread = math.max(math.max(1, iqr), 1.2 * medSize)
+      val pad = 3 * spread
+      Some((q1 - pad, q3 + pad))
     }
-    val hBand = band(_.y, horizVis)
-    val vBand = band(baselineOf(1, _), vert)
+    val hBand = band(vert = false)
+    val vBand = band(vert = true)
     glyphs.filter { g =>
-      val (measure, b) = if (g.wmode == 1) (baselineOf(1, g), vBand) else (g.y, hBand)
+      val measure = if (g.wmode == 1) baselineOf(1, g) else g.y
+      val b = if (g.wmode == 1) vBand else hBand
       measure >= 0 && (b match {
         case None => true
         case Some((lo, hi)) => measure >= lo && measure <= hi
