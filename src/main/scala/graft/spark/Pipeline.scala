@@ -401,3 +401,90 @@ object Surfaces {
     spark.table(queryName)
   }
 }
+
+/** Structured Streaming with state: windowed counts with a watermark and a
+  * custom per-key session state via flatMapGroupsWithState — the streaming
+  * analogues a training-data pipeline needs next to the stateless
+  * extraction stream. */
+object Streaming {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+  /** The file stream source needs a directory; single-file tables are
+    * copied into a temp dir. */
+  private def streamDir(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) path
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("stream_src")
+      java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
+      dir.toString
+    }
+  }
+
+  /** Tumbling-window event counts with a 10-minute watermark over a
+    * file-source stream of the events table (AvailableNow -> finite). */
+  def windowedEventCounts(spark: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
+    val eventsDir = streamDir(eventsDir0)
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> event-time type
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("events"), col("sum_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  final case class UserSession(user_id: Long, events: Long, firstTs: java.sql.Timestamp,
+      lastTs: java.sql.Timestamp, distinctTypes: Int)
+
+  /** Custom keyed state: per-user running session summary via
+    * flatMapGroupsWithState (KeyValueGroupedDataset), processing-time
+    * timeout semantics are irrelevant under AvailableNow but the state
+    * plumbing is the real thing. */
+  def userSessions(spark: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    val eventsDir = streamDir(eventsDir0)
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp").as("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+    val sessions = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, java.sql.Timestamp, java.sql.Timestamp, Set[String]), UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[(Long, java.sql.Timestamp, java.sql.Timestamp, Set[String])]) =>
+          var (n, first, last, types) = state.getOption.getOrElse(
+            (0L, null: java.sql.Timestamp, null: java.sql.Timestamp, Set.empty[String]))
+          for ((_, ts, tpe) <- rows) {
+            n += 1
+            if (first == null || ts.before(first)) first = ts
+            if (last == null || ts.after(last)) last = ts
+            types += tpe
+          }
+          state.update((n, first, last, types))
+          Iterator.single(UserSession(user, n, first, last, types.size))
+      }
+    val q = sessions.toDF().writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -707,6 +707,20 @@ object Queries {
     },
     None)
 
+  private val x15 = Q(
+    (spark, dir) =>
+      graft.spark.Streaming.windowedEventCounts(spark, s"$dir/events.parquet",
+        "stream_win_" + java.lang.Long.toHexString(System.nanoTime()))
+        .orderBy("window_start", "event_type"),
+    None)
+
+  private val x16 = Q(
+    (spark, dir) =>
+      graft.spark.Streaming.userSessions(spark, s"$dir/events.parquet",
+        "stream_sess_" + java.lang.Long.toHexString(System.nanoTime()))
+        .orderBy("user_id"),
+    None)
+
   // ---------- registry ----------
 
   val all: Map[String, Q] = Map(
@@ -747,7 +761,9 @@ object Queries {
     "x11_binary_features" -> x11,
     "x12_streaming_extract" -> x12,
     "x13_outlines_toc" -> x13,
-    "x14_frame_sample" -> x14)
+    "x14_frame_sample" -> x14,
+    "x15_stream_window" -> x15,
+    "x16_stream_sessions" -> x16)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, v) => k -> v.fn }

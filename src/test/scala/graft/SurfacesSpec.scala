@@ -103,6 +103,24 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.filter(col("text") === col("expected")).count() == 22)
   }
 
+  test("stateful streaming: windowed counts + keyed sessions over events") {
+    val dir = "/root/testdata/sf0.001"
+    val win = graft.spark.Streaming.windowedEventCounts(spark, s"$dir/events.parquet", "t_win")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"), col("event_type"))
+      .count()
+    assert(win.count() == batch.count())
+    val sess = graft.spark.Streaming.userSessions(spark, s"$dir/events.parquet", "t_sess")
+    val users = spark.read.parquet(s"$dir/events.parquet").select("user_id").distinct().count()
+    // one session row per user per micro-batch; AvailableNow may use several
+    // batches, so dedupe by user and compare
+    assert(sess.select("user_id").distinct().count() == users)
+    val ev = sess.groupBy("user_id").agg(org.apache.spark.sql.functions.max("events").as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(ev == spark.read.parquet(s"$dir/events.parquet").count())
+  }
+
   test("Type1 embedded encoding scrape") {
     val font = ("%!PS /FontName /Test def /Encoding 256 array " +
       "0 1 255 {1 index exch /.notdef put} for " +
