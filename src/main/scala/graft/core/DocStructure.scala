@@ -81,16 +81,17 @@ object DocStructure {
           case Some(off) =>
             return trailerDictXref(buf, off).flatMap { case (dict, xref0) =>
               mergeXrefStm(buf, dict, xref0).flatMap { xref =>
+                val seen = scala.collection.mutable.HashSet(off)
                 def chase(d: Dict, sofar: Map[Int, XrefEntry]): Either[PdfError, Map[Int, XrefEntry]] =
                   d.get("/Prev") match {
-                    case Some(PNum(x)) =>
+                    case Some(PNum(x)) if seen.add(Util.hsTruncate(x)) =>
                       trailerDictXref(buf, Util.hsTruncate(x)).flatMap { case (d2, x2) =>
                         mergeXrefStm(buf, d2, x2).flatMap { x2m =>
                           // newest wins: sofar entries take precedence
                           chase(d2, unionFirst(sofar, x2m))
                         }
                       }
-                    case _ => Right(sofar)
+                    case _ => Right(sofar) // no /Prev, or a /Prev cycle
                   }
                 chase(dict, xref).map(x => (dict, x))
               }
@@ -241,10 +242,15 @@ object DocStructure {
         if (pos + entryW > raw.length)
           return Left(PdfError.BrokenXref("xref stream field truncated"))
         def field(w: Int): Int = {
-          var v = 0
+          // overflow-safe: crafted /W widths must not wrap to negative offsets
+          var v = 0L
           var i = 0
-          while (i < w) { v = v * 256 + (raw(pos) & 0xff); pos += 1; i += 1 }
-          v
+          while (i < w) {
+            v = math.min((v << 8) + (raw(pos) & 0xff), Int.MaxValue.toLong)
+            pos += 1
+            i += 1
+          }
+          v.toInt
         }
         val typ = if (w0 == 0) 0 else field(w0)
         val f2 = field(w1)
@@ -540,18 +546,25 @@ object DocStructure {
       case _ => None
     }
 
-  /** Page tree walk (reference Page.hs:131-145). */
+  /** Page tree walk (reference Page.hs:131-145, plus the visited-set guard
+    * SURVEY.md §2.b calls for: a malformed /Kids cycle must not recurse
+    * forever). */
   def pageRefsFromRoot(parent: Int, doc: Document): List[Int] =
+    pageRefsFromRoot(parent, doc, new scala.collection.mutable.HashSet[Int])
+
+  private def pageRefsFromRoot(parent: Int, doc: Document,
+      visited: scala.collection.mutable.HashSet[Int]): List[Int] = {
+    if (!visited.add(parent)) return Nil // cycle guard
     doc.objsByRef(parent) match {
       case Some(os) =>
         findDictOfType("/Catalog", os) match {
           case Some(dict) => dict.get("/Pages") match {
-            case Some(PRef(pr)) => pageRefsFromRoot(pr, doc)
+            case Some(PRef(pr)) => pageRefsFromRoot(pr, doc, visited)
             case _ => Nil
           }
           case None => findDictOfType("/Pages", os) match {
             case Some(dict) => dict.get("/Kids") match {
-              case Some(PArray(arr)) => Lexer.refsOf(arr).flatMap(k => pageRefsFromRoot(k, doc))
+              case Some(PArray(arr)) => Lexer.refsOf(arr).flatMap(k => pageRefsFromRoot(k, doc, visited))
               case _ => Nil
             }
             case None =>
@@ -560,6 +573,7 @@ object DocStructure {
         }
       case None => Nil
     }
+  }
 
   def pageRefs(doc: Document): Either[PdfError, List[Int]] =
     doc.rootRef.map(pageRefsFromRoot(_, doc))

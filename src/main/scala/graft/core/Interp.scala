@@ -86,10 +86,14 @@ object Interp {
     } yield (pageDict, content, res)
 
   def pageResourcesInherited(dict: Dict, doc: Document): Option[Dict] =
+    pageResourcesInherited(dict, doc, 0)
+
+  private def pageResourcesInherited(dict: Dict, doc: Document, depth: Int): Option[Dict] =
     DocStructure.findResourcesDict(dict, doc).orElse {
       dict.get("/Parent") match {
-        case Some(PRef(pref)) =>
-          doc.findDictByRef(pref).flatMap(pageResourcesInherited(_, doc))
+        // depth cap: a malformed /Parent cycle must not recurse forever
+        case Some(PRef(pref)) if depth < 64 =>
+          doc.findDictByRef(pref).flatMap(pageResourcesInherited(_, doc, depth + 1))
         case _ => None
       }
     }

@@ -15,9 +15,10 @@ import PObj._
   */
 final class Cursor(val buf: Array[Byte], var pos: Int) {
   def this(buf: Array[Byte]) = this(buf, 0)
-  @inline def atEnd: Boolean = pos >= buf.length
-  @inline def peek: Int = if (pos < buf.length) buf(pos) & 0xff else -1
-  @inline def peekAt(k: Int): Int = if (pos + k < buf.length) buf(pos + k) & 0xff else -1
+  @inline def atEnd: Boolean = pos >= buf.length || pos < 0
+  @inline def peek: Int = if (pos >= 0 && pos < buf.length) buf(pos) & 0xff else -1
+  @inline def peekAt(k: Int): Int =
+    if (pos + k >= 0 && pos + k < buf.length) buf(pos + k) & 0xff else -1
   @inline def next(): Int = { val c = peek; pos += 1; c }
   def startsWith(s: String): Boolean = {
     if (pos + s.length > buf.length) return false
@@ -70,8 +71,16 @@ object Lexer {
     objectBody(cur, sec, objNum).getOrElse(List(PNull))
   }
 
+  /** Maximum container nesting in one object: real PDFs nest shallowly; a
+    * crafted `[[[[...` must not overflow the parse stack. */
+  val MaxNestDepth = 200
+
   /** pdfobjAtom choice (Object.hs:135-160). */
-  def atom(cur: Cursor, sec: Option[Security], objNum: Int): Option[PObj] = {
+  def atom(cur: Cursor, sec: Option[Security], objNum: Int): Option[PObj] =
+    atom(cur, sec, objNum, 0)
+
+  def atom(cur: Cursor, sec: Option[Security], objNum: Int, depth: Int): Option[PObj] = {
+    if (depth > MaxNestDepth) return None
     val save = cur.pos
     def reset(): Unit = cur.pos = save
     rref(cur).orElse { reset(); name(cur) }
@@ -79,8 +88,8 @@ object Lexer {
       .orElse { reset(); hexString(cur, sec, objNum).map { o => skipSpaces(cur); o } }
       .orElse { reset(); bool(cur).map { o => skipSpaces(cur); o } }
       .orElse { reset(); nullObj(cur).map { o => skipSpaces(cur); o } }
-      .orElse { reset(); array(cur, sec, objNum).map { o => skipSpaces(cur); o } }
-      .orElse { reset(); dictionary(cur, sec, objNum).map { o => skipSpaces(cur); o } }
+      .orElse { reset(); array(cur, sec, objNum, depth + 1).map { o => skipSpaces(cur); o } }
+      .orElse { reset(); dictionary(cur, sec, objNum, depth + 1).map { o => skipSpaces(cur); o } }
       .orElse { reset(); literal(cur, sec, objNum).map { o => skipSpaces(cur); o } }
   }
 
@@ -160,7 +169,11 @@ object Lexer {
     if (cur.consume("null")) Some(PNull) else None
 
   /** `[ obj ... ]` (Object.hs:324-325). */
-  def array(cur: Cursor, sec: Option[Security], objNum: Int): Option[PObj] = {
+  def array(cur: Cursor, sec: Option[Security], objNum: Int): Option[PObj] =
+    array(cur, sec, objNum, 0)
+
+  def array(cur: Cursor, sec: Option[Security], objNum: Int, depth: Int): Option[PObj] = {
+    if (depth > MaxNestDepth) return None
     if (!cur.consume("[")) return None
     skipSpaces(cur)
     val items = Vector.newBuilder[PObj]
@@ -169,7 +182,7 @@ object Lexer {
       skipSpaces(cur)
       if (cur.consume("]")) return Some(PArray(items.result()))
       cur.pos = save
-      atom(cur, sec, objNum) match {
+      atom(cur, sec, objNum, depth + 1) match {
         case Some(o) => items += o
         case None => return None
       }
@@ -178,7 +191,11 @@ object Lexer {
   }
 
   /** `<< /K v ... >>` with first-wins duplicate keys (Object.hs:316-322, 237-239). */
-  def dictionary(cur: Cursor, sec: Option[Security], objNum: Int): Option[PObj] = {
+  def dictionary(cur: Cursor, sec: Option[Security], objNum: Int): Option[PObj] =
+    dictionary(cur, sec, objNum, 0)
+
+  def dictionary(cur: Cursor, sec: Option[Security], objNum: Int, depth: Int): Option[PObj] = {
+    if (depth > MaxNestDepth) return None
     skipSpaces(cur)
     if (!cur.consume("<<")) return None
     skipSpaces(cur)
@@ -190,7 +207,7 @@ object Lexer {
       cur.pos = save
       name(cur) match {
         case Some(PName(k)) =>
-          atom(cur, sec, objNum) match {
+          atom(cur, sec, objNum, depth + 1) match {
             case Some(v) => if (!m.contains(k)) m = m.updated(k, v)
             case None => return None
           }
@@ -433,6 +450,7 @@ object Lexer {
   /** sliceObjectAt (Object.hs:90-103): parse a full object at the cursor and
     * return the matched BODY bytes (between header and endobj). */
   def sliceObject(buf: Array[Byte], offset: Int): Option[(Int, Array[Byte], Int)] = {
+    if (offset < 0 || offset > buf.length) return None
     val cur = new Cursor(buf, offset)
     objectHeader(cur).flatMap { objn =>
       val bodyStart = cur.pos

@@ -44,6 +44,7 @@ object Structure {
 
   private def parseStructDict(d: Dict, pg: Option[Int], doc: Document,
       visited: Set[Int], depth: Int): Either[PdfError, Option[StructElem]] = {
+    if (depth >= MaxStructDepth) return Right(None)
     val pg2 = pageRefFromDict(d, pg)
     val stype = structTypeName(d)
     parseKids(d.get("/K"), pg2, doc, visited, depth + 1).map { kids =>
@@ -81,13 +82,15 @@ object Structure {
   private def parseKid(o: PObj, pg: Option[Int], doc: Document,
       visited: Set[Int], depth: Int): Either[PdfError, List[StructKid]] = o match {
     case PNum(n) => Right(pg.map(p => KidMCID(p, Util.hsTruncate(n))).toList)
-    case PRef(r) => doc.objsByRef(r) match {
-      case Some(os) => findDict(os) match {
-        case Some(d) => parseKidDict(d, pg, doc, visited, depth)
-        case None => Right(Nil)
+    case PRef(r) =>
+      if (visited.contains(r)) Right(Nil) // /K ref cycle guard
+      else doc.objsByRef(r) match {
+        case Some(os) => findDict(os) match {
+          case Some(d) => parseKidDict(d, pg, doc, visited + r, depth)
+          case None => Right(Nil)
+        }
+        case None => Left(PdfError.MissingObject(r))
       }
-      case None => Left(PdfError.MissingObject(r))
-    }
     case PDict(d) => parseKidDict(d, pg, doc, visited, depth)
     case _ => Right(Nil)
   }
