@@ -42,6 +42,65 @@ class DepthSpec extends AnyFunSuite {
     succeed
   }
 
+  test("cyclic page tree terminates with the visited-set guard") {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    out ++= b("%PDF-1.5\n")
+    val offs = scala.collection.mutable.Map[Int, Int]()
+    def obj(n: Int, body: String): Unit = {
+      offs(n) = out.length
+      out ++= b(s"$n 0 obj\n$body\nendobj\n")
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    // 2 -> 3 -> 2 cycle
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Pages /Kids [2 0 R] /Count 1 >>")
+    val xrefAt = out.length
+    out ++= b("xref\n0 4\n0000000000 65535 f \n")
+    for (n <- 1 to 3) out ++= b(f"${offs(n)}%010d 00000 n \n")
+    out ++= b(s"trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val r = Extract.extractPdf(out.toArray, None)
+    assert(r.isLeft || r.isRight) // terminates
+  }
+
+  test("/Prev trailer cycle terminates") {
+    val base = graft.spark.FixtureGen.classic(1).bytes
+    val s0 = new String(base, ISO_8859_1)
+    val xrefAt = s0.substring(s0.lastIndexOf("startxref") + 10).trim.takeWhile(_.isDigit)
+    // append a second trailer whose /Prev points at itself
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    out ++= base
+    val newXrefAt = out.length
+    out ++= b(s"xref\n0 1\n0000000000 65535 f \n")
+    out ++= b(s"trailer\n<< /Size 6 /Root 1 0 R /Prev $newXrefAt >>\nstartxref\n$newXrefAt\n%%EOF\n")
+    val r = Extract.extractPdf(out.toArray, None)
+    assert(r.isLeft || r.isRight)
+  }
+
+  test("structure-tree /K ref cycle terminates") {
+    val para = "BT /F1 12 Tf 72 720 Td (Cycle doc) Tj ET\n"
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    out ++= b("%PDF-1.5\n")
+    val offs = scala.collection.mutable.Map[Int, Int]()
+    def obj(n: Int, body: String): Unit = {
+      offs(n) = out.length
+      out ++= b(s"$n 0 obj\n$body\nendobj\n")
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R /StructTreeRoot 6 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    obj(4, s"<< /Length ${para.length} >>\nstream\n$para\nendstream")
+    obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    obj(6, "<< /Type /StructTreeRoot /K 7 0 R >>")
+    obj(7, "<< /S /Document /K [8 0 R] >>")
+    obj(8, "<< /S /P /K 7 0 R >>") // cycle back to 7
+    val xrefAt = out.length
+    out ++= b("xref\n0 9\n0000000000 65535 f \n")
+    for (n <- 1 to 8) out ++= b(f"${offs(n)}%010d 00000 n \n")
+    out ++= b(s"trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val r = Extract.extractPdf(out.toArray, None)
+    assert(r == Right("Cycle doc\n"))
+  }
+
   test("ObjStm container referencing itself yields null, not a loop") {
     // xref stream says object 1 lives inside ObjStm 1 (itself)
     val out = new scala.collection.mutable.ArrayBuffer[Byte]
