@@ -48,7 +48,7 @@ object FuzzSoak {
     val done = new AtomicLong()
     for (t <- 0 until 16) pool.submit(new Runnable {
       def run(): Unit = {
-        val rnd = new scala.util.Random(1000 + t)
+        val rnd = new scala.util.Random(sys.env.getOrElse("FUZZ_SEED", "1000").toLong + t)
         var k = 0
         while (k < iterations / 16) {
           val base = bases((t * 7 + k) % bases.length)
