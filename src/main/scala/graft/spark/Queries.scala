@@ -187,6 +187,23 @@ object Queries {
            |SELECT DISTINCT s_nationkey AS nationkey FROM supplier
            |ORDER BY nationkey""".stripMargin))
 
+  private val q11 = Q(
+    (spark, dir) =>
+      // semi-structured extraction: JSON props column -> typed aggregation
+      t(spark, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS events,
+           |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // ---------- training-data ops: deduplication ----------
 
   private val d1 = Q(
@@ -734,6 +751,7 @@ object Queries {
     "q8_rollup" -> q8,
     "q9_window_avg" -> q9,
     "q10_intersect" -> q10,
+    "q11_json_props" -> q11,
     "d1_dedup_exact" -> d1,
     "d2_minhash_lsh" -> d2,
     "d3_simhash" -> d3,

@@ -45,6 +45,42 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((im.bytes(0) & 0xff) == 0xff && (im.bytes(1) & 0xff) == 0xd8)
   }
 
+  test("image hits recurse into nested forms") {
+    // image placed inside Fm1 which is inside Fm0 (reference
+    // form-nested-image fixture shape)
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def bb(x: String) = x.getBytes(ISO_8859_1)
+    val jpeg = new String(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte), ISO_8859_1) + "fake"
+    val inner = "q 50 0 0 25 10 10 cm /Im1 Do Q\n"
+    val outer = "q /Fm1 Do Q\n"
+    val content = "q 1 0 0 1 100 500 cm /Fm0 Do Q\n"
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    out ++= bb("%PDF-1.5\n")
+    val offs = scala.collection.mutable.Map[Int, Int]()
+    def obj(n: Int, body: String): Unit = {
+      offs(n) = out.length
+      out ++= bb(s"$n 0 obj\n$body\nendobj\n")
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << /XObject << /Fm0 6 0 R >> >> /Contents 4 0 R >>")
+    obj(4, s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    obj(6, s"<< /Type /XObject /Subtype /Form /BBox [0 0 200 100] /Resources << /XObject << /Fm1 7 0 R >> >> /Length ${outer.length} >>\nstream\n$outer\nendstream")
+    obj(7, s"<< /Type /XObject /Subtype /Form /BBox [0 0 100 50] /Resources << /XObject << /Im1 8 0 R >> >> /Length ${inner.length} >>\nstream\n$inner\nendstream")
+    obj(8, s"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode /Length ${jpeg.length} >>\nstream\n$jpeg\nendstream")
+    val xrefAt = out.length
+    out ++= bb("xref\n0 9\n0000000000 65535 f \n")
+    for (n <- 1 to 8) out ++= bb(f"${offs(n)}%010d 00000 n \n")
+    out ++= bb(s"trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val doc = DocStructure.openDocument(out.toArray, None).toOption.get
+    val images = Images.extractPageImages(doc, 1).toOption.get
+    assert(images.length == 1)
+    assert(images.head.format == "jpeg")
+    // bbox = unit square under inner cm (50x25 at 10,10) shifted by page cm (100,500)
+    assert(images.head.bbox == Rect(110, 510, 160, 535))
+  }
+
   test("png encoding for raw rgb image data") {
     val pixels = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 10).toByte)
     val png = Images.encodePng(2, 2, pixels, rgb = true)
