@@ -647,6 +647,7 @@ object Queries {
       val extracted = Pipeline.extract(spark, CorpusGen.inputView(c))
       Pipeline.partitionMetrics(spark, extracted)
         .toDF()
+        .drop("kernelMicros") // wall-clock: would make the output nondeterministic
         .orderBy("partitionId")
     },
     None)
