@@ -137,6 +137,42 @@ object Legacy {
     Right((sb.toString, p.st.warnings.reverse))
   }
 
+  /** contentsColorSpace (DocumentStructure.hs:382-394): colorspace names
+    * seen in a page's content streams, with XObject /ColorSpace names
+    * substituted at Do sites. */
+  def pageColorSpaces(doc: Document, pageRef: Int): List[String] =
+    doc.objsByRef(pageRef).flatMap(DocStructure.findDictOfType("/Page", _)) match {
+      case None => Nil
+      case Some(dict) =>
+        // per-XObject /ColorSpace names (findXObjectColorSpace)
+        val xobjcs: List[String] = DocStructure.findResourcesDict(dict, doc)
+          .flatMap(_.get("/XObject") match {
+            case Some(PObj.PDict(xd)) => Some(xd)
+            case Some(PObj.PRef(r)) => doc.findDictByRef(r)
+            case _ => None
+          }) match {
+          case Some(xd) => xd.toList.collect { case (_, PObj.PRef(r)) =>
+            doc.findDictByRef(r).flatMap(_.get("/ColorSpace")) match {
+              case Some(PObj.PName(cs)) => cs
+              case _ => ""
+            }
+          }
+          case None => Nil
+        }
+        val refs: List[Int] = dict.get("/Contents") match {
+          case Some(PObj.PArray(arr)) => Lexer.refsOf(arr)
+          case Some(PObj.PRef(r)) => List(r)
+          case _ => Nil
+        }
+        refs.flatMap { r =>
+          doc.rawStreamByRef(r).toOption.toList.flatMap { bytes =>
+            val st = PSR(fontmaps = findFontEncoding(dict, doc),
+              cmaps = findCMap(dict, doc), resDict = Some(dict))
+            new P(doc, bytes, st).collectColorSpaces(xobjcs)
+          }
+        }
+    }
+
   /** formTextRunner (DocumentStructure.hs:215-230). */
   private def runForm(doc: Document, name: String, st: PSR): String = {
     if (st.formDepth >= MaxFormDepth) return ""
@@ -247,6 +283,30 @@ object Legacy {
       var s = sb.toString
       if (s.endsWith(".")) s += "0"
       try Some(s.toDouble) catch { case _: NumberFormatException => Some(0.0) }
+    }
+
+    /** parseColorSpace (ContentStream.hs:61-68). */
+    def collectColorSpaces(xobjcs: List[String]): List[String] = {
+      val out = List.newBuilder[String]
+      var go = true
+      while (go && !atEnd) {
+        attemptT(colorSpace()) match {
+          case Some(cs) => out += cs
+          case None =>
+            // xObject: /Name Do -> substitute the XObject colorspace names
+            val tookX = attemptT {
+              slashNameTillSpace() match {
+                case Some(_) =>
+                  skipSpaces()
+                  if (str("Do")) { skipSpaces(); Some("") } else None
+                case None => None
+              }
+            }
+            if (tookX.isDefined) out ++= xobjcs
+            else if (attemptT(elems()).isEmpty) go = false
+        }
+      }
+      out.result()
     }
 
     // ---- elems choice (ContentStream.hs:73-104) ----
@@ -942,8 +1002,9 @@ object Legacy {
     private def colorSpace(): Option[String] = {
       attemptT {
         slashNameTillSpace() match {
-          case Some(_) =>
-            if (str("CS") || str("cs")) { skipSpaces(); Some("") } else None
+          case Some(n) =>
+            // reference returns the name without its slash (ContentStream.hs:145)
+            if (str("CS") || str("cs")) { skipSpaces(); Some(n.drop(1)) } else None
           case None => None
         }
       }.orElse(attemptT { if (many1DigitParams() && str("rg")) { skipSpaces(); Some("DeviceRGB") } else None })

@@ -157,6 +157,37 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ev == spark.read.parquet(s"$dir/events.parquet").count())
   }
 
+  test("page colorspace listing (legacy surface)") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def bb(x: String) = x.getBytes(ISO_8859_1)
+    val content = "/CS0 cs 1 0 0 rg 0.5 g BT /F1 10 Tf 0 0 Td (x) Tj ET\n/Im1 Do\n"
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    out ++= bb("%PDF-1.5\n")
+    val offs = scala.collection.mutable.Map[Int, Int]()
+    def obj(n: Int, body: String): Unit = {
+      offs(n) = out.length
+      out ++= bb(s"$n 0 obj\n$body\nendobj\n")
+    }
+    val jpeg = new String(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte), ISO_8859_1)
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 5 0 R >> /XObject << /Im1 6 0 R >> >> /Contents 4 0 R >>")
+    obj(4, s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    obj(6, s"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 /ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode /Length ${jpeg.length} >>\nstream\n$jpeg\nendstream")
+    val xrefAt = out.length
+    out ++= bb("xref\n0 7\n0000000000 65535 f \n")
+    for (n <- 1 to 6) out ++= bb(f"${offs(n)}%010d 00000 n \n")
+    out ++= bb(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val doc = DocStructure.openDocument(out.toArray, None).toOption.get
+    val cs = Legacy.pageColorSpaces(doc, offs.keys.toList.sorted.apply(2))
+    // page object ref is 3
+    val cs3 = Legacy.pageColorSpaces(doc, 3)
+    assert(cs3.contains("CS0"))
+    assert(cs3.contains("DeviceRGB")) // from rg and/or the XObject substitution
+    assert(cs3.contains("DeviceGray"))
+  }
+
   test("Type1 embedded encoding scrape") {
     val font = ("%!PS /FontName /Test def /Encoding 256 array " +
       "0 1 255 {1 index exch /.notdef put} for " +
