@@ -122,19 +122,24 @@ object Legacy {
   /** parseStream (ContentStream.hs:50-59). */
   def parseStream(doc: Document, psr: PSR, bytes: Array[Byte]): Either[PdfError, (String, List[PdfWarning])] = {
     val p = new P(doc, bytes, psr)
-    p.skipSpaces()
-    val sb = new StringBuilder
-    var go = true
-    while (go) {
-      p.attemptT(p.elems()) match {
-        case Some(t) => sb.append(t)
-        case None => p.attemptT(p.skipOther()) match {
-          case Some(_) => ()
-          case None => go = false
+    try {
+      p.skipSpaces()
+      val sb = new StringBuilder
+      var go = true
+      while (go) {
+        p.attemptT(p.elems()) match {
+          case Some(t) => sb.append(t)
+          case None => p.attemptT(p.skipOther()) match {
+            case Some(_) => ()
+            case None => go = false
+          }
         }
       }
+      Right((sb.toString, p.st.warnings.reverse))
+    } catch {
+      case _: ParseBudgetExceeded =>
+        Left(PdfError.ParseError("content stream: legacy parse budget exceeded"))
     }
-    Right((sb.toString, p.st.warnings.reverse))
   }
 
   /** contentsColorSpace (DocumentStructure.hs:382-394): colorspace names
@@ -213,15 +218,27 @@ object Legacy {
 
   // ---------- the parser ----------
 
+  private final class ParseBudgetExceeded extends RuntimeException("legacy parse budget exceeded")
+
   /** One parsing session over one content stream. */
   private final class P(doc: Document, buf: Array[Byte], var st: PSR) {
     var pos: Int = 0
+
+    // Catastrophic-backtracking bound: the reference's parsec grammar (and
+    // this port) can go superlinear on adversarial content (e.g. megabyte
+    // digit runs retried by every alternative at every line). Real
+    // documents use a tiny fraction of this budget; exceeding it aborts
+    // the page with a typed error instead of burning a task for hours.
+    private val budget: Long = math.max(20_000_000L, buf.length.toLong * 20_000L)
+    private var steps: Long = 0L
 
     @inline def atEnd: Boolean = pos >= buf.length
     @inline def peek: Int = if (pos < buf.length) buf(pos) & 0xff else -1
     @inline def next(): Int = { val c = peek; pos += 1; c }
 
     def attemptT(body: => Option[String]): Option[String] = {
+      steps += 1
+      if (steps > budget) throw new ParseBudgetExceeded
       val savePos = pos
       val saveSt = st
       body match {
@@ -286,7 +303,7 @@ object Legacy {
     }
 
     /** parseColorSpace (ContentStream.hs:61-68). */
-    def collectColorSpaces(xobjcs: List[String]): List[String] = {
+    def collectColorSpaces(xobjcs: List[String]): List[String] = try {
       val out = List.newBuilder[String]
       var go = true
       while (go && !atEnd) {
@@ -307,7 +324,7 @@ object Legacy {
         }
       }
       out.result()
-    }
+    } catch { case _: ParseBudgetExceeded => Nil }
 
     // ---- elems choice (ContentStream.hs:73-104) ----
 
