@@ -162,7 +162,8 @@ object Fonts {
   }
 
   /** /ToUnicode stream CMap, falling back to the embedded OpenType cmap
-    * (DocumentStructure.hs:908-935). The /FontFile2 sfnt path is TODO. */
+    * read from the descendant font's /FontFile2 sfnt
+    * (DocumentStructure.hs:908-935). */
   def toUnicodeFromDict(doc: Document, d: Dict): Map[Int, String] =
     d.get("/ToUnicode") match {
       case Some(PRef(ref)) =>

@@ -226,22 +226,30 @@ object Queries {
   private val duckTokenHash =
     "list_reduce(list_prepend(CAST(7 AS BIGINT), [CAST(ord(t[i:i]) AS BIGINT) for i in range(1, len(t)+1)]), (a, b) -> (a*31 + b) % 1000000007)"
 
+  /** Row-local distinct-token array (whitespace split, empties dropped). */
+  private def toksCol: Column =
+    array_distinct(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+
+  /** Row-local minhash permutation: min over the token-hash array of
+    * (x*a + b) mod p — a per-row fold, shuffle-free by construction. */
+  private def minPerm(xs: Column, a: Long, b: Long): Column =
+    array_min(transform(xs, x => pmod(x * a + b, lit(1000000007L))))
+
   private val d2 = Q(
     (spark, dir) => {
-      // MinHash over the distinct-token set: 4 permutations (a*x+b) mod p,
-      // banded 2x2 -> bucket keys for LSH near-dup joins.
-      val p = 1000000007L
-      val docs = t(spark, dir, "documents")
-      val toks = docs
-        .select(col("doc_id"), explode(array_distinct(
-          filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("t"))
-        .withColumn("x", tokenHashCol(col("t")))
-      val sig = toks.groupBy("doc_id").agg(
-        min(pmod(col("x") * 1299721 + 104729, lit(p))).as("mh0"),
-        min(pmod(col("x") * 7919 + 7507, lit(p))).as("mh1"),
-        min(pmod(col("x") * 104183 + 337, lit(p))).as("mh2"),
-        min(pmod(col("x") * 909091 + 5861, lit(p))).as("mh3"))
-      sig
+      // MinHash over the distinct-token set, computed ROW-LOCALLY: 4
+      // permutations (a*x+b) mod p folded over per-row token hashes, banded
+      // 2x2 -> bucket keys for LSH near-dup joins. At 100 TB the token
+      // stream never shuffles — the plan's only exchange is the
+      // deterministic output sort (PlanSpec pins this).
+      t(spark, dir, "documents")
+        .select(col("doc_id"), transform(toksCol, tok => tokenHashCol(tok)).as("xs"))
+        .filter(size(col("xs")) > 0)
+        .select(col("doc_id"),
+          minPerm(col("xs"), 1299721, 104729).as("mh0"),
+          minPerm(col("xs"), 7919, 7507).as("mh1"),
+          minPerm(col("xs"), 104183, 337).as("mh2"),
+          minPerm(col("xs"), 909091, 5861).as("mh3"))
         .withColumn("band0", md5(concat_ws(":", col("mh0"), col("mh1"))))
         .withColumn("band1", md5(concat_ws(":", col("mh2"), col("mh3"))))
         .orderBy("doc_id")
@@ -265,19 +273,18 @@ object Queries {
 
   private val d3 = Q(
     (spark, dir) => {
-      // SimHash (16-bit) over distinct tokens: majority vote per bit.
-      val docs = t(spark, dir, "documents")
-      val toks = docs
-        .select(col("doc_id"), explode(array_distinct(
-          filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("t"))
-        .withColumn("x", tokenHashCol(col("t")))
-      val bits = toks.select(col("doc_id"), col("x"),
-        explode(sequence(lit(0), lit(15))).as("b"))
-      bits
-        .groupBy("doc_id", "b")
-        .agg(sum(expr("CASE WHEN (shiftright(x, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END")).as("vote"))
-        .groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN vote > 0 THEN CAST(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) AS BIGINT) ELSE CAST(0 AS BIGINT) END")).as("simhash16"))
+      // SimHash (16-bit) computed ROW-LOCALLY: per-bit majority vote folded
+      // over the distinct-token hash array — zero shuffles before the
+      // deterministic output sort (was: two chained groupBys over an
+      // exploded (token x bit) stream, O(16·tokens) exchange at scale).
+      t(spark, dir, "documents")
+        .select(col("doc_id"), transform(toksCol, tok => tokenHashCol(tok)).as("xs"))
+        .filter(size(col("xs")) > 0)
+        .select(col("doc_id"),
+          expr("""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
+            acc + CASE WHEN aggregate(xs, CAST(0 AS BIGINT), (a, x) ->
+              a + CASE WHEN (shiftright(x, b) % 2) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) > 0
+            THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""").as("simhash16"))
         .orderBy("doc_id")
     },
     Some(s"""WITH toks AS (
@@ -313,17 +320,16 @@ object Queries {
   private val d5 = Q(
     (spark, dir) => {
       // LSH bucket statistics: the scale-path view of minhash dedup (bucket
-      // sizes bound the candidate-join cost; no O(pairs) output)
-      val p = 1000000007L
-      val docs = t(spark, dir, "documents")
-      val toks = docs
-        .select(col("doc_id"), explode(array_distinct(
-          filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("t"))
-        .withColumn("x", tokenHashCol(col("t")))
-      val sig = toks.groupBy("doc_id").agg(
-        min(pmod(col("x") * 1299721 + 104729, lit(p))).as("mh0"),
-        min(pmod(col("x") * 7919 + 7507, lit(p))).as("mh1"))
-      sig.groupBy(md5(concat_ws(":", col("mh0"), col("mh1"))).as("bucket"))
+      // sizes bound the candidate-join cost; no O(pairs) output). Signatures
+      // are row-local; the only exchanges are the bucket aggregation
+      // (partial -> final, map-side combined) and the output sort.
+      t(spark, dir, "documents")
+        .select(col("doc_id"), transform(toksCol, tok => tokenHashCol(tok)).as("xs"))
+        .filter(size(col("xs")) > 0)
+        .select(
+          minPerm(col("xs"), 1299721, 104729).as("mh0"),
+          minPerm(col("xs"), 7919, 7507).as("mh1"))
+        .groupBy(md5(concat_ws(":", col("mh0"), col("mh1"))).as("bucket"))
         .agg(count(lit(1)).as("docs"),
           (count(lit(1)) * (count(lit(1)) - 1) / 2).cast("long").as("candidate_pairs"))
         .orderBy("bucket")
@@ -345,14 +351,30 @@ object Queries {
 
   private val d6 = Q(
     (spark, dir) => {
-      // verified near-dup pairs on a bounded slice: LSH candidates -> exact
-      // token-set Jaccard >= 0.5 (the verify stage of minhash dedup)
-      val docs = t(spark, dir, "documents").filter(col("doc_id") < 200)
+      // The VERIFY stage of minhash dedup, run the way a 100 TB pipeline
+      // runs it: candidates come from equi-joins on the d2 LSH band keys
+      // (hash joins — never a cartesian), deduped with the standard
+      // first-band-wins trick (band1 matches only count when band0 did
+      // not), then exact token-set Jaccard >= 0.5 over the full corpus —
+      // no doc_id cap.
+      val keyed = t(spark, dir, "documents")
         .select(col("doc_id"),
-          array_sort(array_distinct(filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("toks"))
-      val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-      a.join(b, col("doc_a") < col("doc_b"))
+          array_sort(toksCol).as("toks"))
+        .withColumn("xs", transform(col("toks"), tok => tokenHashCol(tok)))
+        .filter(size(col("xs")) > 0)
+        .withColumn("band0", md5(concat_ws(":",
+          minPerm(col("xs"), 1299721, 104729), minPerm(col("xs"), 7919, 7507))))
+        .withColumn("band1", md5(concat_ws(":",
+          minPerm(col("xs"), 104183, 337), minPerm(col("xs"), 909091, 5861))))
+        .select("doc_id", "toks", "band0", "band1")
+      val a = keyed.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("band0").as("b0a"), col("band1").as("b1a"))
+      val b = keyed.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("band0").as("b0b"), col("band1").as("b1b"))
+      val c0 = a.join(b, col("b0a") === col("b0b") && col("doc_a") < col("doc_b"))
+      val c1 = a.join(b, col("b1a") === col("b1b") && col("doc_a") < col("doc_b")
+        && col("b0a") =!= col("b0b"))
+      c0.unionByName(c1)
         .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
         .withColumn("jaccard", round(col("inter").cast("double") /
           (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 4))
@@ -360,17 +382,38 @@ object Queries {
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     },
-    Some("""WITH d AS (
-           |  SELECT doc_id, list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS toks
-           |  FROM documents WHERE doc_id < 200
-           |)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-           |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
-           |FROM d a JOIN d b ON a.doc_id < b.doc_id
-           |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-           |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
-           |ORDER BY 1, 2""".stripMargin))
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS toks
+            |  FROM documents
+            |), toksu AS (
+            |  SELECT doc_id, $duckTokenHash AS x
+            |  FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+            |), sig AS (
+            |  SELECT doc_id,
+            |    min((x*1299721 + 104729) % 1000000007) AS mh0,
+            |    min((x*7919 + 7507) % 1000000007) AS mh1,
+            |    min((x*104183 + 337) % 1000000007) AS mh2,
+            |    min((x*909091 + 5861) % 1000000007) AS mh3
+            |  FROM toksu GROUP BY 1
+            |), keyed AS (
+            |  SELECT d.doc_id, d.toks,
+            |    md5(concat(CAST(mh0 AS VARCHAR), ':', CAST(mh1 AS VARCHAR))) AS band0,
+            |    md5(concat(CAST(mh2 AS VARCHAR), ':', CAST(mh3 AS VARCHAR))) AS band1
+            |  FROM d JOIN sig USING (doc_id)
+            |), cand AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.toks AS toks_a, b.toks AS toks_b
+            |  FROM keyed a JOIN keyed b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+            |  UNION ALL
+            |  SELECT a.doc_id, b.doc_id, a.toks, b.toks
+            |  FROM keyed a JOIN keyed b ON a.band1 = b.band1 AND a.doc_id < b.doc_id AND a.band0 <> b.band0
+            |)
+            |SELECT doc_a, doc_b,
+            |  round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE) /
+            |        (len(toks_a) + len(toks_b) - len(list_intersect(toks_a, toks_b))), 4) AS jaccard
+            |FROM cand
+            |WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE) /
+            |      (len(toks_a) + len(toks_b) - len(list_intersect(toks_a, toks_b))) >= 0.5
+            |ORDER BY 1, 2""".stripMargin))
 
   // ---------- training-data ops: text analysis ----------
 

@@ -48,11 +48,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Broadcast"), plan.take(2000))
   }
 
-  test("minhash pipeline keeps one aggregation shuffle (d2)") {
+  test("minhash signatures are row-local: single exchange (the output sort) in d2") {
     val plan = planOf("d2_minhash_lsh")
     val exchanges = "Exchange".r.findAllIn(plan).length
-    // one partial->final agg exchange + the deterministic output sort
-    assert(exchanges <= 3, s"$exchanges exchanges:\n${plan.take(3000)}")
+    // signatures fold per-row; the only exchange is the deterministic sort
+    assert(exchanges == 1, s"$exchanges exchanges:\n${plan.take(3000)}")
+  }
+
+  test("simhash is row-local: single exchange (the output sort) in d3") {
+    val plan = planOf("d3_simhash")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n${plan.take(3000)}")
+  }
+
+  test("near-dup verify joins on LSH band keys, never a cartesian (d6)") {
+    val plan = planOf("d6_near_dup_verify")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
   test("anti-join resume broadcasts the done set when small") {

@@ -229,6 +229,65 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.get(68).contains("A")) // gid 65+3 -> 'A'
     assert(m.get(69).contains("B"))
   }
+
+  test("Type0 without /ToUnicode falls back to the embedded /FontFile2 cmap") {
+    // pins the FontFile2 sfnt fallback (DocumentStructure.hs:908-935)
+    // end-to-end: Identity-H Type0 font, no /ToUnicode, embedded sfnt whose
+    // format-4 cmap maps gid 68->'A', 69->'B'; 2-byte codes <00440045>.
+    import java.io.ByteArrayOutputStream
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val sub = new ByteArrayOutputStream()
+    sub.write(be16(4)); sub.write(be16(32)); sub.write(be16(0))
+    sub.write(be16(4)); sub.write(be16(4)); sub.write(be16(1)); sub.write(be16(0))
+    sub.write(be16(66)); sub.write(be16(0xffff)); sub.write(be16(0))
+    sub.write(be16(65)); sub.write(be16(0xffff))
+    sub.write(be16(3)); sub.write(be16(1))
+    sub.write(be16(0)); sub.write(be16(0))
+    val cmapTable = new ByteArrayOutputStream()
+    cmapTable.write(be16(0)); cmapTable.write(be16(1))
+    cmapTable.write(be16(3)); cmapTable.write(be16(1)); cmapTable.write(be32(12))
+    cmapTable.write(sub.toByteArray)
+    val cmapBytes = cmapTable.toByteArray
+    val fontOut = new ByteArrayOutputStream()
+    fontOut.write(be32(0x00010000)); fontOut.write(be16(1))
+    fontOut.write(be16(0)); fontOut.write(be16(0)); fontOut.write(be16(0))
+    fontOut.write("cmap".getBytes); fontOut.write(be32(0)); fontOut.write(be32(28)); fontOut.write(be32(cmapBytes.length))
+    fontOut.write(cmapBytes)
+    val sfnt = new String(fontOut.toByteArray, ISO_8859_1)
+
+    val content = "BT /F1 12 Tf 72 720 Td <00440045> Tj ET\n"
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+      s"<< /Length ${content.length} >>\nstream\n${content}endstream",
+      "<< /Type /Font /Subtype /Type0 /BaseFont /Test /Encoding /Identity-H " +
+        "/DescendantFonts [6 0 R] >>",
+      "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Test " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+        "/FontDescriptor 7 0 R /DW 1000 >>",
+      "<< /Type /FontDescriptor /FontName /Test /Flags 4 /FontFile2 8 0 R >>",
+      s"<< /Length ${sfnt.length} >>\nstream\n${sfnt}\nendstream")
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    def bb(s: String): Array[Byte] = s.getBytes(ISO_8859_1)
+    val offsets = new scala.collection.mutable.ArrayBuffer[Int]
+    out ++= bb("%PDF-1.5\n%µ¶\n")
+    for ((body, i) <- objects.zipWithIndex) {
+      offsets += out.length
+      out ++= bb(s"${i + 1} 0 obj\n$body\nendobj\n")
+    }
+    val xrefAt = out.length
+    out ++= bb(s"xref\n0 ${objects.length + 1}\n0000000000 65535 f \n")
+    for (off <- offsets) out ++= bb(f"$off%010d 00000 n \n")
+    out ++= bb(s"trailer\n<< /Size ${objects.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+
+    val doc = DocStructure.openDocument(out.toArray, None).toOption.get
+    val text = Extract.taggedText(doc).toOption.get
+    assert(text == "AB\n", s"got ${text.getBytes(ISO_8859_1).mkString(",")}")
+  }
 }
 
 class CffSpec extends AnyFunSuite {
