@@ -423,24 +423,34 @@ object Streaming {
     }
   }
 
-  /** Tumbling-window event counts with a 10-minute watermark over a
-    * file-source stream of the events table (AvailableNow -> finite). */
-  def windowedEventCounts(spark: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
-    val eventsDir = streamDir(eventsDir0)
+  /** The windowed-count streaming plan: tumbling 1-hour windows with a
+    * 10-minute watermark. Exposed un-started so tests can assert the
+    * EventTimeWatermark node is in the plan (the state-eviction contract). */
+  def windowedEventCountsPlan(spark: SparkSession, eventsDir: String): DataFrame = {
     val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    spark.readStream.schema(schema).parquet(eventsDir)
       .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> event-time type
-    val agg = stream
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("events"),
         sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("events"), col("sum_value"))
-    val q = agg.writeStream
+  }
+
+  /** Tumbling-window event counts over a file-source stream of the events
+    * table (AvailableNow -> finite). Output mode is APPEND: a window is
+    * emitted once, when the watermark passes its end, and its state is
+    * evicted — constant state at any stream length. (Complete mode would
+    * retain every window ever seen: a state-store OOM at 100 TB.) Windows
+    * still inside the final watermark stay in state and are not emitted —
+    * the price of eviction on a finite run. */
+  def windowedEventCounts(spark: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
+    val eventsDir = streamDir(eventsDir0)
+    val q = windowedEventCountsPlan(spark, eventsDir).writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode(OutputMode.Complete())
+      .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -451,9 +461,11 @@ object Streaming {
       lastTs: java.sql.Timestamp, distinctTypes: Int)
 
   /** Custom keyed state: per-user running session summary via
-    * flatMapGroupsWithState (KeyValueGroupedDataset), processing-time
-    * timeout semantics are irrelevant under AvailableNow but the state
-    * plumbing is the real thing. */
+    * flatMapGroupsWithState (KeyValueGroupedDataset). The distinct-type
+    * count is tracked with a KMV sketch, so per-key state is BOUNDED at
+    * O(Kmv.K) regardless of event-type cardinality (exact below K
+    * distinct types — an unbounded Set[String] here would grow with
+    * cardinality for the lifetime of the key). */
   def userSessions(spark: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
     import spark.implicits._
     val eventsDir = streamDir(eventsDir0)
@@ -463,20 +475,20 @@ object Streaming {
       .as[(Long, java.sql.Timestamp, String)]
     val sessions = stream
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, java.sql.Timestamp, java.sql.Timestamp, Set[String]), UserSession](
+      .flatMapGroupsWithState[(Long, java.sql.Timestamp, java.sql.Timestamp, Array[Long]), UserSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
-         state: GroupState[(Long, java.sql.Timestamp, java.sql.Timestamp, Set[String])]) =>
-          var (n, first, last, types) = state.getOption.getOrElse(
-            (0L, null: java.sql.Timestamp, null: java.sql.Timestamp, Set.empty[String]))
+         state: GroupState[(Long, java.sql.Timestamp, java.sql.Timestamp, Array[Long])]) =>
+          var (n, first, last, kmv) = state.getOption.getOrElse(
+            (0L, null: java.sql.Timestamp, null: java.sql.Timestamp, Array.emptyLongArray))
           for ((_, ts, tpe) <- rows) {
             n += 1
             if (first == null || ts.before(first)) first = ts
             if (last == null || ts.after(last)) last = ts
-            types += tpe
+            kmv = Kmv.addItem(kmv, tpe)
           }
-          state.update((n, first, last, types))
-          Iterator.single(UserSession(user, n, first, last, types.size))
+          state.update((n, first, last, kmv))
+          Iterator.single(UserSession(user, n, first, last, Kmv.estimate(kmv)))
       }
     val q = sessions.toDF().writeStream
       .format("memory")

@@ -142,11 +142,18 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("stateful streaming: windowed counts + keyed sessions over events") {
     val dir = "/root/testdata/sf0.001"
     val win = graft.spark.Streaming.windowedEventCounts(spark, s"$dir/events.parquet", "t_win")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    // Append mode emits exactly the windows the final watermark
+    // (max event ts - 10 min) has passed; trailing windows stay in state.
+    val events = spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", col("ts").cast("timestamp"))
+    val maxTs = events.agg(org.apache.spark.sql.functions.max("ts")).collect()(0).getTimestamp(0)
+    val wm = new java.sql.Timestamp(maxTs.getTime - 10 * 60 * 1000)
+    val batch = events
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"), col("event_type"))
       .count()
-    assert(win.count() == batch.count())
+      .filter(col("window.end") <= lit(wm))
+    assert(win.count() == batch.count(), s"win=${win.count()} batch=${batch.count()}")
+    assert(win.count() > 0)
     val sess = graft.spark.Streaming.userSessions(spark, s"$dir/events.parquet", "t_sess")
     val users = spark.read.parquet(s"$dir/events.parquet").select("user_id").distinct().count()
     // one session row per user per micro-batch; AvailableNow may use several
@@ -155,6 +162,35 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ev = sess.groupBy("user_id").agg(org.apache.spark.sql.functions.max("events").as("n"))
       .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
     assert(ev == spark.read.parquet(s"$dir/events.parquet").count())
+  }
+
+  test("windowed-count plan carries the watermark (Append-mode state eviction)") {
+    val dir = java.nio.file.Files.createTempDirectory("wm_plan").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val plan = graft.spark.Streaming.windowedEventCountsPlan(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("EventTimeWatermark"), plan.take(2000))
+    // no Complete output mode anywhere in the streaming surfaces
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/spark/Pipeline.scala")), "UTF-8")
+    assert(!src.contains("OutputMode.Complete"), "Complete mode retains all windows forever")
+  }
+
+  test("KMV sketch: exact below K, bounded state and sane estimate above") {
+    var kmv = Array.emptyLongArray
+    // exact range: every distinct count below K is exact
+    for (i <- 0 until graft.spark.Kmv.K - 1) kmv = graft.spark.Kmv.addItem(kmv, s"type-$i")
+    assert(graft.spark.Kmv.estimate(kmv) == graft.spark.Kmv.K - 1)
+    // duplicates never change the estimate
+    for (i <- 0 until 50) kmv = graft.spark.Kmv.addItem(kmv, s"type-$i")
+    assert(graft.spark.Kmv.estimate(kmv) == graft.spark.Kmv.K - 1)
+    // blow past K with >10k distinct types: state stays capped at K longs
+    for (i <- 0 until 12000) kmv = graft.spark.Kmv.addItem(kmv, s"hot-key-$i")
+    assert(kmv.length == graft.spark.Kmv.K, s"state grew to ${kmv.length}")
+    val est = graft.spark.Kmv.estimate(kmv)
+    val truth = 12000 + graft.spark.Kmv.K - 1
+    assert(math.abs(est - truth).toDouble / truth < 0.2, s"estimate $est vs $truth")
   }
 
   test("page colorspace listing (legacy surface)") {
