@@ -15,6 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Generator ground truth for the extraction oracles: url/kind/pages/
+    // expected text known BY CONSTRUCTION (no kernel run). The x1/x2/x3
+    // oracle SQL reads this via read_parquet('__AUX__/*.parquet').
+    locally {
+      import org.apache.spark.sql.functions.col
+      graft.spark.CorpusGen.corpus(spark, rows = 180, partitions = 8)
+        .select(col("url"), col("kind"), col("pages"), col("expected").as("text"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/aux_expected")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -34,8 +44,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val auxPath = new java.io.File(outDir, "aux_expected").getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUX__", auxPath))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

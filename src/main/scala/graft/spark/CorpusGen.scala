@@ -16,7 +16,8 @@ object CorpusGen {
       text: String,
       lang: String,
       expected: String,
-      kind: String)
+      kind: String,
+      pages: Int)
 
   private val epochMs = 1577836800000L // 2020-01-01T00:00:00Z
 
@@ -31,7 +32,8 @@ object CorpusGen {
       text = if (d.kind == "textrow") d.expected else null,
       lang = d.lang,
       expected = d.expected,
-      kind = d.kind)
+      kind = d.kind,
+      pages = d.pages)
   }
 
   /** Build the corpus as a DataFrame. Rows are generated ON THE EXECUTORS
@@ -82,7 +84,8 @@ object CorpusGen {
         text = null,
         lang = if (name.startsWith("cmap-")) "ja" else "en",
         expected = expected,
-        kind = name)
+        kind = name,
+        pages = -1) // reference fixtures: page count not generator-known
     }).toDF())
   }
 

@@ -13,7 +13,10 @@ import graft.core.{Crypt, Filters, Security}
   */
 object FixtureGen {
 
-  final case class Doc(kind: String, bytes: Array[Byte], expected: String, lang: String)
+  /** `pages` is generator ground truth (page count by construction) so the
+    * extraction surface can be oracled without running the kernel. */
+  final case class Doc(kind: String, bytes: Array[Byte], expected: String, lang: String,
+      pages: Int = 1)
 
   private def b(s: String): Array[Byte] = s.getBytes(ISO_8859_1)
 
@@ -183,7 +186,7 @@ object FixtureGen {
       pages.map(contentObj(_, compress = false)) :+
       helvetica
     val pdf = classicPdf(objs)
-    Doc("multipage", pdf, bodyLines.mkString(" ") + "\n", "en")
+    Doc("multipage", pdf, bodyLines.mkString(" ") + "\n", "en", pages = n)
   }
 
   /** Tagged PDF: /StructTreeRoot -> /Document -> two /P elements with MCIDs. */
@@ -316,7 +319,7 @@ object FixtureGen {
       (0 until nPages).map(k => pageObj(2, firstContent + k, fontObj)) ++
       pageStreams.map(contentObj(_, compress = true)) :+
       helvetica
-    Doc("book", classicPdf(objs), expected.toString + "\n", "en")
+    Doc("book", classicPdf(objs), expected.toString + "\n", "en", pages = nPages)
   }
 
   /** Document with an /Outlines tree (toc query surface): two chapters,
