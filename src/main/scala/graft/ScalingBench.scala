@@ -16,30 +16,53 @@ import graft.spark.{CorpusGen, Pipeline}
 object ScalingBench {
 
   final case class Level(cpus: Int, docs: Long, bestSecs: Double, docsPerSec: Double,
-      matchRate: Double, reps: List[Double])
+      matchRate: Double, reps: List[Double], saltedBestSecs: Double = 0.0,
+      weightedBestSecs: Double = 0.0)
 
-  def runLevel(cpus: Int, docs: Long, reps: Int): Level = {
+  /** Giant threshold for the skew variant: light kinds are <= ~3 KB, the
+    * ~400-page giants are >100 KB — anything over 50 KB is a giant. */
+  val SkewThresholdBytes = 50000L
+
+  def runLevel(cpus: Int, docs: Long, reps: Int, skew: Boolean = false): Level = {
     val spark = Bench.buildSession(cpus)
     try {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_scale_$cpus").toString
-      CorpusGen.corpus(spark, docs, cpus * 4, heavy = true)
-        .write.mode("overwrite").parquet(s"$tmp/corpus")
+      val giantEvery = sys.env.getOrElse("SPARK_GRAFT_GIANT_EVERY",
+        math.max(docs / 96, 1).toString).toLong
+      val corpus =
+        if (skew) CorpusGen.heavyTailCorpus(spark, docs, cpus * 4, giantEvery = giantEvery)
+        else CorpusGen.corpus(spark, docs, cpus * 4, heavy = true)
+      corpus.write.mode("overwrite").parquet(s"$tmp/corpus")
       val stored = spark.read.parquet(s"$tmp/corpus")
+      // The primary (headline) plan never shuffles: the scan's byte-based
+      // splits (maxPartitionBytes=8m) are themselves size-weighted, so a
+      // task holds at most ceil(8MB/giant-size)+1 giants. The explicit
+      // strategies below exist for when a shuffle is forced anyway.
+      def scanInput = stored.select("url", "html", "text")
+      def weighted = Pipeline.sizeWeightedRepartition(
+        scanInput, cpus * 4, cpus * 4, SkewThresholdBytes)
+      def salted = scanInput
+        .repartition(cpus * 4, pmod(xxhash64(col("url")), lit(cpus * 4)))
       // match-rate gate (untimed; also serves as JIT warmup)
-      val gate = Pipeline.extract(spark, stored).toDF()
+      val gate = Pipeline.extract(spark, scanInput).toDF()
         .join(stored.select("url", "expected"), Seq("url"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("text") === col("expected"), 1L).otherwise(0L)).as("m"))
         .collect()(0)
       val matchRate = gate.getLong(1).toDouble / math.max(gate.getLong(0), 1)
-      val times = (1 to reps).map { _ =>
+      def time(input: => org.apache.spark.sql.DataFrame): Double = {
         val t0 = System.nanoTime()
-        Pipeline.extract(spark, stored).toDF()
+        Pipeline.extract(spark, input).toDF()
           .agg(sum(when(col("ok"), 1L).otherwise(0L))).collect()
         (System.nanoTime() - t0) / 1e9
-      }.toList
+      }
+      val times = (1 to reps).map(_ => time(scanInput)).toList
+      // skew mode: weighted-repartition vs hash-salted contrast on the
+      // SAME corpus (best of the same rep count each)
+      val weightedBest = if (skew) (1 to reps).map(_ => time(weighted)).min else 0.0
+      val saltedBest = if (skew) (1 to reps).map(_ => time(salted)).min else 0.0
       val best = times.min
-      Level(cpus, docs, best, docs / best, matchRate, times)
+      Level(cpus, docs, best, docs / best, matchRate, times, saltedBest, weightedBest)
     } finally spark.stop()
   }
 
@@ -47,13 +70,20 @@ object ScalingBench {
     val docs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
     val n = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val skew = sys.env.get("SPARK_GRAFT_SKEW").contains("1")
     val n4 = 4 * n
 
-    val rN = runLevel(n, docs, reps)
-    val r4N = runLevel(n4, docs, reps)
+    val rN = runLevel(n, docs, reps, skew)
+    val r4N = runLevel(n4, docs, reps, skew)
     val efficiency = r4N.docsPerSec / (4.0 * rN.docsPerSec)
 
     def fmtList(xs: List[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    val skewExtra = if (skew)
+      ",\"skew\":true,\"salted_best_secs_n\":" + f"${rN.saltedBestSecs}%.2f" +
+        ",\"salted_best_secs_4n\":" + f"${r4N.saltedBestSecs}%.2f" +
+        ",\"weighted_best_secs_n\":" + f"${rN.weightedBestSecs}%.2f" +
+        ",\"weighted_best_secs_4n\":" + f"${r4N.weightedBestSecs}%.2f"
+    else ""
     println(
       "{\"metric\":\"scaling_efficiency\",\"value\":" + f"$efficiency%.3f" +
         ",\"unit\":\"ratio\",\"docs\":" + docs +
@@ -63,7 +93,7 @@ object ScalingBench {
         ",\"reps_n\":" + fmtList(rN.reps) +
         ",\"reps_4n\":" + fmtList(r4N.reps) +
         ",\"match_rate_n\":" + rN.matchRate +
-        ",\"match_rate_4n\":" + r4N.matchRate + "}")
+        ",\"match_rate_4n\":" + r4N.matchRate + skewExtra + "}")
 
     if (args.contains("--write-md")) {
       val md =

@@ -162,29 +162,39 @@ object CharMaps {
     b.result()
   }
 
-  /** Adobe-Japan1 CID -> unicode, derived from the standard's published
-    * structure: CIDs 1-95 are the ASCII printables (CID = code - 0x20 + 1),
-    * and CIDs 633-7477 assign contiguously over JIS X 0208 rows 1-7 then
-    * 16-84 (assigned cells only), decoded via the JVM's EUC-JP table.
-    * Verified anchors: 0xFF10 fullwidth zero = 780, hiragana small-a = 842,
-    * katakana small-a = 925, U+4E9C (level-1 kanji start) = 1125,
-    * U+65E5 = 3284, U+5F0C (level-2 start) = 4090. Supplement CIDs (7478+,
-    * vertical/proportional variants 96-632) are not covered; those fall
-    * back to safeChr / the legacy `[N]` placeholder. */
+  /** Adobe-Japan1 CID -> unicode (reference Character.hs:23-24,
+    * data/map/Adobe-Japan1-6.map). All 17,960 assigned CIDs including the
+    * proportional/halfwidth/vertical variant range 96-632 and supplement
+    * CIDs 7478+ — the round-1 structural derivation (ASCII + contiguous
+    * JIS X 0208) covered only 1-95 and 633-7477 and disagreed with the
+    * reference on 9 JIS-Roman/fullwidth quirk CIDs (61 yen, 93 broken bar,
+    * 95 small tilde, 633 EM space, 713/714/751 fullwidth cent/pound/not,
+    * and a 2-CID overrun at 7478/7479). Loaded from a run-length resource:
+    * `B<cid>:<chars>` = consecutive CIDs mapped to the payload's code
+    * points in order; `E<cid>:<string>` = one multi-char value (e.g. CID 0
+    * "[NOTDEF]", the reference's literal "????" kana-gist placeholders). */
   lazy val adobeJapan16Map: Map[Int, String] = {
-    val cs = Charset.forName("EUC-JP")
+    val in = getClass.getResourceAsStream("/graft/adobe-japan1-6.txt")
+    require(in != null, "adobe-japan1-6.txt resource missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
     val b = Map.newBuilder[Int, String]
-    for (code <- 0x20 to 0x7e) b += (code - 0x20 + 1) -> code.toChar.toString
-    var cid = 633
-    val rows = (1 to 7) ++ (16 to 84)
-    for (ku <- rows; ten <- 1 to 94) {
-      val bytes = Array((0x80 | (0x20 + ku)).toByte, (0x80 | (0x20 + ten)).toByte)
-      val s = new String(bytes, cs)
-      if (s.length == 1 && s.charAt(0) != '�') {
-        b += cid -> s
-        cid += 1
+    try {
+      for (line <- src.getLines() if line.nonEmpty) {
+        val colon = line.indexOf(':')
+        val cid0 = line.substring(1, colon).toInt
+        val payload = line.substring(colon + 1)
+        if (line.charAt(0) == 'B') {
+          var cid = cid0
+          var i = 0
+          while (i < payload.length) {
+            val cp = payload.codePointAt(i)
+            b += cid -> new String(Character.toChars(cp))
+            cid += 1
+            i += Character.charCount(cp)
+          }
+        } else b += cid0 -> payload
       }
-    }
+    } finally src.close()
     b.result()
   }
 

@@ -36,17 +36,21 @@ object Crypt {
   private def int16LE(n: Int): Array[Byte] =
     Array((n & 0xff).toByte, ((n >> 8) & 0xff).toByte)
 
-  /** securityFromEncryptDict (Encrypt.hs:51-66). */
+  private def dictInt(d: TreeMap[String, PObj], k: String): Option[Int] =
+    d.get(k).collect { case PNum(n) => Util.hsTruncate(n) }
+  private def dictBytes(d: TreeMap[String, PObj], k: String): Option[Array[Byte]] =
+    d.get(k).flatMap {
+      case PText(s) => Some(s.toCharArray.map(c => (c & 0xff).toByte))
+      case PHex(h) => hexToBytes(h)
+      case _ => None
+    }
+
+  /** securityFromEncryptDict (Encrypt.hs:51-66); V5 (AES-256, R5/R6) is
+    * beyond reference parity — the reference handles R<=4 only
+    * (Encrypt.hs:51-66, no SHA-256 anywhere). */
   def securityFromEncryptDict(encDict: TreeMap[String, PObj], trailer: TreeMap[String, PObj],
                               password: Option[String]): Option[Security] = {
-    def dictInt(d: TreeMap[String, PObj], k: String): Option[Int] =
-      d.get(k).collect { case PNum(n) => Util.hsTruncate(n) }
-    def dictBytes(d: TreeMap[String, PObj], k: String): Option[Array[Byte]] =
-      d.get(k).flatMap {
-        case PText(s) => Some(s.toCharArray.map(c => (c & 0xff).toByte))
-        case PHex(h) => hexToBytes(h)
-        case _ => None
-      }
+    if (dictInt(encDict, "/V").exists(_ >= 5)) return securityV5(encDict, password)
     for {
       r <- dictInt(encDict, "/R")
       v <- dictInt(encDict, "/V")
@@ -66,6 +70,72 @@ object Crypt {
       }
       key <- authenticateFileKey(pw, o, u, p, fileId, r, v, aes, metaEnc, keyLen)
     } yield Security(r, v, key, keyLen, aes)
+  }
+
+  // ---------- V5: AES-256, revisions 5/6 (ISO 32000-2 7.6.4) ----------
+
+  private def sha(alg: String, bs: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance(alg).digest(bs)
+
+  /** R6 Algorithm 2.B / R5 plain SHA-256 password hash. */
+  def hash2B(r: Int, pw: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256", pw ++ salt ++ udata)
+    if (r == 5) return k
+    var i = 0
+    var continue = true
+    while (continue) {
+      val k1 = pw ++ k ++ udata
+      val rep = new Array[Byte](k1.length * 64)
+      var t = 0
+      while (t < 64) { System.arraycopy(k1, 0, rep, t * k1.length, k1.length); t += 1 }
+      val e = aesCbcEncrypt(k.take(16), k.slice(16, 32), rep)
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      k = mod match {
+        case 0 => sha("SHA-256", e)
+        case 1 => sha("SHA-384", e)
+        case 2 => sha("SHA-512", e)
+      }
+      i += 1
+      continue = i < 64 || (e(e.length - 1) & 0xff) > i - 32
+    }
+    k.take(32)
+  }
+
+  def aesCbcEncrypt(key: Array[Byte], iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  def aesCbcDecrypt(key: Array[Byte], iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data.take(data.length / 16 * 16))
+  }
+
+  /** V5 authentication (Algorithms 2.A / 8 / 9): /O and /U are
+    * hash(32) ++ validationSalt(8) ++ keySalt(8); the file key comes from
+    * AES-256-CBC(iv=0) decryption of /UE or /OE with the intermediate key.
+    * No /ID involvement and no per-object keys at V5. */
+  private def securityV5(encDict: TreeMap[String, PObj], password: Option[String]): Option[Security] = {
+    for {
+      r <- dictInt(encDict, "/R")
+      o <- dictBytes(encDict, "/O") if o.length >= 48
+      u <- dictBytes(encDict, "/U") if u.length >= 48
+      oe <- dictBytes(encDict, "/OE")
+      ue <- dictBytes(encDict, "/UE")
+      pw = password.map(_.getBytes("UTF-8").take(127)).getOrElse(Array.emptyByteArray)
+      key <- {
+        val none = Array.emptyByteArray
+        if (java.util.Arrays.equals(hash2B(r, pw, u.slice(32, 40), none), u.take(32)))
+          Some(aesCbcDecrypt(hash2B(r, pw, u.slice(40, 48), none), new Array[Byte](16), ue).take(32))
+        else if (java.util.Arrays.equals(hash2B(r, pw, o.slice(32, 40), u.take(48)), o.take(32)))
+          Some(aesCbcDecrypt(hash2B(r, pw, o.slice(40, 48), u.take(48)), new Array[Byte](16), oe).take(32))
+        else None
+      }
+    } yield Security(r, 5, key, 32, aes = true)
   }
 
   private def usesAes(d: TreeMap[String, PObj]): Boolean =
@@ -221,6 +291,7 @@ object Crypt {
     rc4(key, new Array[Byte](math.max(0, n)))
 
   def decryptString(sec: Security, objNum: Int, genNum: Int, bs: Array[Byte]): Array[Byte] = {
+    if (sec.version >= 5) return stripPkcs7(aesDecrypt(sec.key, bs)) // V5: file key direct
     val ok = objectKey(sec, objNum, genNum)
     if (sec.aes) stripPkcs7(aesDecrypt(ok, bs)) else rc4(ok, bs)
   }
@@ -243,7 +314,7 @@ object Crypt {
     if (bs.length < 16) return bs
     try {
       val cipher = Cipher.getInstance("AES/ECB/NoPadding")
-      cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key.take(16), "AES"))
+      cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"))
       val body = bs.drop(16)
       val nBlocks = body.length / 16
       val out = new Array[Byte](nBlocks * 16)

@@ -21,22 +21,120 @@ object Filters {
   def decodeStreamBytes(d: TreeMap[String, PObj], s: Array[Byte]): Either[PdfError, Array[Byte]] =
     for {
       filters <- streamFilterNames(d)
-      filtered <- applyFilters(filters, s)
+      filtered <- applyFilters(filters, s, lzwEarlyChange(d))
       out <- applyPredictor(d, filtered)
     } yield out
 
-  private def applyFilters(filters: List[String], s: Array[Byte]): Either[PdfError, Array[Byte]] =
+  private def applyFilters(filters: List[String], s: Array[Byte],
+      earlyChange: Int): Either[PdfError, Array[Byte]] =
     filters match {
       case Nil => Right(s)
-      case f :: fs => decodeOne(f, s).flatMap(applyFilters(fs, _))
+      case f :: fs => decodeOne(f, s, earlyChange).flatMap(applyFilters(fs, _, earlyChange))
     }
 
-  def decodeOne(name: String, s: Array[Byte]): Either[PdfError, Array[Byte]] = name match {
-    case "/FlateDecode" => Right(inflate(s))
-    case "/DCTDecode" => Right(s)
-    case "/ASCII85Decode" => Right(ascii85(s))
-    case other => Left(PdfError.UnsupportedFeature(
-      s"unsupported stream filter $other (supported: /FlateDecode /DCTDecode /ASCII85Decode)"))
+  def decodeOne(name: String, s: Array[Byte], earlyChange: Int = 1): Either[PdfError, Array[Byte]] =
+    name match {
+      case "/FlateDecode" => Right(inflate(s))
+      case "/DCTDecode" => Right(s)
+      case "/ASCII85Decode" => Right(ascii85(s))
+      case "/LZWDecode" => lzwDecode(s, earlyChange)
+      case "/RunLengthDecode" => runLengthDecode(s)
+      case other => Left(PdfError.UnsupportedFeature(
+        s"unsupported stream filter $other (supported: /FlateDecode /DCTDecode " +
+          "/ASCII85Decode /LZWDecode /RunLengthDecode)"))
+    }
+
+  /** /DecodeParms /EarlyChange (LZW code-width bump one entry early;
+    * PDF default 1, ISO 32000-1 7.4.4.2). */
+  private def lzwEarlyChange(d: TreeMap[String, PObj]): Int =
+    d.get("/DecodeParms") match {
+      case Some(PDict(parms)) => parms.get("/EarlyChange") match {
+        case Some(PNum(v)) => Util.hsTruncate(v)
+        case _ => 1
+      }
+      case _ => 1
+    }
+
+  /** LZW (TIFF/PDF variant, ISO 32000-1 7.4.4): 9-bit codes growing to 12,
+    * clear code 256 resets the table, EOD 257. Beyond reference parity —
+    * the reference rejects LZW (DocumentStructure.hs:305-313) — but it is
+    * the most common real-world UnsupportedFeature in a crawl corpus. */
+  def lzwDecode(s: Array[Byte], earlyChange: Int = 1): Either[PdfError, Array[Byte]] = {
+    val Clear = 256
+    val Eod = 257
+    val out = new ArrayBuffer[Byte]
+    // table: entries 0..255 are single bytes; dynamic entries start at 258
+    var table = new ArrayBuffer[Array[Byte]]
+    def resetTable(): Unit = {
+      table = new ArrayBuffer[Array[Byte]]
+      var i = 0
+      while (i < 256) { table += Array(i.toByte); i += 1 }
+      table += Array.emptyByteArray // 256 clear
+      table += Array.emptyByteArray // 257 EOD
+    }
+    resetTable()
+    var width = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var prev: Array[Byte] = null
+    while (pos < s.length || bitCnt >= width) {
+      while (bitCnt < width && pos < s.length) {
+        bitBuf = (bitBuf << 8) | (s(pos) & 0xff)
+        bitCnt += 8
+        pos += 1
+      }
+      if (bitCnt < width) return Right(out.toArray) // trailing padding bits
+      val code = ((bitBuf >> (bitCnt - width)) & ((1 << width) - 1)).toInt
+      bitCnt -= width
+      if (code == Eod) return Right(out.toArray)
+      else if (code == Clear) {
+        resetTable()
+        width = 9
+        prev = null
+      } else {
+        val entry: Array[Byte] =
+          if (code < table.length) table(code)
+          else if (code == table.length && prev != null) prev :+ prev(0) // KwKwK
+          else return Left(PdfError.ParseError(s"LZW: code $code beyond table (${table.length})"))
+        // blowup guard: entries grow with the table, so a small crafted
+        // input can demand O(n^2) output (decompression bomb)
+        if (out.length + entry.length > (256 << 20))
+          return Left(PdfError.ParseError("LZW: decoded output exceeds 256MB"))
+        out ++= entry
+        if (prev != null && table.length < 4096) table += (prev :+ entry(0))
+        prev = entry
+        // width bump: with EarlyChange=1 (default) one entry early
+        val limit = table.length + (if (earlyChange != 0) 1 else 0)
+        if (limit >= (1 << width) && width < 12) width += 1
+      }
+    }
+    Right(out.toArray)
+  }
+
+  /** RunLengthDecode (ISO 32000-1 7.4.5): length byte n -> 0..127 copies
+    * the next n+1 bytes; 129..255 repeats the next byte 257-n times; 128 is
+    * EOD. Beyond reference parity (reference rejects it). */
+  def runLengthDecode(s: Array[Byte]): Either[PdfError, Array[Byte]] = {
+    val out = new ArrayBuffer[Byte]
+    var i = 0
+    while (i < s.length) {
+      val n = s(i) & 0xff
+      if (n == 128) return Right(out.toArray)
+      else if (n < 128) {
+        val take = math.min(n + 1, s.length - i - 1)
+        var k = 0
+        while (k < take) { out += s(i + 1 + k); k += 1 }
+        i += 1 + n + 1
+      } else {
+        if (i + 1 >= s.length) return Right(out.toArray) // truncated run
+        val b = s(i + 1)
+        var k = 0
+        while (k < 257 - n) { out += b; k += 1 }
+        i += 2
+      }
+    }
+    Right(out.toArray)
   }
 
   /** zlib inflate, tolerant of trailing garbage. Scratch buffer sized to

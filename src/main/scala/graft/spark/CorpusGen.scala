@@ -46,6 +46,25 @@ object CorpusGen {
     base.as[Long].mapPartitions(_.map(i => row(i, heavy))).toDF()
   }
 
+  /** Heavy-tailed corpus (rare ~1000x-size giants): the skew-bench input
+    * for Pipeline.sizeWeightedRepartition. */
+  def heavyTailCorpus(spark: SparkSession, rows: Long, partitions: Int,
+      giantEvery: Long, giantPages: Int = 4000): DataFrame = {
+    import spark.implicits._
+    spark.range(0, rows, 1, partitions).as[Long].mapPartitions(_.map { i =>
+      val d = FixtureGen.docForHeavyTail(i, giantEvery, giantPages)
+      CorpusRow(
+        url = s"https://corpus.test/${d.kind}/$i",
+        warc_ts = new Timestamp(epochMs + i * 1000L),
+        html = d.bytes,
+        text = if (d.kind == "textrow") d.expected else null,
+        lang = d.lang,
+        expected = d.expected,
+        kind = d.kind,
+        pages = d.pages)
+    }).toDF()
+  }
+
   /** Input-shape view (drops the ground-truth columns). */
   def inputView(corpus: DataFrame): DataFrame =
     corpus.select("url", "warc_ts", "html", "text", "lang")

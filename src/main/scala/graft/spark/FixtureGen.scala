@@ -284,8 +284,14 @@ object FixtureGen {
     * compressed — close to a small real-world PDF in kernel cost. Every
     * paragraph ends with '!' so pages never merge: the expected text is
     * fully predictable. */
-  def book(i: Long): Doc = {
-    val nPages = 24
+  def book(i: Long): Doc = bookN(i, 24)
+
+  /** A giant book: at the 4000-page default (~2.2 MB, ~0.6 s kernel) a
+    * single giant is a task-stalling unit next to the ~600 B light kinds —
+    * a >1000x byte spread, the heavy-tailed shape a crawl corpus has. */
+  def giantBook(i: Long, giantPages: Int = 4000): Doc = bookN(i, giantPages)
+
+  def bookN(i: Long, nPages: Int): Doc = {
     val parasPerPage = 5
     val linesPerPara = 6
     val expected = new StringBuilder
@@ -441,9 +447,166 @@ object FixtureGen {
     Doc("formparent", pdf, s"Outer form $i\n\nInner form $i\n", "en")
   }
 
+  /** LZW encoder (TIFF/PDF variant) for fixture construction: Clear first,
+    * 9->12-bit codes, width bump mirroring the decoder's EarlyChange rule. */
+  def lzwEncode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out += ((bitBuf >> (bitCnt - 8)) & 0xff).toByte
+        bitCnt -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[String, Int]
+    var next = 258
+    def codeOf(w: String): Int = if (w.length == 1) w.charAt(0).toInt else dict(w)
+    emit(256) // Clear
+    var w = ""
+    for (byte <- data) {
+      val c = (byte & 0xff).toChar
+      val wc = w + c
+      if (w.nonEmpty && (dict.contains(wc))) w = wc
+      else if (w.isEmpty) w = c.toString
+      else {
+        emit(codeOf(w))
+        if (next < 4096) {
+          dict(wc) = next
+          next += 1
+          // mirror decoder: bump when (table size) + earlyChange reaches 2^width
+          if ((next - 1) + earlyChange >= (1 << width) && width < 12) width += 1
+        }
+        w = c.toString
+      }
+    }
+    if (w.nonEmpty) emit(codeOf(w))
+    emit(257) // EOD
+    if (bitCnt > 0) out += ((bitBuf << (8 - bitCnt)) & 0xff).toByte
+    out.toArray
+  }
+
+  /** RunLengthDecode encoder: repeat runs >= 3 as 257-n + byte, literals in
+    * chunks of <= 128, EOD 128. */
+  def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]
+    def runLenAt(j: Int): Int = {
+      var r = 1
+      while (j + r < data.length && data(j + r) == data(j) && r < 128) r += 1
+      r
+    }
+    var i = 0
+    while (i < data.length) {
+      val run = runLenAt(i)
+      if (run >= 3) {
+        out += (257 - run).toByte
+        out += data(i)
+        i += run
+      } else {
+        // literal chunk: extend until a >=3 repeat run starts or 128 bytes
+        var litLen = run
+        while (i + litLen < data.length && litLen < 128 && runLenAt(i + litLen) < 3)
+          litLen += 1
+        litLen = math.min(litLen, 128)
+        out += (litLen - 1).toByte
+        var k = 0
+        while (k < litLen) { out += data(i + k); k += 1 }
+        i += litLen
+      }
+    }
+    out += 128.toByte // EOD
+    out.toArray
+  }
+
+  /** AES-256 R6 (PDF 2.0, ISO 32000-2) encrypted document, empty user
+    * password — beyond reference parity (reference handles R<=4 only). */
+  def encryptedAes256(i: Long): Doc = {
+    val line = s"AES-256 encrypted document $i"
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\n"
+    def sha256(x: Array[Byte]) = java.security.MessageDigest.getInstance("SHA-256").digest(x)
+    val r = 6
+    val pw = Array.emptyByteArray
+    val fileKey = sha256(b(s"graft-r6-file-key-$i")) // 32 bytes
+    val vSaltU = sha256(b(s"vsu-$i")).take(8)
+    val kSaltU = sha256(b(s"ksu-$i")).take(8)
+    val vSaltO = sha256(b(s"vso-$i")).take(8)
+    val kSaltO = sha256(b(s"kso-$i")).take(8)
+    val none = Array.emptyByteArray
+    val uValue = Crypt.hash2B(r, pw, vSaltU, none) ++ vSaltU ++ kSaltU // 48 bytes
+    val ueValue = Crypt.aesCbcEncrypt(Crypt.hash2B(r, pw, kSaltU, none),
+      new Array[Byte](16), fileKey)
+    val oValue = Crypt.hash2B(r, pw, vSaltO, uValue) ++ vSaltO ++ kSaltO
+    val oeValue = Crypt.aesCbcEncrypt(Crypt.hash2B(r, pw, kSaltO, uValue),
+      new Array[Byte](16), fileKey)
+    val p = -4
+    // /Perms: P-le32 ++ ff ff ff ff ++ 'T' ++ "adb" ++ 4 filler, AES-256-ECB
+    val permsPlain = Array((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >>> 24) & 0xff).toByte) ++
+      Array(0xff, 0xff, 0xff, 0xff).map(_.toByte) ++ b("Tadb") ++ b("grft")
+    val ecb = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    ecb.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+    val permsValue = ecb.doFinal(permsPlain)
+    // content stream: IV ++ AES-256-CBC with PKCS#7 padding, file key direct
+    val iv = sha256(b(s"iv256-$i")).take(16)
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(fileKey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val encContentStr = new String(iv ++ cipher.doFinal(b(content)), ISO_8859_1)
+    def hex(xs: Array[Byte]) = xs.map(x => f"${x & 0xff}%02X").mkString
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      pageObj(2, 4, 5),
+      s"<< /Length ${encContentStr.length} >>\nstream\n$encContentStr\nendstream",
+      helvetica,
+      s"<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+        s"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+        s"/StmF /StdCF /StrF /StdCF " +
+        s"/O <${hex(oValue)}> /U <${hex(uValue)}> " +
+        s"/OE <${hex(oeValue)}> /UE <${hex(ueValue)}> " +
+        s"/Perms <${hex(permsValue)}> /P $p >>")
+    val pdf = classicPdf(objs, trailerExtra = " /Encrypt 6 0 R")
+    Doc("encryptedaes256", pdf, line + "\n", "en")
+  }
+
+  /** One page whose content stream is /LZWDecode compressed (beyond
+    * reference parity: the reference errors on LZW). */
+  def lzwDoc(i: Long): Doc = {
+    val line = s"LZW compressed document $i"
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\n"
+    val enc = new String(lzwEncode(b(content)), ISO_8859_1)
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      pageObj(2, 4, 5),
+      s"<< /Length ${enc.length} /Filter /LZWDecode >>\nstream\n$enc\nendstream",
+      helvetica))
+    Doc("lzw", pdf, line + "\n", "en")
+  }
+
+  /** One page whose content stream is /RunLengthDecode compressed (beyond
+    * reference parity: the reference errors on RunLength). */
+  def runLengthDoc(i: Long): Doc = {
+    val line = s"RunLength compressed document $i"
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\n"
+    val enc = new String(runLengthEncode(b(content)), ISO_8859_1)
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      pageObj(2, 4, 5),
+      s"<< /Length ${enc.length} /Filter /RunLengthDecode >>\nstream\n$enc\nendstream",
+      helvetica))
+    Doc("runlength", pdf, line + "\n", "en")
+  }
+
   val kinds: Vector[Long => Doc] = Vector(
     classic, flate, xrefStream, objStm, multipage, tagged, encryptedRc4, htmlPage, textRow,
-    outlined, jpegImage, encryptedAes)
+    outlined, jpegImage, encryptedAes, lzwDoc, runLengthDoc, encryptedAes256)
 
   /** Deterministic corpus row i. */
   def docFor(i: Long): Doc = kinds((i % kinds.length).toInt)(i)
@@ -452,4 +615,10 @@ object FixtureGen {
     * variants (average kernel cost close to a real crawl's PDF mix). */
   def docForHeavy(i: Long): Doc =
     if (i % 2 == 0) book(i) else docFor(i)
+
+  /** Heavy-tailed row: a rare giant book (every `giantEvery` rows) in a
+    * sea of light documents — the skew shape that breaks plain hash
+    * salting (two giants colocating stalls a task). */
+  def docForHeavyTail(i: Long, giantEvery: Long, giantPages: Int = 4000): Doc =
+    if (i % giantEvery == 0) giantBook(i, giantPages) else docFor(i)
 }

@@ -129,6 +129,50 @@ object Pipeline {
       }
   }
 
+  /** Byte-size-weighted redistribution for heavy-tailed corpora
+    * (SURVEY §4.1): hash salting gives every giant an independent uniform
+    * partition, so two 500 MB PDFs still colocate with birthday-collision
+    * probability — and one such collision stalls a task for the whole
+    * job's tail. This makes giant placement EXACT:
+    *
+    *   - rows <= `giantThresholdBytes` are salted by url hash as usual;
+    *   - giant rows get dedicated partitions assigned round-robin over
+    *     their size-DESCENDING global rank (first-fit-decreasing-style),
+    *     so no slot ever holds more than ceil(G/slots) giants regardless
+    *     of hash luck. (Plain `repartition(n)` round-robin is only
+    *     per-input-partition exact — streams from different input
+    *     partitions still collide.)
+    *
+    * The rank is computed on a SKINNY (url, size) projection — the heavy
+    * payload bytes never pass through the single-task window — and joined
+    * back by broadcast (giants are rare by definition). `repartitionByRange`
+    * on the slot id maps each slot to its own partition (range bounds
+    * split at the distinct slot values). The union concatenates both
+    * partitionings without a further shuffle. Cost: two extra read passes
+    * over the giant subset (rank + range sampling); on a real Iceberg
+    * table you would precompute a size column at write time and both
+    * passes prune to (url, size) via column stats. Use giantSlots ~
+    * smallPartitions: when giants are fewer than slots each gets a
+    * partition to itself, and beyond that counts stay exact. */
+  def sizeWeightedRepartition(input: DataFrame, smallPartitions: Int, giantSlots: Int,
+      giantThresholdBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sz = length(col("html")).cast("long")
+    val smalls = input.where(coalesce(sz, lit(0L)) <= giantThresholdBytes)
+      .repartition(smallPartitions, pmod(xxhash64(col("url")), lit(smallPartitions)))
+    val slots = input.where(sz > giantThresholdBytes)
+      .select(col("url"), sz.as("giant_sz"))
+      .withColumn("giant_slot", pmod(
+        row_number().over(Window.orderBy(col("giant_sz").desc, col("url"))) - 1,
+        lit(giantSlots)))
+      .select(col("url"), col("giant_slot"))
+    val giants = input.where(sz > giantThresholdBytes)
+      .join(broadcast(slots), Seq("url"))
+      .repartitionByRange(giantSlots, col("giant_slot"))
+      .drop("giant_slot")
+    smalls.unionByName(giants)
+  }
+
   /** Per-partition lineage rows (append these to the metrics table). */
   def partitionMetrics(spark: SparkSession, ds: Dataset[ExtractedDoc]): Dataset[PartitionMetrics] = {
     import spark.implicits._

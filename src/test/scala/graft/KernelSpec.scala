@@ -217,6 +217,50 @@ class KernelSpec extends AnyFunSuite {
     assert(m(1125) == "\u4e9c") // first level-1 kanji
     assert(m(3284) == "\u65e5") // sun/day
     assert(m(4090) == "\u5f0c") // first level-2 kanji
+    // reference-map quirks the structural derivation missed
+    assert(m(61) == "\u00a5") // JIS-Roman yen at backslash position
+    assert(m(633) == "\u2003") // EM space, not ideographic space
+    assert(m(713) == "\uffe0") // fullwidth cent
+    // proportional/halfwidth variant range 96-632
+    assert(m(390) == "\uff40") // halfwidth fullwidth-grave variant
+    assert(m(500) == "\u254b") // box drawings heavy cross
+    // supplement CIDs beyond 7477
+    assert(m(7479) == "\u2500") // box drawings light horizontal
+    assert(m(0) == "[NOTDEF]")
+    assert(m.size == 17960)
+  }
+
+  test("Identity-H Adobe-Japan1 without ToUnicode: variant + supplement CIDs extract") {
+    // CIDs 1125 (亜), 390 (variant range 96-632: halfwidth grave), 500 (╋),
+    // 7479 (supplement: box light horizontal) as 2-byte codes.
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val hex = "0465" + "0186" + "01F4" + "1D37"
+    val stream = s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET\n"
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+      s"<< /Length ${stream.length} >>\nstream\n${stream}endstream",
+      "<< /Type /Font /Subtype /Type0 /BaseFont /TestMincho /Encoding /Identity-H " +
+        "/DescendantFonts [6 0 R] >>",
+      "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /TestMincho " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) /Supplement 6 >> /DW 1000 >>")
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    def bb(s: String): Array[Byte] = s.getBytes(ISO_8859_1)
+    val offsets = new scala.collection.mutable.ArrayBuffer[Int]
+    out ++= bb("%PDF-1.5\n%µ¶\n")
+    for ((body, i) <- objects.zipWithIndex) {
+      offsets += out.length
+      out ++= bb(s"${i + 1} 0 obj\n$body\nendobj\n")
+    }
+    val xrefAt = out.length
+    out ++= bb(s"xref\n0 ${objects.length + 1}\n0000000000 65535 f \n")
+    for (off <- offsets) out ++= bb(f"$off%010d 00000 n \n")
+    out ++= bb(s"trailer\n<< /Size ${objects.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val doc = DocStructure.openDocument(out.toArray, None).toOption.get
+    val text = Extract.taggedText(doc).toOption.get
+    assert(text == "亜｀╋─\n", text.map(_.toInt.toHexString).mkString(","))
   }
 
   // ---- ToUnicode CMap parsing (Cmap.hs behavior) ----
@@ -255,6 +299,55 @@ class KernelSpec extends AnyFunSuite {
     val data = Array[Byte](0, 1, 2, 3, 2, 1, 1, 1)
     val out = Filters.decodePngPredictors(data, 3).toOption.get
     assert(out.toList == List[Byte](1, 2, 3, 2, 3, 4))
+  }
+
+  test("LZW decode: hand-packed 9-bit code vector") {
+    // codes 256(Clear) 65 66 258 258 257(EOD) packed big-endian at 9 bits
+    // decode to "ABABAB" (entry 258 = "AB" created by the decoder)
+    val bytes = Array(0x80, 0x10, 0x48, 0x50, 0x28, 0x14, 0x04).map(_.toByte)
+    val out = Filters.lzwDecode(bytes).toOption.get
+    assert(new String(out, "ISO-8859-1") == "ABABAB")
+  }
+
+  test("LZW roundtrip crosses the 9->10 bit width boundary, both EarlyChange modes") {
+    // >300 distinct two-byte transitions force table past 511 entries
+    val data = Array.tabulate(4096)(i => ((i * 37 + (i / 256)) % 251).toByte)
+    for (early <- Seq(0, 1)) {
+      val enc = graft.spark.FixtureGen.lzwEncode(data, early)
+      val dec = Filters.lzwDecode(enc, early).toOption.get
+      assert(dec.toList == data.toList, s"earlyChange=$early mismatch")
+    }
+    // text-ish payload too
+    val text = ("the quick brown fox jumps over the lazy dog " * 40).getBytes("ISO-8859-1")
+    assert(Filters.lzwDecode(graft.spark.FixtureGen.lzwEncode(text)).toOption.get.toList
+      == text.toList)
+  }
+
+  test("RunLengthDecode: literal, repeat and EOD") {
+    // 3 -> copy 4 bytes; 254 -> repeat next byte 257-254=3 times; 128 EOD
+    val enc = Array[Byte](3, 'a', 'b', 'c', 'd', 254.toByte, 'x', 128.toByte, 99)
+    assert(new String(Filters.runLengthDecode(enc).toOption.get, "ISO-8859-1") == "abcdxxx")
+    val data = "aaaaabcdefggggghhhh  trailing".getBytes("ISO-8859-1")
+    val rt = Filters.runLengthDecode(graft.spark.FixtureGen.runLengthEncode(data)).toOption.get
+    assert(rt.toList == data.toList)
+  }
+
+  test("LZW and RunLength fixture PDFs extract end-to-end") {
+    for (d <- Seq(graft.spark.FixtureGen.lzwDoc(5), graft.spark.FixtureGen.runLengthDoc(5))) {
+      val doc = DocStructure.openDocument(d.bytes, None).toOption.get
+      assert(Extract.taggedText(doc) == Right(d.expected), d.kind)
+    }
+  }
+
+  test("AES-256 R6 fixture decrypts and extracts (empty user password)") {
+    val d = graft.spark.FixtureGen.encryptedAes256(9)
+    val doc = DocStructure.openDocument(d.bytes, None).toOption.get
+    assert(doc.security.exists(s => s.revision == 6 && s.version == 5 && s.key.length == 32))
+    assert(Extract.taggedText(doc) == Right(d.expected))
+    // R<=4 behavior untouched: the R4 AES-128 fixture still round-trips
+    val d4 = graft.spark.FixtureGen.encryptedAes(9)
+    val doc4 = DocStructure.openDocument(d4.bytes, None).toOption.get
+    assert(Extract.taggedText(doc4) == Right(d4.expected))
   }
 
   // ---- HTML stripper ----

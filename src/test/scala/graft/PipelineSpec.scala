@@ -141,6 +141,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain == salted)
   }
 
+  test("size-weighted repartition: giants land in distinct slots, results identical") {
+    import org.apache.spark.sql.functions._
+    // 60 rows with a giant every 10 -> 6 giants, 6 slots -> exactly 1 each
+    val corpus = CorpusGen.heavyTailCorpus(spark, rows = 60, partitions = 4,
+      giantEvery = 10, giantPages = 400).cache()
+    val input = CorpusGen.inputView(corpus).select("url", "html", "text")
+    val thresh = 50000L
+    val giants = input.filter(length(col("html")) > thresh).count()
+    assert(giants == 6, s"expected 6 giants, corpus produced $giants")
+    val re = Pipeline.sizeWeightedRepartition(input, smallPartitions = 4,
+      giantSlots = 6, giantThresholdBytes = thresh)
+    val perPartition = re
+      .select(spark_partition_id().as("pid"), (length(col("html")) > thresh).as("giant"))
+      .filter(col("giant"))
+      .groupBy("pid").count().collect()
+    assert(perPartition.length == 6, perPartition.mkString(","))
+    assert(perPartition.forall(_.getLong(1) == 1L),
+      "a slot holds >1 giant: " + perPartition.mkString(","))
+    // row set is preserved and extraction results are unchanged
+    assert(re.count() == 60)
+    val plain = Pipeline.extract(spark, input)
+      .toDF().select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val weighted = Pipeline.extract(spark, re)
+      .toDF().select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(plain == weighted)
+  }
+
   test("column pruning reaches the scan") {
     val corpus = CorpusGen.corpus(spark, rows = 9, partitions = 1)
     val dir = java.nio.file.Files.createTempDirectory("corpus").toString
