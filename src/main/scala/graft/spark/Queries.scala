@@ -353,10 +353,13 @@ object Queries {
     (spark, dir) => {
       // The VERIFY stage of minhash dedup, run the way a 100 TB pipeline
       // runs it: candidates come from equi-joins on the d2 LSH band keys
-      // (hash joins — never a cartesian), deduped with the standard
-      // first-band-wins trick (band1 matches only count when band0 did
-      // not), then exact token-set Jaccard >= 0.5 over the full corpus —
-      // no doc_id cap.
+      // (hash joins — never a cartesian) and each member verifies against
+      // its bucket REPRESENTATIVE (min doc_id), not all-pairs: a
+      // mega-cluster of k near-identical documents costs k verifies
+      // instead of k^2 (the output is the union-find edge set dedup
+      // actually consumes). Band-1 links apply first-band-wins: they only
+      // count when the member's band0 differs from the representative's.
+      // Full corpus, no doc_id cap.
       val keyed = t(spark, dir, "documents")
         .select(col("doc_id"),
           array_sort(toksCol).as("toks"))
@@ -367,14 +370,19 @@ object Queries {
         .withColumn("band1", md5(concat_ws(":",
           minPerm(col("xs"), 104183, 337), minPerm(col("xs"), 909091, 5861))))
         .select("doc_id", "toks", "band0", "band1")
-      val a = keyed.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
-        col("band0").as("b0a"), col("band1").as("b1a"))
-      val b = keyed.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      val members = keyed.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
         col("band0").as("b0b"), col("band1").as("b1b"))
-      val c0 = a.join(b, col("b0a") === col("b0b") && col("doc_a") < col("doc_b"))
-      val c1 = a.join(b, col("b1a") === col("b1b") && col("doc_a") < col("doc_b")
-        && col("b0a") =!= col("b0b"))
-      c0.unionByName(c1)
+      def repSide(bandCol: String) = keyed
+        .groupBy(bandCol).agg(min("doc_id").as("doc_a"))
+        .join(keyed.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+          col("band0").as("b0a")), Seq("doc_a"))
+      val link0 = repSide("band0")
+        .join(members, col("band0") === col("b0b") && col("doc_a") < col("doc_b"))
+      val link1 = repSide("band1")
+        .join(members, col("band1") === col("b1b") && col("doc_a") < col("doc_b")
+          && col("b0a") =!= col("b0b"))
+      link0.select("doc_a", "doc_b", "toks_a", "toks_b")
+        .unionByName(link1.select("doc_a", "doc_b", "toks_a", "toks_b"))
         .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
         .withColumn("jaccard", round(col("inter").cast("double") /
           (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 4))
@@ -400,12 +408,18 @@ object Queries {
             |    md5(concat(CAST(mh0 AS VARCHAR), ':', CAST(mh1 AS VARCHAR))) AS band0,
             |    md5(concat(CAST(mh2 AS VARCHAR), ':', CAST(mh3 AS VARCHAR))) AS band1
             |  FROM d JOIN sig USING (doc_id)
+            |), rep0 AS (
+            |  SELECT band0, min(doc_id) AS doc_a FROM keyed GROUP BY 1
+            |), rep1 AS (
+            |  SELECT band1, min(doc_id) AS doc_a FROM keyed GROUP BY 1
             |), cand AS (
-            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.toks AS toks_a, b.toks AS toks_b
-            |  FROM keyed a JOIN keyed b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+            |  SELECT r.doc_a, m.doc_id AS doc_b, ra.toks AS toks_a, m.toks AS toks_b
+            |  FROM rep0 r JOIN keyed ra ON ra.doc_id = r.doc_a
+            |  JOIN keyed m ON m.band0 = r.band0 AND m.doc_id > r.doc_a
             |  UNION ALL
-            |  SELECT a.doc_id, b.doc_id, a.toks, b.toks
-            |  FROM keyed a JOIN keyed b ON a.band1 = b.band1 AND a.doc_id < b.doc_id AND a.band0 <> b.band0
+            |  SELECT r.doc_a, m.doc_id, ra.toks, m.toks
+            |  FROM rep1 r JOIN keyed ra ON ra.doc_id = r.doc_a
+            |  JOIN keyed m ON m.band1 = r.band1 AND m.doc_id > r.doc_a AND m.band0 <> ra.band0
             |)
             |SELECT doc_a, doc_b,
             |  round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE) /
