@@ -39,9 +39,10 @@ object Filters {
       case "/ASCII85Decode" => Right(ascii85(s))
       case "/LZWDecode" => lzwDecode(s, earlyChange)
       case "/RunLengthDecode" => runLengthDecode(s)
+      case "/ASCIIHexDecode" => Right(asciiHex(s))
       case other => Left(PdfError.UnsupportedFeature(
         s"unsupported stream filter $other (supported: /FlateDecode /DCTDecode " +
-          "/ASCII85Decode /LZWDecode /RunLengthDecode)"))
+          "/ASCII85Decode /ASCIIHexDecode /LZWDecode /RunLengthDecode)"))
     }
 
   /** /DecodeParms /EarlyChange (LZW code-width bump one entry early;
@@ -197,6 +198,29 @@ object Filters {
         i += grpLen
       }
     }
+    out.toArray
+  }
+
+  /** ASCIIHexDecode (ISO 32000-1 7.4.2): whitespace skipped, `>` is EOD,
+    * odd trailing digit padded with 0. Beyond reference parity. */
+  def asciiHex(bs: Array[Byte]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]
+    var hi = -1
+    var i = 0
+    while (i < bs.length) {
+      val c = bs(i) & 0xff
+      if (c == '>') {
+        if (hi >= 0) out += (hi << 4).toByte
+        return out.toArray
+      }
+      val d = Character.digit(c, 16)
+      if (d >= 0) {
+        if (hi < 0) hi = d
+        else { out += ((hi << 4) | d).toByte; hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out += (hi << 4).toByte
     out.toArray
   }
 

@@ -339,6 +339,18 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("ASCIIHexDecode: whitespace, EOD marker, odd-digit padding") {
+    assert(new String(Filters.asciiHex("48 65 6C\n6C 6F>".getBytes), "ISO-8859-1") == "Hello")
+    assert(new String(Filters.asciiHex("4865 6C6C 6F7>trailing junk".getBytes), "ISO-8859-1") == "Hellop")
+    assert(new String(Filters.asciiHex("486".getBytes), "ISO-8859-1") == "H`")
+    // chained: hex-wrapped flate stream decodes through both filters
+    val payload = "stream payload with words".getBytes("ISO-8859-1")
+    val hexed = Filters.deflate(payload).map(b => f"${b & 0xff}%02x").mkString.getBytes
+    val dict = scala.collection.immutable.TreeMap[String, PObj](
+      "/Filter" -> PObj.PArray(Vector(PObj.PName("/ASCIIHexDecode"), PObj.PName("/FlateDecode"))))
+    assert(Filters.decodeStreamBytes(dict, hexed).toOption.get.toList == payload.toList)
+  }
+
   test("AES-256 R6 fixture decrypts and extracts (empty user password)") {
     val d = graft.spark.FixtureGen.encryptedAes256(9)
     val doc = DocStructure.openDocument(d.bytes, None).toOption.get
