@@ -21,7 +21,8 @@ object Verify {
     locally {
       import org.apache.spark.sql.functions.col
       graft.spark.CorpusGen.corpus(spark, rows = 180, partitions = 8)
-        .select(col("url"), col("kind"), col("pages"), col("expected").as("text"))
+        .select(col("url"), col("kind"), col("pages"), col("expected").as("text"),
+          col("expected_geom").as("text_geom"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/aux_expected")
     }

@@ -17,7 +17,8 @@ object CorpusGen {
       lang: String,
       expected: String,
       kind: String,
-      pages: Int)
+      pages: Int,
+      expected_geom: String)
 
   private val epochMs = 1577836800000L // 2020-01-01T00:00:00Z
 
@@ -33,7 +34,8 @@ object CorpusGen {
       lang = d.lang,
       expected = d.expected,
       kind = d.kind,
-      pages = d.pages)
+      pages = d.pages,
+      expected_geom = d.expectedGeom)
   }
 
   /** Build the corpus as a DataFrame. Rows are generated ON THE EXECUTORS
@@ -61,7 +63,8 @@ object CorpusGen {
         lang = d.lang,
         expected = d.expected,
         kind = d.kind,
-        pages = d.pages)
+        pages = d.pages,
+        expected_geom = d.expectedGeom)
     }).toDF()
   }
 
@@ -104,7 +107,8 @@ object CorpusGen {
         lang = if (name.startsWith("cmap-")) "ja" else "en",
         expected = expected,
         kind = name,
-        pages = -1) // reference fixtures: page count not generator-known
+        pages = -1, // reference fixtures: page count not generator-known
+        expected_geom = null)
     }).toDF())
   }
 

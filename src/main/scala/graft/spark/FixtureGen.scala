@@ -14,9 +14,16 @@ import graft.core.{Crypt, Filters, Security}
 object FixtureGen {
 
   /** `pages` is generator ground truth (page count by construction) so the
-    * extraction surface can be oracled without running the kernel. */
+    * extraction surface can be oracled without running the kernel.
+    * `expectedGeomOrNull` is the geometry-mode expected text when it
+    * differs from the default/tagged expectation (only the tagged kind:
+    * geometry layout ignores the structure tree, and its two lines sit
+    * 20 pt apart — under the 1.6x-median-leading paragraph-break
+    * threshold — so they join into one space-separated paragraph). */
   final case class Doc(kind: String, bytes: Array[Byte], expected: String, lang: String,
-      pages: Int = 1)
+      pages: Int = 1, expectedGeomOrNull: String = null) {
+    def expectedGeom: String = if (expectedGeomOrNull == null) expected else expectedGeomOrNull
+  }
 
   private def b(s: String): Array[Byte] = s.getBytes(ISO_8859_1)
 
@@ -206,7 +213,8 @@ object FixtureGen {
       "<< /S /Document /K [8 0 R 9 0 R] >>",
       "<< /S /P /Pg 3 0 R /K 0 >>",
       "<< /S /P /Pg 3 0 R /K 1 >>"))
-    Doc("tagged", pdf, para1 + "\n\n" + para2 + "\n", "en")
+    Doc("tagged", pdf, para1 + "\n\n" + para2 + "\n", "en",
+      expectedGeomOrNull = para1 + " " + para2 + "\n")
   }
 
   /** RC4 40-bit (V1/R2) encrypted document, empty user password. */

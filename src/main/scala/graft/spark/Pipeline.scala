@@ -477,7 +477,9 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("events"),
-        sum(col("value")).as("sum_value"))
+        // decimal accumulation -> rounded double: bit-identical across
+        // engines regardless of float summation order (oracle parity)
+        round(sum(col("value").cast("decimal(18,4)")), 4).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("events"), col("sum_value"))
   }

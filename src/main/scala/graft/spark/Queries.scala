@@ -726,9 +726,12 @@ object Queries {
     (spark, _) => {
       val c = corpus(spark)
       Pipeline.extractMode(spark, CorpusGen.inputView(c), "geom")
-        .toDF().select("url", "mode", "ok", "chars").orderBy("url")
+        .toDF().select("url", "mode", "ok", "chars", "text").orderBy("url")
     },
-    None)
+    Some(s"""SELECT url,
+            |  CASE WHEN kind = 'html' THEN 'html' WHEN kind = 'textrow' THEN 'text' ELSE 'pdf-geom' END AS mode,
+            |  TRUE AS ok, CAST(len(text_geom) AS INT) AS chars, text_geom AS text
+            |FROM read_parquet('__AUX__/*.parquet') ORDER BY url""".stripMargin))
 
   private val x8 = Q(
     (spark, _) => {
@@ -800,14 +803,40 @@ object Queries {
       graft.spark.Streaming.windowedEventCounts(spark, s"$dir/events.parquet",
         "stream_win_" + java.lang.Long.toHexString(System.nanoTime()))
         .orderBy("window_start", "event_type"),
-    None)
+    // Append-mode semantics are pure SQL: tumbling 1h windows whose end the
+    // final watermark (max ts - 10 min) has passed — so a batch engine can
+    // oracle the STREAMING query output exactly.
+    Some("""WITH e AS (
+           |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+           |), mx AS (SELECT max(ts) AS m FROM e)
+           |SELECT date_trunc('hour', ts) AS window_start, event_type,
+           |  count(*) AS events,
+           |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+           |FROM e
+           |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT m FROM mx) - INTERVAL 10 MINUTE
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   private val x16 = Q(
-    (spark, dir) =>
-      graft.spark.Streaming.userSessions(spark, s"$dir/events.parquet",
+    (spark, dir) => {
+      // final state per user (last emitted row has the full running
+      // aggregate; intermediate per-micro-batch rows depend on batch
+      // boundaries, the final state does not)
+      val sess = graft.spark.Streaming.userSessions(spark, s"$dir/events.parquet",
         "stream_sess_" + java.lang.Long.toHexString(System.nanoTime()))
-        .orderBy("user_id"),
-    None)
+      sess.groupBy("user_id")
+        .agg(max(col("events")).as("events"),
+          min(col("firstTs")).as("first_ts"),
+          max(col("lastTs")).as("last_ts"),
+          max(col("distinctTypes")).as("distinct_types"))
+        .orderBy("user_id")
+    },
+    // KMV distinct counts are exact below K=256, so the streaming session
+    // state is oracle-comparable to batch COUNT(DISTINCT)
+    Some("""SELECT user_id, count(*) AS events,
+           |  min(CAST(ts AS TIMESTAMP)) AS first_ts,
+           |  max(CAST(ts AS TIMESTAMP)) AS last_ts,
+           |  CAST(count(DISTINCT event_type) AS INT) AS distinct_types
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
   // ---------- registry ----------
 
