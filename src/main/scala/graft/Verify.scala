@@ -22,7 +22,9 @@ object Verify {
       import org.apache.spark.sql.functions.col
       graft.spark.CorpusGen.corpus(spark, rows = 180, partitions = 8)
         .select(col("url"), col("kind"), col("pages"), col("expected").as("text"),
-          col("expected_geom").as("text_geom"))
+          col("expected_geom").as("text_geom"),
+          col("expected_legacy").as("text_legacy"),
+          col("toc_entries"), col("toc_text"), col("page_texts"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/aux_expected")
     }

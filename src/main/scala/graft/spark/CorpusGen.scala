@@ -18,7 +18,11 @@ object CorpusGen {
       expected: String,
       kind: String,
       pages: Int,
-      expected_geom: String)
+      expected_geom: String,
+      expected_legacy: String,
+      toc_entries: Int,
+      toc_text: String,
+      page_texts: Seq[String])
 
   private val epochMs = 1577836800000L // 2020-01-01T00:00:00Z
 
@@ -35,7 +39,11 @@ object CorpusGen {
       expected = d.expected,
       kind = d.kind,
       pages = d.pages,
-      expected_geom = d.expectedGeom)
+      expected_geom = d.expectedGeom,
+      expected_legacy = d.expectedLegacy,
+      toc_entries = d.tocEntries,
+      toc_text = d.tocText,
+      page_texts = d.pageTexts)
   }
 
   /** Build the corpus as a DataFrame. Rows are generated ON THE EXECUTORS
@@ -64,7 +72,11 @@ object CorpusGen {
         expected = d.expected,
         kind = d.kind,
         pages = d.pages,
-        expected_geom = d.expectedGeom)
+        expected_geom = d.expectedGeom,
+        expected_legacy = d.expectedLegacy,
+        toc_entries = d.tocEntries,
+        toc_text = d.tocText,
+        page_texts = d.pageTexts)
     }).toDF()
   }
 
@@ -108,7 +120,11 @@ object CorpusGen {
         expected = expected,
         kind = name,
         pages = -1, // reference fixtures: page count not generator-known
-        expected_geom = null)
+        expected_geom = null,
+        expected_legacy = null,
+        toc_entries = 0,
+        toc_text = "",
+        page_texts = Nil)
     }).toDF())
   }
 

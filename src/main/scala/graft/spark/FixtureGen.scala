@@ -21,9 +21,28 @@ object FixtureGen {
     * 20 pt apart — under the 1.6x-median-leading paragraph-break
     * threshold — so they join into one space-separated paragraph). */
   final case class Doc(kind: String, bytes: Array[Byte], expected: String, lang: String,
-      pages: Int = 1, expectedGeomOrNull: String = null) {
+      pages: Int = 1, expectedGeomOrNull: String = null,
+      expectedLegacyOrNull: String = null,
+      tocEntries: Int = 0, tocText: String = "",
+      pageTextsOrNull: Seq[String] = null) {
     def expectedGeom: String = if (expectedGeomOrNull == null) expected else expectedGeomOrNull
+    def expectedLegacy: String = if (expectedLegacyOrNull == null) expected else expectedLegacyOrNull
+    /** Per-page layout text by construction: single-page PDFs lay out as
+      * the geometry expectation; non-PDF rows have no page surface; kinds
+      * with several pages must set it explicitly. */
+    def pageTexts: Seq[String] =
+      if (pageTextsOrNull != null) pageTextsOrNull
+      else if (kind == "html" || kind == "textrow") Nil
+      else if (pages == 1) Seq(expectedGeom)
+      else Nil
   }
+
+  /** Legacy-mode (stream-order) expectation: the extractor emits a
+    * break before the first text show and a " \n" separator between
+    * shows (Td-motion break rule); no trailing newline. Pinned byte-exact
+    * against the reference on the 45 legacy goldens; encoded here so x8
+    * can be regression-oracled externally. */
+  private def legacyOf(blocks: String*): String = " \n" + blocks.mkString(" \n")
 
   private def b(s: String): Array[Byte] = s.getBytes(ISO_8859_1)
 
@@ -66,7 +85,7 @@ object FixtureGen {
       pageObj(2, 4, 5),
       contentObj(content, compress = false),
       helvetica))
-    Doc("classic", pdf, line + "\n", "en")
+    Doc("classic", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
   /** Flate-compressed content stream. */
@@ -79,7 +98,7 @@ object FixtureGen {
       pageObj(2, 4, 5),
       contentObj(content, compress = true),
       helvetica))
-    Doc("flate", pdf, line + "\n", "en")
+    Doc("flate", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
   /** PDF-1.5 cross-reference stream (/W [1 2 2], type-1 entries). */
@@ -115,7 +134,7 @@ object FixtureGen {
     val raw = new String(entries.toArray, ISO_8859_1)
     out ++= b(s"6 0 obj\n<< /Type /XRef /Size 7 /W [1 2 2] /Root 1 0 R /Length ${raw.length} >>\nstream\n$raw\nendstream\nendobj\n")
     out ++= b(s"startxref\n$xrefAt\n%%EOF\n")
-    Doc("xrefstream", out.toArray, line + "\n", "en")
+    Doc("xrefstream", out.toArray, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
   /** Object stream (/Type /ObjStm) holding catalog/pages/page dicts,
@@ -163,7 +182,7 @@ object FixtureGen {
     val raw = new String(entries.toArray, ISO_8859_1)
     out ++= b(s"7 0 obj\n<< /Type /XRef /Size 8 /W [1 2 2] /Root 1 0 R /Length ${raw.length} >>\nstream\n$raw\nendstream\nendobj\n")
     out ++= b(s"startxref\n$xrefAt\n%%EOF\n")
-    Doc("objstm", out.toArray, line + "\n", "en")
+    Doc("objstm", out.toArray, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
   /** 4 pages with a repeated header + bare page numbers (stripped by the
@@ -193,7 +212,17 @@ object FixtureGen {
       pages.map(contentObj(_, compress = false)) :+
       helvetica
     val pdf = classicPdf(objs)
-    Doc("multipage", pdf, bodyLines.mkString(" ") + "\n", "en", pages = n)
+    val legacyBlocks = bodyLines.zipWithIndex.flatMap { case (line, p) =>
+      Seq("Corpus Header", line, (p + 1).toString)
+    }
+    Doc("multipage", pdf, bodyLines.mkString(" ") + "\n", "en", pages = n,
+      expectedLegacyOrNull = legacyOf(legacyBlocks: _*),
+      // per page: repeated header, body line and bare page number are
+      // separate paragraphs (the header/footer strip is cross-page and
+      // does not apply to the single-page surface)
+      pageTextsOrNull = bodyLines.zipWithIndex.map { case (line, p) =>
+        s"Corpus Header\n\n$line\n\n${p + 1}\n"
+      })
   }
 
   /** Tagged PDF: /StructTreeRoot -> /Document -> two /P elements with MCIDs. */
@@ -214,7 +243,8 @@ object FixtureGen {
       "<< /S /P /Pg 3 0 R /K 0 >>",
       "<< /S /P /Pg 3 0 R /K 1 >>"))
     Doc("tagged", pdf, para1 + "\n\n" + para2 + "\n", "en",
-      expectedGeomOrNull = para1 + " " + para2 + "\n")
+      expectedGeomOrNull = para1 + " " + para2 + "\n",
+      expectedLegacyOrNull = legacyOf(para1, para2))
   }
 
   /** RC4 40-bit (V1/R2) encrypted document, empty user password. */
@@ -256,7 +286,7 @@ object FixtureGen {
       s"<< /Filter /Standard /V 1 /R 2 /O <${hex(oValue)}> /U <${hex(uValue)}> /P $p >>")
     val pdf = classicPdf(objs,
       trailerExtra = s" /Encrypt 6 0 R /ID [<${hex(fileId)}> <${hex(fileId)}>]")
-    Doc("encrypted", pdf, line + "\n", "en")
+    Doc("encrypted", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
   /** HTML page with boilerplate nav/header/footer around main paragraphs. */
@@ -351,7 +381,9 @@ object FixtureGen {
       s"<< /Title (Chapter One $i) /Dest [3 0 R /Fit] /Next 8 0 R /First 9 0 R /Last 9 0 R >>",
       "<< /Title (Chapter Two) /Dest [3 0 R /Fit] >>",
       "<< /Title (Section One One) /Dest [3 0 R /Fit] >>"))
-    Doc("outlined", pdf, line + "\n", "en")
+    Doc("outlined", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line),
+      tocEntries = 3,
+      tocText = s"Chapter One $i\n Section One One\nChapter Two")
   }
 
   /** Page with a JPEG /Image XObject (DCTDecode pass-through) plus a text
@@ -371,7 +403,7 @@ object FixtureGen {
       helvetica,
       s"<< /Type /XObject /Subtype /Image /Width 4 /Height 2 /ColorSpace /DeviceRGB " +
         s"/BitsPerComponent 8 /Filter /DCTDecode /Length ${jpegStr.length} >>\nstream\n$jpegStr\nendstream"))
-    Doc("jpegimage", pdf, line + "\n", "en")
+    Doc("jpegimage", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
   /** AES-128 (V4/R4, /CFM /AESV2) encrypted document, empty user password.
@@ -431,7 +463,7 @@ object FixtureGen {
         s"/O <${hex(oValue)}> /U <${hex(uValue)}> /P $p >>")
     val pdf = classicPdf(objs,
       trailerExtra = s" /Encrypt 6 0 R /ID [<${hex(fileId)}> <${hex(fileId)}>]")
-    Doc("encryptedaes", pdf, line + "\n", "en")
+    Doc("encryptedaes", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
   /** Nested Form XObjects (Fm0 containing Fm1) for the form-export surface;
@@ -579,7 +611,7 @@ object FixtureGen {
         s"/OE <${hex(oeValue)}> /UE <${hex(ueValue)}> " +
         s"/Perms <${hex(permsValue)}> /P $p >>")
     val pdf = classicPdf(objs, trailerExtra = " /Encrypt 6 0 R")
-    Doc("encryptedaes256", pdf, line + "\n", "en")
+    Doc("encryptedaes256", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
   /** One page whose content stream is /LZWDecode compressed (beyond
@@ -594,7 +626,7 @@ object FixtureGen {
       pageObj(2, 4, 5),
       s"<< /Length ${enc.length} /Filter /LZWDecode >>\nstream\n$enc\nendstream",
       helvetica))
-    Doc("lzw", pdf, line + "\n", "en")
+    Doc("lzw", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
   /** One page whose content stream is /RunLengthDecode compressed (beyond
@@ -609,7 +641,7 @@ object FixtureGen {
       pageObj(2, 4, 5),
       s"<< /Length ${enc.length} /Filter /RunLengthDecode >>\nstream\n$enc\nendstream",
       helvetica))
-    Doc("runlength", pdf, line + "\n", "en")
+    Doc("runlength", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
   val kinds: Vector[Long => Doc] = Vector(

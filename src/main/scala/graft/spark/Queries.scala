@@ -709,7 +709,12 @@ object Queries {
         .toDF()
         .orderBy("url", "page")
     },
-    None)
+    // per-page layout text is generator ground truth (page_texts array)
+    Some("""SELECT url, CAST(i AS INT) AS page, page_texts[i] AS text
+           |FROM read_parquet('__AUX__/*.parquet'),
+           |     LATERAL (SELECT unnest(range(1, len(page_texts) + 1)) AS i)
+           |WHERE len(page_texts) > 0
+           |ORDER BY url, page""".stripMargin))
 
   private val x6 = Q(
     (spark, _) => {
@@ -720,7 +725,24 @@ object Queries {
         .drop("kernelMicros") // wall-clock: would make the output nondeterministic
         .orderBy("partitionId")
     },
-    None)
+    // per-partition lineage is construction math: spark.range(0,180,1,8)
+    // slices partition p = [floor(p*180/8), floor((p+1)*180/8)), i.e.
+    // p = (i*8 + 7) // 180; per-row kind/mode/chars come from the aux
+    // ground truth, so DuckDB reproduces the metrics rows exactly
+    Some("""WITH r AS (
+           |  SELECT CAST(regexp_extract(url, '/(\d+)$', 1) AS INT) AS i,
+           |         kind, len(text) AS chars
+           |  FROM read_parquet('__AUX__/*.parquet')
+           |)
+           |SELECT CAST((i*8 + 7) // 180 AS INT) AS "partitionId",
+           |  count(*) AS docs,
+           |  count(*) AS "okDocs",
+           |  CAST(sum(CASE WHEN kind NOT IN ('html', 'textrow') THEN 1 ELSE 0 END) AS BIGINT) AS "pdfDocs",
+           |  CAST(sum(CASE WHEN kind = 'html' THEN 1 ELSE 0 END) AS BIGINT) AS "htmlDocs",
+           |  CAST(sum(CASE WHEN kind = 'textrow' THEN 1 ELSE 0 END) AS BIGINT) AS "textDocs",
+           |  CAST(0 AS BIGINT) AS "errorDocs",
+           |  CAST(sum(chars) AS BIGINT) AS chars
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
   private val x7 = Q(
     (spark, _) => {
@@ -737,9 +759,14 @@ object Queries {
     (spark, _) => {
       val c = corpus(spark)
       Pipeline.extractMode(spark, CorpusGen.inputView(c), "legacy")
-        .toDF().select("url", "mode", "ok", "chars").orderBy("url")
+        .toDF().select("url", "mode", "ok", "chars", "text").orderBy("url")
     },
-    None)
+    // legacy-mode stream-order expectations (generator-encoded, pinned
+    // byte-exact against the reference on the 45 legacy goldens)
+    Some(s"""SELECT url,
+            |  CASE WHEN kind = 'html' THEN 'html' WHEN kind = 'textrow' THEN 'text' ELSE 'pdf-legacy' END AS mode,
+            |  TRUE AS ok, CAST(len(text_legacy) AS INT) AS chars, text_legacy AS text
+            |FROM read_parquet('__AUX__/*.parquet') ORDER BY url""".stripMargin))
 
   private val x14 = Q(
     (spark, _) => {
@@ -756,7 +783,15 @@ object Queries {
       Surfaces.extractImages(spark, CorpusGen.inputView(c))
         .toDF().orderBy("url", "page", "idx")
     },
-    None)
+    // the jpegimage kind is the only image-bearing fixture; its placement
+    // (cm 100 0 0 50 72 600 -> unit square at 72,600..172,650), format and
+    // 32-byte payload are generator construction facts
+    Some("""SELECT url, 1 AS page, 1 AS idx, 'jpeg' AS format,
+           |  CAST(72 AS DOUBLE) AS x0, CAST(600 AS DOUBLE) AS y0,
+           |  CAST(172 AS DOUBLE) AS x1, CAST(650 AS DOUBLE) AS y1,
+           |  32 AS "sizeBytes"
+           |FROM read_parquet('__AUX__/*.parquet')
+           |WHERE kind = 'jpegimage' ORDER BY url""".stripMargin))
 
   private val x10 = Q(
     (spark, _) => {
@@ -778,14 +813,19 @@ object Queries {
 
   private val x12 = Q(
     (spark, _) => {
+      // stream the SAME 180-row corpus the batch queries use, so the
+      // streaming extraction is oracle-comparable to the generator's
+      // ground truth (streaming and batch must agree byte-for-byte)
       val dir = java.nio.file.Files.createTempDirectory("stream_corpus").toString
-      CorpusGen.inputView(CorpusGen.corpus(spark, rows = 33, partitions = 3))
+      CorpusGen.inputView(CorpusGen.corpus(spark, rows = 180, partitions = 8))
         .write.mode("overwrite").parquet(dir)
       val name = "stream_extract_" + java.lang.Long.toHexString(System.nanoTime())
       Surfaces.streamingExtract(spark, dir, name)
-        .select("url", "mode", "ok", "chars").orderBy("url")
+        .select("url", "mode", "ok", "chars", "text").orderBy("url")
     },
-    None)
+    Some(s"""SELECT url, $auxModeSql AS mode, TRUE AS ok,
+            |  CAST(len(text) AS INT) AS chars, text
+            |FROM read_parquet('__AUX__/*.parquet') ORDER BY url""".stripMargin))
 
   private val x13 = Q(
     (spark, _) => {
@@ -796,7 +836,10 @@ object Queries {
         .select("url", "tocEntries", "tocText")
         .orderBy("url")
     },
-    None)
+    // outline titles/depths are generator construction facts
+    Some("""SELECT url, toc_entries AS "tocEntries", toc_text AS "tocText"
+           |FROM read_parquet('__AUX__/*.parquet')
+           |WHERE toc_entries > 0 ORDER BY url""".stripMargin))
 
   private val x15 = Q(
     (spark, dir) =>
