@@ -15,9 +15,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for extraction ops (no SQL oracle
-    * can parse PDFs) -> driver records a rows-only check; those are
-    * byte-verified against constructed ground truth in the test suite. */
+  /** For each key in queries, equivalent SQL runnable by DuckDB: the
+    * relational/dedup/similarity suites run on the sf parquet tables, and
+    * the extraction/streaming suites compare against the generator
+    * ground-truth table Verify.scala materializes (the __AUX__ placeholder
+    * is rewritten to its path at dump time) — DuckDB cannot parse PDFs,
+    * but it can byte-compare extracted text to what the corpus generator
+    * constructed. 37 of 41 queries carry oracles; the 4 omissions
+    * (metadata JSON rendering, diff, binary features, frame sampling)
+    * compute kernel-side values whose generator-side duplication would be
+    * circular, and stay rows-only. */
   def oracleSql: Map[String, String] = Queries.oracleSql
 }
