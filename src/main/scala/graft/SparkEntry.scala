@@ -18,12 +18,12 @@ object SparkEntry {
   /** For each key in queries, equivalent SQL runnable by DuckDB: the
     * relational/dedup/similarity suites run on the sf parquet tables, and
     * the extraction/streaming suites compare against the generator
-    * ground-truth table Verify.scala materializes (the __AUX__ placeholder
-    * is rewritten to its path at dump time) — DuckDB cannot parse PDFs,
-    * but it can byte-compare extracted text to what the corpus generator
-    * constructed. 37 of 41 queries carry oracles; the 4 omissions
-    * (metadata JSON rendering, diff, binary features, frame sampling)
-    * compute kernel-side values whose generator-side duplication would be
-    * circular, and stay rows-only. */
+    * ground-truth tables Verify.scala materializes (the __AUX__ /
+    * __AUXDIFF__ placeholders are rewritten to their paths at dump time) —
+    * DuckDB cannot parse PDFs, but it can byte-compare extracted text to
+    * what the corpus generator constructed, recompute binary features /
+    * frame samples from the construction-fact payload bytes, and replay
+    * the paragraph diff from both corpora's constructed page texts. All 41
+    * queries carry oracles. */
   def oracleSql: Map[String, String] = Queries.oracleSql
 }

@@ -16,17 +16,34 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Generator ground truth for the extraction oracles: url/kind/pages/
-    // expected text known BY CONSTRUCTION (no kernel run). The x1/x2/x3
-    // oracle SQL reads this via read_parquet('__AUX__/*.parquet').
+    // expected text/payload bytes known BY CONSTRUCTION (no kernel run).
+    // The extraction oracle SQL reads this via
+    // read_parquet('__AUX__/*.parquet'). Written to a SIBLING directory of
+    // outDir — outDir itself must contain only per-query result dumps (the
+    // driver globs it and would report the aux table as a spurious query).
+    val auxDir = s"${outDir}_aux"
     locally {
       import org.apache.spark.sql.functions.col
       graft.spark.CorpusGen.corpus(spark, rows = 180, partitions = 8)
         .select(col("url"), col("kind"), col("pages"), col("expected").as("text"),
           col("expected_geom").as("text_geom"),
           col("expected_legacy").as("text_legacy"),
-          col("toc_entries"), col("toc_text"), col("page_texts"))
+          col("toc_entries"), col("toc_text"), col("page_texts"),
+          col("title"), col("html").as("payload"))
         .coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/aux_expected")
+        .write.mode("overwrite").parquet(s"$auxDir/aux_expected")
+      // Diff ground truth: per-url page paragraph texts of the 33-row corpus
+      // and its variant (both constructed) joined side by side, so DuckDB
+      // can reproduce the paragraph-diff output without running the kernel.
+      val a = graft.spark.CorpusGen.corpus(spark, rows = 33, partitions = 3)
+        .select(col("url"), col("kind"), col("pages").as("pages_a"),
+          col("page_texts").as("page_texts_a"))
+      val bv = graft.spark.CorpusGen.variantCorpus(spark, rows = 33, partitions = 3)
+        .select(col("url"), col("pages").as("pages_b"),
+          col("page_texts").as("page_texts_b"))
+      a.join(bv, Seq("url"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$auxDir/aux_diff")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -47,9 +64,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val auxPath = new java.io.File(outDir, "aux_expected").getAbsolutePath
+    val auxPath = new java.io.File(auxDir, "aux_expected").getAbsolutePath
+    val auxDiffPath = new java.io.File(auxDir, "aux_diff").getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUX__", auxPath))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUXDIFF__", auxDiffPath).replace("__AUX__", auxPath))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

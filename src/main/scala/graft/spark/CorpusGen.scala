@@ -22,7 +22,8 @@ object CorpusGen {
       expected_legacy: String,
       toc_entries: Int,
       toc_text: String,
-      page_texts: Seq[String])
+      page_texts: Seq[String],
+      title: String)
 
   private val epochMs = 1577836800000L // 2020-01-01T00:00:00Z
 
@@ -43,7 +44,8 @@ object CorpusGen {
       expected_legacy = d.expectedLegacy,
       toc_entries = d.tocEntries,
       toc_text = d.tocText,
-      page_texts = d.pageTexts)
+      page_texts = d.pageTexts,
+      title = d.title)
   }
 
   /** Build the corpus as a DataFrame. Rows are generated ON THE EXECUTORS
@@ -76,7 +78,8 @@ object CorpusGen {
         expected_legacy = d.expectedLegacy,
         toc_entries = d.tocEntries,
         toc_text = d.tocText,
-        page_texts = d.pageTexts)
+        page_texts = d.pageTexts,
+        title = d.title)
     }).toDF()
   }
 
@@ -124,20 +127,33 @@ object CorpusGen {
         expected_legacy = null,
         toc_entries = 0,
         toc_text = "",
-        page_texts = Nil)
+        page_texts = Nil,
+        title = null)
     }).toDF())
   }
 
   /** Variant corpus: same urls and kinds, different body text (for the
-    * document-diff surface). */
+    * document-diff surface). Carries the VARIANT's own ground-truth columns
+    * (expected/page_texts/toc/...) so the diff surface can be oracled from
+    * generator construction facts on both sides. */
   def variantCorpus(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
     import spark.implicits._
     val base = spark.range(0, rows, 1, partitions)
     base.as[Long].mapPartitions(_.map { i =>
       val d = FixtureGen.kinds((i % FixtureGen.kinds.length).toInt)(i + 1100)
-      val orig = row(i)
-      orig.copy(html = d.bytes, expected = d.expected,
-        text = if (d.kind == "textrow") d.expected else null)
+      // the url keeps the ORIGINAL row's identity (same kind by index),
+      // everything else is the variant document's own ground truth
+      row(i).copy(
+        html = d.bytes,
+        text = if (d.kind == "textrow") d.expected else null,
+        expected = d.expected,
+        pages = d.pages,
+        expected_geom = d.expectedGeom,
+        expected_legacy = d.expectedLegacy,
+        toc_entries = d.tocEntries,
+        toc_text = d.tocText,
+        page_texts = d.pageTexts,
+        title = d.title)
     }).toDF()
   }
 }

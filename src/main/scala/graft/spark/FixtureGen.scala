@@ -24,7 +24,8 @@ object FixtureGen {
       pages: Int = 1, expectedGeomOrNull: String = null,
       expectedLegacyOrNull: String = null,
       tocEntries: Int = 0, tocText: String = "",
-      pageTextsOrNull: Seq[String] = null) {
+      pageTextsOrNull: Seq[String] = null,
+      title: String = null) {
     def expectedGeom: String = if (expectedGeomOrNull == null) expected else expectedGeomOrNull
     def expectedLegacy: String = if (expectedLegacyOrNull == null) expected else expectedLegacyOrNull
     /** Per-page layout text by construction: single-page PDFs lay out as
@@ -370,6 +371,7 @@ object FixtureGen {
     * one nested section. */
   def outlined(i: Long): Doc = {
     val line = s"Outlined document $i body"
+    val title = s"Outlined Document $i"
     val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\n"
     val pdf = classicPdf(Seq(
       "<< /Type /Catalog /Pages 2 0 R /Outlines 6 0 R >>",
@@ -380,10 +382,13 @@ object FixtureGen {
       "<< /Type /Outlines /First 7 0 R /Last 8 0 R /Count 3 >>",
       s"<< /Title (Chapter One $i) /Dest [3 0 R /Fit] /Next 8 0 R /First 9 0 R /Last 9 0 R >>",
       "<< /Title (Chapter Two) /Dest [3 0 R /Fit] >>",
-      "<< /Title (Section One One) /Dest [3 0 R /Fit] >>"))
+      "<< /Title (Section One One) /Dest [3 0 R /Fit] >>",
+      s"<< /Title ($title) /Producer (graft-fixture-gen) >>"),
+      trailerExtra = " /Info 10 0 R")
     Doc("outlined", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line),
       tocEntries = 3,
-      tocText = s"Chapter One $i\n Section One One\nChapter Two")
+      tocText = s"Chapter One $i\n Section One One\nChapter Two",
+      title = title)
   }
 
   /** Page with a JPEG /Image XObject (DCTDecode pass-through) plus a text

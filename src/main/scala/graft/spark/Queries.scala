@@ -697,10 +697,16 @@ object Queries {
       val c = corpus(spark)
       Pipeline.extractMeta(spark, CorpusGen.inputView(c))
         .toDF()
-        .select("url", "pages", "tocEntries", "trailerJson")
+        .select("url", "title", "pages", "tocEntries")
         .orderBy("url")
     },
-    None)
+    // title (/Info /Title), page count and outline-entry count are generator
+    // construction facts; the trailerJson rendering (kernel-side, oracle
+    // would be circular) stays covered by SurfacesSpec unit tests
+    Some("""SELECT url, title, pages, toc_entries AS "tocEntries"
+           |FROM read_parquet('__AUX__/*.parquet')
+           |WHERE kind NOT IN ('html', 'textrow')
+           |ORDER BY url""".stripMargin))
 
   private val x5 = Q(
     (spark, _) => {
@@ -775,7 +781,26 @@ object Queries {
         .toDF().select("url", "frameIdx", "byteOffset", "width", "height")
         .orderBy("url", "frameIdx")
     },
-    None)
+    // The stub decode is deterministic byte math over the payload — a
+    // construction fact the aux table carries verbatim — so DuckDB
+    // recomputes frame offsets and the byte-derived stub dimensions
+    // independently: frames = min(8, len/256), width/height from the bytes
+    // at offset and offset+1 (clamped to the payload end).
+    Some("""WITH r AS (
+           |  SELECT url, octet_length(payload) AS n, hex(payload) AS hx
+           |  FROM read_parquet('__AUX__/*.parquet')
+           |  WHERE octet_length(coalesce(payload, ''::BLOB)) >= 256
+           |), frames AS (
+           |  SELECT url, n, hx, f, f * 256 AS off,
+           |    least(f * 256 + 1, n - 1) AS off2
+           |  FROM r, LATERAL (SELECT unnest(range(0, least(8, n // 256))) AS f)
+           |)
+           |SELECT url, CAST(f AS INT) AS "frameIdx", CAST(off AS BIGINT) AS "byteOffset",
+           |  CAST(16 + (((strpos('0123456789ABCDEF', substr(hx, 2*off + 1, 1)) - 1) * 16
+           |    + strpos('0123456789ABCDEF', substr(hx, 2*off + 2, 1)) - 1) & 63) AS INT) AS width,
+           |  CAST(16 + (((strpos('0123456789ABCDEF', substr(hx, 2*off2 + 1, 1)) - 1) * 16
+           |    + strpos('0123456789ABCDEF', substr(hx, 2*off2 + 2, 1)) - 1) & 63) AS INT) AS height
+           |FROM frames ORDER BY url, "frameIdx"""".stripMargin))
 
   private val x9 = Q(
     (spark, _) => {
@@ -800,7 +825,32 @@ object Queries {
       Surfaces.diffDocuments(spark, CorpusGen.inputView(a), CorpusGen.inputView(b))
         .toDF().orderBy("url", "pageA", "paraA", "paraB")
     },
-    None)
+    // Paragraph-diff ground truth from construction facts alone: per-page
+    // paragraph lists reconstruct from the generator page texts (paragraphs
+    // join with a blank line + one trailing newline), page counts always
+    // match between corpus and variant (same kind template), and every
+    // fixture's differing paragraphs are ISOLATED positions anchored by
+    // equal neighbours — the paragraph LCS therefore degenerates to
+    // pointwise replace rows, which plain SQL reproduces. Comparison is
+    // whitespace-normalized (strip + collapse runs) like the kernel's.
+    Some("""WITH d AS (
+           |  SELECT url, pages_a, page_texts_a, page_texts_b
+           |  FROM read_parquet('__AUXDIFF__/*.parquet')
+           |  WHERE kind NOT IN ('html', 'textrow')
+           |), paras AS (
+           |  SELECT url, CAST(p AS INT) AS page,
+           |    string_split(rtrim(page_texts_a[p], chr(10)), chr(10) || chr(10)) AS pa,
+           |    string_split(rtrim(page_texts_b[p], chr(10)), chr(10) || chr(10)) AS pb
+           |  FROM d, LATERAL (SELECT unnest(range(1, pages_a + 1)) AS p)
+           |)
+           |SELECT url, page AS "pageA", page AS "pageB",
+           |  CAST(k - 1 AS INT) AS "paraA", CAST(k - 1 AS INT) AS "paraB",
+           |  pa[k] AS "oldText", pb[k] AS "newText",
+           |  CAST(0 AS INT) AS "pagesA", CAST(0 AS INT) AS "pagesB"
+           |FROM paras, LATERAL (SELECT unnest(range(1, len(pa) + 1)) AS k)
+           |WHERE trim(regexp_replace(pa[k], '\s+', ' ', 'g'))
+           |   <> trim(regexp_replace(pb[k], '\s+', ' ', 'g'))
+           |ORDER BY url, "pageA", "paraA", "paraB"""".stripMargin))
 
   private val x11 = Q(
     (spark, _) => {
@@ -809,7 +859,46 @@ object Queries {
         .toDF().select("url", "kind", "sizeBytes", "entropyMilli", "asciiFrac")
         .orderBy("url")
     },
-    None)
+    // The payload bytes are generator construction facts (the aux table
+    // carries them verbatim), so DuckDB recomputes every feature from
+    // scratch: byte values via the hex() representation, the 16-bin
+    // high-nibble entropy as an ORDERED fold (bin-ascending, matching the
+    // kernel's sequential accumulation), printable-ASCII fraction as an
+    // exact integer division. textrow rows have a 3-byte magic payload ->
+    // 'binary'; everything else sniffs as pdf/html by construction.
+    Some("""WITH r AS (
+           |  SELECT url, kind AS fkind,
+           |    octet_length(coalesce(payload, ''::BLOB)) AS n,
+           |    hex(coalesce(payload, ''::BLOB)) AS hx
+           |  FROM read_parquet('__AUX__/*.parquet')
+           |), bytes AS (
+           |  SELECT url,
+           |    strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1 AS hi,
+           |    (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+           |      + strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1 AS byte
+           |  FROM r, LATERAL (SELECT unnest(range(0, n)) AS i)
+           |), hist AS (
+           |  SELECT url, hi, count(*) AS c FROM bytes GROUP BY 1, 2
+           |), ent AS (
+           |  SELECT b.url,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(list(b.c ORDER BY b.hi),
+           |        c -> -(CAST(c AS DOUBLE) / r.n) * ln(CAST(c AS DOUBLE) / r.n) / ln(2))),
+           |      (a, x) -> a + x) AS entropy
+           |  FROM hist b JOIN r USING (url) GROUP BY b.url, r.n
+           |), ac AS (
+           |  SELECT url, sum(CASE WHEN byte >= 32 AND byte < 127 THEN 1 ELSE 0 END) AS a
+           |  FROM bytes GROUP BY 1
+           |)
+           |SELECT r.url,
+           |  CASE WHEN fkind = 'html' THEN 'html'
+           |       WHEN fkind = 'textrow' THEN 'binary'
+           |       ELSE 'pdf' END AS kind,
+           |  CAST(n AS INT) AS "sizeBytes",
+           |  CAST(round(coalesce(e.entropy, 0) * 1000) AS BIGINT) AS "entropyMilli",
+           |  CAST(coalesce(a.a, 0) AS DOUBLE) / greatest(n, 1) AS "asciiFrac"
+           |FROM r LEFT JOIN ent e USING (url) LEFT JOIN ac a USING (url)
+           |ORDER BY url""".stripMargin))
 
   private val x12 = Q(
     (spark, _) => {
