@@ -71,6 +71,32 @@ object Kmv {
 
   def addItem(kmv: Array[Long], item: String): Array[Long] = add(kmv, hash(item))
 
+  /** Bulk insert: one unsigned sort of the batch + one merge pass instead
+    * of a copy-on-insert per item (the per-event O(K) alloc was the hot
+    * cost of the streaming session state pre-saturation). MUTATES `hs`
+    * (scratch buffer). Result stays sorted-unsigned and capped at K. */
+  def bulkAdd(kmv: Array[Long], hs: Array[Long]): Array[Long] = {
+    if (hs.length == 0) return kmv
+    // unsigned ascending == signed ascending of (x ^ Long.MinValue)
+    var i = 0
+    while (i < hs.length) { hs(i) ^= Long.MinValue; i += 1 }
+    java.util.Arrays.sort(hs)
+    val out = new Array[Long](math.min(K, kmv.length + hs.length))
+    var a = 0
+    var b = 0
+    var o = 0
+    var prev = 0L
+    var has = false
+    while (o < out.length && (a < kmv.length || b < hs.length)) {
+      val takeA = b >= hs.length || (a < kmv.length &&
+        java.lang.Long.compareUnsigned(kmv(a), hs(b) ^ Long.MinValue) <= 0)
+      val v = if (takeA) { val x = kmv(a); a += 1; x }
+              else { val x = hs(b) ^ Long.MinValue; b += 1; x }
+      if (!has || v != prev) { out(o) = v; o += 1; prev = v; has = true }
+    }
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+  }
+
   /** Distinct-count estimate: exact size below K; (K-1)/frac(kth) above. */
   def estimate(kmv: Array[Long]): Int =
     if (kmv.length < K) kmv.length

@@ -506,35 +506,65 @@ object Streaming {
   final case class UserSession(user_id: Long, events: Long, firstTs: java.sql.Timestamp,
       lastTs: java.sql.Timestamp, distinctTypes: Int)
 
+  /** Session idle gap: a user key whose last event is this far behind the
+    * event-time watermark has its session finalized and its state DROPPED. */
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** State rows remaining after the last userSessions run (from the final
+    * StreamingQueryProgress) — a test hook for the bounded-keys contract. */
+  @volatile var lastSessionStateRows: Long = -1L
+
   /** Custom keyed state: per-user running session summary via
-    * flatMapGroupsWithState (KeyValueGroupedDataset). The distinct-type
-    * count is tracked with a KMV sketch, so per-key state is BOUNDED at
-    * O(Kmv.K) regardless of event-type cardinality (exact below K
-    * distinct types — an unbounded Set[String] here would grow with
-    * cardinality for the lifetime of the key). */
+    * flatMapGroupsWithState (KeyValueGroupedDataset). Bounded in BOTH
+    * dimensions a long-running stream grows in:
+    *
+    *   - per-key state is O(Kmv.K): the distinct-type count is a KMV
+    *     sketch (exact below K distinct types), not an unbounded set;
+    *   - the NUMBER of keys is bounded by event-time eviction: a
+    *     10-minute watermark plus EventTimeTimeout — when the watermark
+    *     passes a key's last activity + SessionGapMs, the final session
+    *     row is emitted and the key's state is removed. On an unbounded
+    *     user population the state store holds only currently-active
+    *     users (without a timeout the key count would grow forever).
+    *
+    * Batch inserts go through Kmv.bulkAdd (one sort + merge per group per
+    * micro-batch) instead of a copy-on-insert per event. */
   def userSessions(spark: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
     import spark.implicits._
     val eventsDir = streamDir(eventsDir0)
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
       .select(col("user_id").cast("long"), col("ts").cast("timestamp").as("ts"), col("event_type"))
+      .withWatermark("ts", "10 minutes")
       .as[(Long, java.sql.Timestamp, String)]
     val sessions = stream
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, java.sql.Timestamp, java.sql.Timestamp, Array[Long]), UserSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
          state: GroupState[(Long, java.sql.Timestamp, java.sql.Timestamp, Array[Long])]) =>
-          var (n, first, last, kmv) = state.getOption.getOrElse(
-            (0L, null: java.sql.Timestamp, null: java.sql.Timestamp, Array.emptyLongArray))
-          for ((_, ts, tpe) <- rows) {
-            n += 1
-            if (first == null || ts.before(first)) first = ts
-            if (last == null || ts.after(last)) last = ts
-            kmv = Kmv.addItem(kmv, tpe)
+          if (state.hasTimedOut) {
+            // watermark passed last activity + gap: finalize and DROP the key
+            val (n, first, last, kmv) = state.get
+            state.remove()
+            Iterator.single(UserSession(user, n, first, last, Kmv.estimate(kmv)))
+          } else {
+            var (n, first, last, kmv) = state.getOption.getOrElse(
+              (0L, null: java.sql.Timestamp, null: java.sql.Timestamp, Array.emptyLongArray))
+            val batch = new scala.collection.mutable.ArrayBuffer[Long](64)
+            for ((_, ts, tpe) <- rows) {
+              n += 1
+              if (first == null || ts.before(first)) first = ts
+              if (last == null || ts.after(last)) last = ts
+              batch += Kmv.hash(tpe)
+            }
+            kmv = Kmv.bulkAdd(kmv, batch.toArray)
+            state.update((n, first, last, kmv))
+            // the timeout must sit strictly past the current watermark
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, last.getTime + SessionGapMs))
+            Iterator.single(UserSession(user, n, first, last, Kmv.estimate(kmv)))
           }
-          state.update((n, first, last, kmv))
-          Iterator.single(UserSession(user, n, first, last, Kmv.estimate(kmv)))
       }
     val q = sessions.toDF().writeStream
       .format("memory")
@@ -543,6 +573,10 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    lastSessionStateRows = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsTotal)
+      .getOrElse(-1L)
     spark.table(queryName)
   }
 }

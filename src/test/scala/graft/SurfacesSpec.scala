@@ -162,6 +162,29 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ev = sess.groupBy("user_id").agg(org.apache.spark.sql.functions.max("events").as("n"))
       .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
     assert(ev == spark.read.parquet(s"$dir/events.parquet").count())
+    // bounded keys: the watermark (max ts - 10 min) passed last_ts + gap for
+    // expired users -> their state was dropped; only active keys remain
+    val wmMs = maxTs.getTime - 10 * 60 * 1000
+    val lastPerUser = events.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("ts").as("last_ts")).collect()
+    val gap = graft.spark.Streaming.SessionGapMs
+    val surviveLt = lastPerUser.count(_.getTimestamp(1).getTime + gap >= wmMs)
+    val surviveLe = lastPerUser.count(_.getTimestamp(1).getTime + gap > wmMs)
+    val stateRows = graft.spark.Streaming.lastSessionStateRows
+    assert(stateRows >= 0, "no state-operator progress captured")
+    assert(stateRows < users, s"no key was evicted (state=$stateRows users=$users)")
+    assert(stateRows == surviveLt || stateRows == surviveLe,
+      s"state=$stateRows expected $surviveLe..$surviveLt of $users users")
+    // and evicted users still carry their COMPLETE session in the output
+    // (the final row was emitted at timeout before the state dropped)
+    assert(sess.select("user_id").distinct().count() == users)
+  }
+
+  test("streaming sessions: no unbounded NoTimeout state in main sources") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/spark/Pipeline.scala")), "UTF-8")
+    assert(!src.contains("NoTimeout"), "session keys must have an event-time TTL")
+    assert(src.contains("EventTimeTimeout"))
   }
 
   test("windowed-count plan carries the watermark (Append-mode state eviction)") {
