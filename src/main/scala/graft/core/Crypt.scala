@@ -6,13 +6,19 @@ import javax.crypto.spec.SecretKeySpec
 import scala.collection.immutable.TreeMap
 import PObj._
 
-/** Standard security handler state (reference src/PDF/Encrypt.hs:43-49). */
+/** Standard security handler state (reference src/PDF/Encrypt.hs:43-49).
+  * `strEncrypted`/`stmEncrypted` carry the V>=4 crypt-filter selection: a
+  * document declaring /StrF /Identity (or /StmF /Identity) leaves that
+  * surface in PLAINTEXT — running it through AES/RC4 "decryption" would
+  * yield garbage. */
 final case class Security(
     revision: Int,
     version: Int,
     key: Array[Byte],
     keyLength: Int,
-    aes: Boolean)
+    aes: Boolean,
+    strEncrypted: Boolean = true,
+    stmEncrypted: Boolean = true)
 
 /** PDF Standard security handler: file/object keys, RC4, AES-128-CBC.
   * Re-expression of /root/reference/src/PDF/Encrypt.hs. */
@@ -69,8 +75,21 @@ object Crypt {
         case None => if (r >= 3 || v >= 2) 16 else 5
       }
       key <- authenticateFileKey(pw, o, u, p, fileId, r, v, aes, metaEnc, keyLen)
-    } yield Security(r, v, key, keyLen, aes)
+    } yield Security(r, v, key, keyLen, aes,
+      strEncrypted = v < 4 || !filterIsIdentity(encDict, "/StrF"),
+      stmEncrypted = v < 4 || !filterIsIdentity(encDict, "/StmF"))
   }
+
+  /** Crypt-filter selection at V>=4: only an EXPLICIT /Identity disables
+    * decryption for that surface. (The spec's default for an absent
+    * /StmF//StrF is /Identity, but real writers that encrypt always set
+    * them — treating absence as encrypted matches common-reader leniency
+    * and keeps pre-V4-style dicts working.) */
+  private def filterIsIdentity(d: TreeMap[String, PObj], key: String): Boolean =
+    d.get(key) match {
+      case Some(PName("/Identity")) => true
+      case _ => false
+    }
 
   // ---------- V5: AES-256, revisions 5/6 (ISO 32000-2 7.6.4) ----------
 
@@ -135,7 +154,9 @@ object Crypt {
           Some(aesCbcDecrypt(hash2B(r, pw, o.slice(40, 48), u.take(48)), new Array[Byte](16), oe).take(32))
         else None
       }
-    } yield Security(r, 5, key, 32, aes = true)
+    } yield Security(r, 5, key, 32, aes = true,
+      strEncrypted = !filterIsIdentity(encDict, "/StrF"),
+      stmEncrypted = !filterIsIdentity(encDict, "/StmF"))
   }
 
   private def usesAes(d: TreeMap[String, PObj]): Boolean =
@@ -290,14 +311,17 @@ object Crypt {
   def rc4KeyStream(key: Array[Byte], n: Int): Array[Byte] =
     rc4(key, new Array[Byte](math.max(0, n)))
 
-  def decryptString(sec: Security, objNum: Int, genNum: Int, bs: Array[Byte]): Array[Byte] = {
+  def decryptString(sec: Security, objNum: Int, genNum: Int, bs: Array[Byte]): Array[Byte] =
+    if (!sec.strEncrypted) bs else decryptBody(sec, objNum, genNum, bs)
+
+  def decryptStream(sec: Security, objNum: Int, genNum: Int, bs: Array[Byte]): Array[Byte] =
+    if (!sec.stmEncrypted) bs else decryptBody(sec, objNum, genNum, bs)
+
+  private def decryptBody(sec: Security, objNum: Int, genNum: Int, bs: Array[Byte]): Array[Byte] = {
     if (sec.version >= 5) return stripPkcs7(aesDecrypt(sec.key, bs)) // V5: file key direct
     val ok = objectKey(sec, objNum, genNum)
     if (sec.aes) stripPkcs7(aesDecrypt(ok, bs)) else rc4(ok, bs)
   }
-
-  def decryptStream(sec: Security, objNum: Int, genNum: Int, bs: Array[Byte]): Array[Byte] =
-    decryptString(sec, objNum, genNum, bs)
 
   private def stripPkcs7(bs: Array[Byte]): Array[Byte] = {
     if (bs.isEmpty) return bs

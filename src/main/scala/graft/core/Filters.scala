@@ -18,19 +18,62 @@ object Filters {
         "invalid /Filter entry (expected name or array of names)"))
     }
 
-  def decodeStreamBytes(d: TreeMap[String, PObj], s: Array[Byte]): Either[PdfError, Array[Byte]] =
-    for {
-      filters <- streamFilterNames(d)
-      filtered <- applyFilters(filters, s, lzwEarlyChange(d))
-      out <- applyPredictor(d, filtered)
-    } yield out
-
-  private def applyFilters(filters: List[String], s: Array[Byte],
-      earlyChange: Int): Either[PdfError, Array[Byte]] =
-    filters match {
-      case Nil => Right(s)
-      case f :: fs => decodeOne(f, s, earlyChange).flatMap(applyFilters(fs, _, earlyChange))
+  def decodeStreamBytes(d: TreeMap[String, PObj], s: Array[Byte]): Either[PdfError, Array[Byte]] = {
+    val dp = d.get("/DecodeParms").orElse(d.get("/DP")) // /DP: common abbreviation
+    streamFilterNames(d).flatMap { filters =>
+      if (filters.isEmpty) applyPredictorParms(predictorParmsAt(dp, 0, isLast = true), s)
+      else {
+        val last = filters.length - 1
+        filters.zipWithIndex.foldLeft[Either[PdfError, Array[Byte]]](Right(s)) {
+          case (acc, (f, i)) => acc
+            .flatMap(decodeOne(f, _, earlyChangeAt(dp, i)))
+            .flatMap(applyPredictorParms(predictorParmsAt(dp, i, i == last), _))
+        }
+      }
     }
+  }
+
+  /** Per-filter /DecodeParms resolution (ISO 32000-1 7.3.8.2): a PArray is
+    * parallel to the /Filter array (null entries = no parms); a lone PDict
+    * keeps the legacy behavior — /EarlyChange applies to every filter, the
+    * predictor runs once after the last filter. */
+  private def earlyChangeAt(dp: Option[PObj], idx: Int): Int = dp match {
+    case Some(PDict(p)) => earlyChangeOf(p)
+    case Some(PArray(a)) if idx < a.length => a(idx) match {
+      case PDict(p) => earlyChangeOf(p)
+      case _ => 1
+    }
+    case _ => 1
+  }
+
+  private def earlyChangeOf(parms: TreeMap[String, PObj]): Int =
+    parms.get("/EarlyChange") match {
+      case Some(PNum(v)) => Util.hsTruncate(v)
+      case _ => 1
+    }
+
+  private def predictorParmsAt(dp: Option[PObj], idx: Int,
+      isLast: Boolean): Option[TreeMap[String, PObj]] = dp match {
+    case Some(PDict(p)) => if (isLast) Some(p) else None
+    case Some(PArray(a)) if idx < a.length => a(idx) match {
+      case PDict(p) => Some(p)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def applyPredictorParms(parms: Option[TreeMap[String, PObj]],
+      bs: Array[Byte]): Either[PdfError, Array[Byte]] = parms match {
+    case Some(p) => p.get("/Predictor") match {
+      case Some(PNum(v)) if Util.hsTruncate(v) >= 12 =>
+        p.get("/Columns") match {
+          case Some(PNum(c)) => decodePngPredictors(bs, Util.hsTruncate(c))
+          case _ => Right(bs)
+        }
+      case _ => Right(bs)
+    }
+    case None => Right(bs)
+  }
 
   def decodeOne(name: String, s: Array[Byte], earlyChange: Int = 1): Either[PdfError, Array[Byte]] =
     name match {
@@ -43,17 +86,6 @@ object Filters {
       case other => Left(PdfError.UnsupportedFeature(
         s"unsupported stream filter $other (supported: /FlateDecode /DCTDecode " +
           "/ASCII85Decode /ASCIIHexDecode /LZWDecode /RunLengthDecode)"))
-    }
-
-  /** /DecodeParms /EarlyChange (LZW code-width bump one entry early;
-    * PDF default 1, ISO 32000-1 7.4.4.2). */
-  private def lzwEarlyChange(d: TreeMap[String, PObj]): Int =
-    d.get("/DecodeParms") match {
-      case Some(PDict(parms)) => parms.get("/EarlyChange") match {
-        case Some(PNum(v)) => Util.hsTruncate(v)
-        case _ => 1
-      }
-      case _ => 1
     }
 
   /** LZW (TIFF/PDF variant, ISO 32000-1 7.4.4): 9-bit codes growing to 12,
@@ -223,21 +255,6 @@ object Filters {
     if (hi >= 0) out += (hi << 4).toByte
     out.toArray
   }
-
-  /** /DecodeParms /Predictor >= 12 -> PNG per-row filters (None/Sub/Up only). */
-  def applyPredictor(d: TreeMap[String, PObj], bs: Array[Byte]): Either[PdfError, Array[Byte]] =
-    d.get("/DecodeParms") match {
-      case Some(PDict(parms)) =>
-        parms.get("/Predictor") match {
-          case Some(PNum(p)) if Util.hsTruncate(p) >= 12 =>
-            parms.get("/Columns") match {
-              case Some(PNum(c)) => decodePngPredictors(bs, Util.hsTruncate(c))
-              case _ => Right(bs)
-            }
-          case _ => Right(bs)
-        }
-      case _ => Right(bs)
-    }
 
   def decodePngPredictors(bs: Array[Byte], columns: Int): Either[PdfError, Array[Byte]] = {
     if (columns <= 0) return Right(Array.emptyByteArray)

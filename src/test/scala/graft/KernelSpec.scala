@@ -351,6 +351,78 @@ class KernelSpec extends AnyFunSuite {
     assert(Filters.decodeStreamBytes(dict, hexed).toOption.get.toList == payload.toList)
   }
 
+  test("per-filter /DecodeParms: array form, /DP abbreviation, array predictor") {
+    import PObj._
+    import scala.collection.immutable.TreeMap
+    def hexEnc(bs: Array[Byte]): Array[Byte] =
+      bs.map(b => f"${b & 0xff}%02x").mkString.getBytes("ISO-8859-1")
+    // long enough to cross the 9->10 bit width boundary, so a wrong
+    // EarlyChange misaligns the code stream (the parms genuinely matter)
+    val payload = Array.tabulate(4096)(i => ((i * 37 + (i / 256)) % 251).toByte)
+    val enc = hexEnc(graft.spark.FixtureGen.lzwEncode(payload, 0))
+    val dict = TreeMap[String, PObj](
+      "/Filter" -> PArray(Vector(PName("/ASCIIHexDecode"), PName("/LZWDecode"))),
+      "/DecodeParms" -> PArray(Vector(PNull, PDict(TreeMap("/EarlyChange" -> PNum(0))))))
+    assert(Filters.decodeStreamBytes(dict, enc).toOption.get.toList == payload.toList)
+    // /DP abbreviation, single-dict form
+    val dict2 = TreeMap[String, PObj](
+      "/Filter" -> PName("/LZWDecode"),
+      "/DP" -> PDict(TreeMap("/EarlyChange" -> PNum(0))))
+    assert(Filters.decodeStreamBytes(dict2, graft.spark.FixtureGen.lzwEncode(payload, 0))
+      .toOption.get.toList == payload.toList)
+    // array-form predictor parms at the filter's own index
+    val predicted = Array[Byte](1, 1, 1, 1, 2, 1, 1, 1) // Sub row then Up row
+    val dict3 = TreeMap[String, PObj](
+      "/Filter" -> PArray(Vector(PName("/FlateDecode"))),
+      "/DecodeParms" -> PArray(Vector(PDict(TreeMap(
+        "/Predictor" -> PNum(12), "/Columns" -> PNum(3))))))
+    assert(Filters.decodeStreamBytes(dict3, Filters.deflate(predicted)).toOption.get.toList
+      == List[Byte](1, 2, 3, 2, 3, 4))
+  }
+
+  test("Algorithm 2.B known-answer vectors (externally derived)") {
+    // Pins hash2B against vectors computed by an INDEPENDENT spec-written
+    // implementation (python `cryptography`/OpenSSL, tools provenance in
+    // the round-3 notes) — the R6 fixture alone round-trips through the
+    // same hash2B on both the write and read side, so a shared deviation
+    // from ISO 32000-2 7.6.4.3.4 would otherwise be invisible.
+    def hex(bs: Array[Byte]): String = bs.map(b => f"${b & 0xff}%02x").mkString
+    assert(hex(Crypt.hash2B(6, Array.emptyByteArray,
+      Array.tabulate[Byte](8)(_.toByte), Array.emptyByteArray))
+      == "1403c04eb647d2e60452dfc4eb0a5e0cf322e8a83a759eabbd17d498a93ba041")
+    assert(hex(Crypt.hash2B(6, "secret".getBytes("UTF-8"),
+      Array.fill[Byte](8)(0x99.toByte), Array.tabulate[Byte](48)(_.toByte)))
+      == "609eafadb8f57f181ed0486a5b6865548c38071fc118a71841f9bf8074eaac49")
+    assert(hex(Crypt.hash2B(5, "pw5".getBytes("UTF-8"),
+      Array.fill[Byte](8)(7), Array.emptyByteArray))
+      == "3bbed735f662ea5280c1a662528c4bea116aea29f1819bb851350db4094fbd22")
+  }
+
+  test("V4/V5 /StrF /Identity leaves strings plaintext, streams stay encrypted") {
+    for (d <- Seq(graft.spark.FixtureGen.encryptedAes(3),
+                  graft.spark.FixtureGen.encryptedAes256(3))) {
+      val doc = DocStructure.openDocument(d.bytes, None).toOption.get
+      val encRef = doc.trailer.get("/Encrypt") match {
+        case Some(PObj.PRef(n)) => n
+        case other => fail(s"no /Encrypt ref in ${d.kind}: $other")
+      }
+      // parse the encrypt dict WITHOUT the document security (as
+      // loadSecurity does) — objsByRef would "decrypt" /O and /U
+      val enc = Lexer.collectPdfObjs(d.bytes).find(_._1 == encRef)
+        .flatMap { case (n, body) =>
+          DocStructure.findDict(Lexer.parsePdfObj(None, n, body)) }.get
+      val base = Crypt.securityFromEncryptDict(enc, doc.trailer, None).get
+      assert(base.strEncrypted && base.stmEncrypted, d.kind)
+      val sec = Crypt.securityFromEncryptDict(
+        enc + ("/StrF" -> PObj.PName("/Identity")), doc.trailer, None).get
+      assert(!sec.strEncrypted && sec.stmEncrypted, d.kind)
+      val plain = "plaintext string body".getBytes("ISO-8859-1")
+      assert(Crypt.decryptString(sec, 4, 0, plain).toList == plain.toList, d.kind)
+      assert(Crypt.decryptStream(sec, 4, 0, plain ++ plain).toList
+        != (plain ++ plain).toList, d.kind)
+    }
+  }
+
   test("AES-256 R6 fixture decrypts and extracts (empty user password)") {
     val d = graft.spark.FixtureGen.encryptedAes256(9)
     val doc = DocStructure.openDocument(d.bytes, None).toOption.get
