@@ -22,8 +22,9 @@ object SparkEntry {
     * __AUXDIFF__ placeholders are rewritten to their paths at dump time) —
     * DuckDB cannot parse PDFs, but it can byte-compare extracted text to
     * what the corpus generator constructed, recompute binary features /
-    * frame samples from the construction-fact payload bytes, and replay
-    * the paragraph diff from both corpora's constructed page texts. All 41
-    * queries carry oracles. */
+    * frame samples from the construction-fact payload bytes, replay the
+    * paragraph diff from both corpora's constructed page texts, and check
+    * the REAL ImageIO decode (x17) against authored format/dimensions and
+    * the lossless-PNG pixel md5. All 42 queries carry oracles. */
   def oracleSql: Map[String, String] = Queries.oracleSql
 }

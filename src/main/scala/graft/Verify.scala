@@ -44,6 +44,13 @@ object Verify {
       a.join(bv, Seq("url"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$auxDir/aux_diff")
+      // Media ground truth: format/dimensions (and PNG pixel md5) known by
+      // construction for the real image-decode surface (x17).
+      graft.spark.CorpusGen.mediaCorpus(spark, rows = 60, partitions = 4)
+        .select(col("url"), col("kind"), col("ok"), col("width"), col("height"),
+          col("pixel_md5"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$auxDir/aux_media")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -66,8 +73,10 @@ object Verify {
     } + "\""
     val auxPath = new java.io.File(auxDir, "aux_expected").getAbsolutePath
     val auxDiffPath = new java.io.File(auxDir, "aux_diff").getAbsolutePath
+    val auxMediaPath = new java.io.File(auxDir, "aux_media").getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUXDIFF__", auxDiffPath).replace("__AUX__", auxPath))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUXDIFF__", auxDiffPath)
+        .replace("__AUXMEDIA__", auxMediaPath).replace("__AUX__", auxPath))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

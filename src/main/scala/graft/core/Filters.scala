@@ -26,7 +26,7 @@ object Filters {
         val last = filters.length - 1
         filters.zipWithIndex.foldLeft[Either[PdfError, Array[Byte]]](Right(s)) {
           case (acc, (f, i)) => acc
-            .flatMap(decodeOne(f, _, earlyChangeAt(dp, i)))
+            .flatMap(decodeWithParms(f, _, fullParmsAt(dp, i)))
             .flatMap(applyPredictorParms(predictorParmsAt(dp, i, i == last), _))
         }
       }
@@ -37,19 +37,44 @@ object Filters {
     * parallel to the /Filter array (null entries = no parms); a lone PDict
     * keeps the legacy behavior — /EarlyChange applies to every filter, the
     * predictor runs once after the last filter. */
-  private def earlyChangeAt(dp: Option[PObj], idx: Int): Int = dp match {
-    case Some(PDict(p)) => earlyChangeOf(p)
+  /** The filter's own parms dict: single-dict form applies to every filter
+    * (legacy behavior), array form is per-index. */
+  private def fullParmsAt(dp: Option[PObj], idx: Int): Option[TreeMap[String, PObj]] = dp match {
+    case Some(PDict(p)) => Some(p)
     case Some(PArray(a)) if idx < a.length => a(idx) match {
-      case PDict(p) => earlyChangeOf(p)
-      case _ => 1
+      case PDict(p) => Some(p)
+      case _ => None
     }
-    case _ => 1
+    case _ => None
   }
 
   private def earlyChangeOf(parms: TreeMap[String, PObj]): Int =
     parms.get("/EarlyChange") match {
       case Some(PNum(v)) => Util.hsTruncate(v)
       case _ => 1
+    }
+
+  private def parmInt(parms: Option[TreeMap[String, PObj]], key: String, dflt: Int): Int =
+    parms.flatMap(_.get(key)).collect { case PNum(v) => Util.hsTruncate(v) }.getOrElse(dflt)
+
+  private def parmBool(parms: Option[TreeMap[String, PObj]], key: String): Boolean =
+    parms.flatMap(_.get(key)).contains(PBool(true))
+
+  private def decodeWithParms(name: String, s: Array[Byte],
+      parms: Option[TreeMap[String, PObj]]): Either[PdfError, Array[Byte]] =
+    name match {
+      case "/LZWDecode" => lzwDecode(s, parms.map(earlyChangeOf).getOrElse(1))
+      case "/CCITTFaxDecode" =>
+        // Group 4 (/K < 0) only — G3 1-D/mixed stays UnsupportedFeature
+        val k = parmInt(parms, "/K", 0)
+        if (k >= 0) Left(PdfError.UnsupportedFeature(
+          s"CCITTFaxDecode /K $k (only Group 4, /K < 0, is supported)"))
+        else Ccitt.decodeG4(s,
+          columns = parmInt(parms, "/Columns", 1728),
+          rows = parmInt(parms, "/Rows", 0),
+          blackIs1 = parmBool(parms, "/BlackIs1"),
+          byteAlign = parmBool(parms, "/EncodedByteAlign"))
+      case other => decodeOne(other, s)
     }
 
   private def predictorParmsAt(dp: Option[PObj], idx: Int,
@@ -85,7 +110,7 @@ object Filters {
       case "/ASCIIHexDecode" => Right(asciiHex(s))
       case other => Left(PdfError.UnsupportedFeature(
         s"unsupported stream filter $other (supported: /FlateDecode /DCTDecode " +
-          "/ASCII85Decode /ASCIIHexDecode /LZWDecode /RunLengthDecode)"))
+          "/ASCII85Decode /ASCIIHexDecode /LZWDecode /RunLengthDecode /CCITTFaxDecode[G4])"))
     }
 
   /** LZW (TIFF/PDF variant, ISO 32000-1 7.4.4): 9-bit codes growing to 12,

@@ -47,9 +47,28 @@ object Images {
           Right(("png", encodePng(w, h, bs, rgb = true)))
         case (Some(w), Some(h), Some(8), Some(1)) if bs.length == w * h =>
           Right(("png", encodePng(w, h, bs, rgb = false)))
+        case (Some(w), Some(h), Some(1), Some(1)) if bs.length == (w + 7) / 8 * h =>
+          // packed 1-bit gray (e.g. decoded CCITT G4): 0 = black, 1 = white
+          Right(("png", encodePng(w, h, expand1Bit(bs, w, h), rgb = false)))
         case _ => Right(("raw", bs))
       }
     }
+  }
+
+  private def expand1Bit(bs: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val rowBytes = (w + 7) / 8
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bit = (bs(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+        out(y * w + x) = if (bit == 1) 0xff.toByte else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   private def colorComponents(doc: Document, cs: Option[PObj]): Option[Int] = cs match {

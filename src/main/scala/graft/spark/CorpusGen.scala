@@ -132,6 +132,51 @@ object CorpusGen {
     }).toDF())
   }
 
+  /** Multimodal media corpus for the real image-decode surface: rows carry
+    * a REAL JPEG / PNG / non-image binary payload in the opaque `html`
+    * column, with the generator's construction facts (format, dimensions,
+    * and — for lossless PNG — the exact pre-encoding pixel md5) alongside
+    * for external oracling. Generated on the executors like the main
+    * corpus. */
+  final case class MediaRow(
+      url: String,
+      warc_ts: Timestamp,
+      html: Array[Byte],
+      text: String,
+      lang: String,
+      kind: String,
+      ok: Boolean,
+      width: Int,
+      height: Int,
+      pixel_md5: String)
+
+  def mediaCorpus(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, rows, 1, partitions).as[Long].mapPartitions(_.map { i =>
+      def md5(bs: Array[Byte]): String =
+        java.security.MessageDigest.getInstance("MD5").digest(bs)
+          .map(b => f"${b & 0xff}%02x").mkString
+      val (kind, m) = (i % 3) match {
+        case 0 => ("media_jpeg", FixtureGen.mediaJpeg(i))
+        case 1 => ("media_png", FixtureGen.mediaPng(i))
+        case _ => ("media_bin",
+          FixtureGen.Media(Array.tabulate[Byte](64)(k => ((k * 37 + i) % 251).toByte),
+            "binary", -1, -1, null))
+      }
+      MediaRow(
+        url = s"https://media.test/$kind/$i",
+        warc_ts = new Timestamp(epochMs + i * 1000L),
+        html = m.bytes,
+        text = null,
+        lang = "und",
+        kind = kind,
+        ok = m.format != "binary",
+        width = m.width,
+        height = m.height,
+        pixel_md5 = if (m.pixels == null) null else md5(m.pixels))
+    }).toDF()
+  }
+
   /** Variant corpus: same urls and kinds, different body text (for the
     * document-diff surface). Carries the VARIANT's own ground-truth columns
     * (expected/page_texts/toc/...) so the diff surface can be oracled from

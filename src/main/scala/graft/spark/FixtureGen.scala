@@ -2,7 +2,7 @@ package graft.spark
 
 import java.nio.charset.StandardCharsets.ISO_8859_1
 import scala.collection.mutable.ArrayBuffer
-import graft.core.{Crypt, Filters, Security}
+import graft.core.{Crypt, Filters, Images, Security}
 
 /** Deterministic synthetic PDF/HTML builders for the extraction corpus.
   *
@@ -647,6 +647,67 @@ object FixtureGen {
       s"<< /Length ${enc.length} /Filter /RunLengthDecode >>\nstream\n$enc\nendstream",
       helvetica))
     Doc("runlength", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
+  }
+
+  /** Page with a CCITT Group 4 (/K -1) image XObject — exercises the G4
+    * decode + 1-bit PNG export path. Not in `kinds` (the 15-kind corpus mix
+    * is pinned by the scaling history); used by CcittSpec and available as
+    * a standalone builder. The bitmap is a deterministic diagonal pattern. */
+  def ccittImage(i: Long): Doc = {
+    val line = s"CCITT image document $i"
+    val w = 48
+    val h = 16
+    val bitmap = Array.tabulate(h, w)((y, x) => ((x + y + i) % 5) < 2)
+    val enc = new String(graft.core.Ccitt.encodeG4(bitmap, w), ISO_8859_1)
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\nq 96 0 0 32 72 560 cm /Im1 Do Q\n"
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 5 0 R >> /XObject << /Im1 6 0 R >> >> /Contents 4 0 R >>",
+      contentObj(content, compress = false),
+      helvetica,
+      s"<< /Type /XObject /Subtype /Image /Width $w /Height $h /ColorSpace /DeviceGray " +
+        s"/BitsPerComponent 1 /Filter /CCITTFaxDecode " +
+        s"/DecodeParms << /K -1 /Columns $w /Rows $h >> /Length ${enc.length} >>\nstream\n$enc\nendstream"))
+    Doc("ccittimage", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
+  }
+
+  /** Real media payloads for the image-decode surface (x17): JDK ImageIO
+    * JPEG (lossy — only the DIMENSIONS are oracle-able construction facts)
+    * and our minimal PNG (lossless — the exact pixel bytes are construction
+    * facts too). Returned as (bytes, width, height, pixelsOrNull). */
+  final case class Media(bytes: Array[Byte], format: String, width: Int, height: Int,
+      pixels: Array[Byte])
+
+  private def mediaPixels(i: Long, w: Int, h: Int, bands: Int): Array[Byte] =
+    Array.tabulate(w * h * bands) { k =>
+      val x = (k / bands) % w
+      val y = k / bands / w
+      ((x * 7 + y * 13 + i * 31 + k % bands * 5) % 256).toByte
+    }
+
+  def mediaJpeg(i: Long): Media = {
+    val w = 16 + (i % 8).toInt * 4
+    val h = 12 + (i % 5).toInt * 4
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val px = mediaPixels(i, w, h, 3)
+    var k = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ((px(k) & 0xff) << 16) | ((px(k + 1) & 0xff) << 8) | (px(k + 2) & 0xff)
+      img.setRGB(x, y, rgb)
+      k += 3
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", baos)
+    Media(baos.toByteArray, "jpeg", w, h, null) // lossy: pixels not a fact
+  }
+
+  def mediaPng(i: Long): Media = {
+    val w = 8 + (i % 6).toInt * 3
+    val h = 8 + (i % 4).toInt * 3
+    val px = mediaPixels(i, w, h, 1)
+    Media(Images.encodePng(w, h, px, rgb = false), "png", w, h, px)
   }
 
   val kinds: Vector[Long => Doc] = Vector(

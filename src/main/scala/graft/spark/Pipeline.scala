@@ -153,21 +153,36 @@ object Pipeline {
     * table you would precompute a size column at write time and both
     * passes prune to (url, size) via column stats. Use giantSlots ~
     * smallPartitions: when giants are fewer than slots each gets a
-    * partition to itself, and beyond that counts stay exact. */
+    * partition to itself, and beyond that counts stay exact.
+    *
+    * The exact rank is BOUNDED: only the `maxRankedGiants` LARGEST giants
+    * go through the ordered window (the `orderBy.limit` is a distributed
+    * top-K — TakeOrderedAndProject — so the one single-task sort ever run
+    * is over at most maxRankedGiants skinny rows, ~tens of MB at the 2^20
+    * default, regardless of corpus size). Giants beyond the top-K — by
+    * definition the SMALLEST giants, whose hash collisions cost the least —
+    * fall back to uniform url-hash slots. This keeps the plan safe even in
+    * a pathological >10^6-giants regime while staying exact where
+    * exactness pays. */
   def sizeWeightedRepartition(input: DataFrame, smallPartitions: Int, giantSlots: Int,
-      giantThresholdBytes: Long): DataFrame = {
+      giantThresholdBytes: Long, maxRankedGiants: Int = 1 << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sz = length(col("html")).cast("long")
     val smalls = input.where(coalesce(sz, lit(0L)) <= giantThresholdBytes)
       .repartition(smallPartitions, pmod(xxhash64(col("url")), lit(smallPartitions)))
     val slots = input.where(sz > giantThresholdBytes)
       .select(col("url"), sz.as("giant_sz"))
+      .orderBy(col("giant_sz").desc, col("url")) // with limit: distributed top-K
+      .limit(maxRankedGiants)
       .withColumn("giant_slot", pmod(
         row_number().over(Window.orderBy(col("giant_sz").desc, col("url"))) - 1,
         lit(giantSlots)))
       .select(col("url"), col("giant_slot"))
     val giants = input.where(sz > giantThresholdBytes)
-      .join(broadcast(slots), Seq("url"))
+      .join(broadcast(slots), Seq("url"), "left")
+      // beyond the ranked top-K (rare): uniform hash over the same slots
+      .withColumn("giant_slot",
+        coalesce(col("giant_slot"), pmod(xxhash64(col("url")), lit(giantSlots))))
       .repartitionByRange(giantSlots, col("giant_slot"))
       .drop("giant_slot")
     smalls.unionByName(giants)
@@ -382,6 +397,70 @@ object Surfaces {
           // place of a real decoded-media embedding
           val vec = hist.map(h => (h.toDouble / n).toFloat)
           BinaryFeatures(url, kind, payload.length, (entropy * 1000).round, ascii.toDouble / n, vec)
+        }
+      }
+  }
+
+  // ---------- multimodal REAL image decode (JDK ImageIO) ----------
+
+  final case class DecodedImage(url: String, format: String, ok: Boolean,
+      width: Int, height: Int, pixelMd5: String, meanLumaMilli: Long)
+
+  /** REAL image decoding over an opaque binary column — no stub: JPEG and
+    * PNG payloads decode through the JDK's ImageIO (no external deps), and
+    * the row carries typed metadata (dimensions, per-pixel md5 for
+    * lossless formats, mean luma). Non-image payloads yield ok=false rows
+    * rather than errors. The same mapPartitions shape scales like the
+    * extraction kernel: pruned scan, no shuffle, one decoder instance per
+    * partition thread. */
+  def decodeImages(spark: SparkSession, input: DataFrame): Dataset[DecodedImage] = {
+    import spark.implicits._
+    input.select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (url, payload0) =>
+          val payload = if (payload0 == null) Array.emptyByteArray else payload0
+          val isPng = payload.length >= 8 && (payload(0) & 0xff) == 0x89 && payload(1) == 'P'
+          val isJpeg = payload.length >= 3 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+          val fmt = if (isPng) "png" else if (isJpeg) "jpeg" else "binary"
+          val img =
+            if (fmt == "binary") null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              catch { case _: Throwable => null }
+          if (img == null) DecodedImage(url, fmt, ok = false, -1, -1, null, -1L)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            val bytes = new Array[Byte](w * h * bands)
+            var luma = 0L
+            var k = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var b = 0
+                var pix = 0
+                while (b < bands) {
+                  val v = raster.getSample(x, y, b)
+                  bytes(k) = v.toByte
+                  pix += v
+                  k += 1
+                  b += 1
+                }
+                luma += pix / bands
+                x += 1
+              }
+              y += 1
+            }
+            val md5 = if (fmt == "png") // lossless: pixels are a checkable fact
+              java.security.MessageDigest.getInstance("MD5").digest(bytes)
+                .map(b => f"${b & 0xff}%02x").mkString
+            else null
+            DecodedImage(url, fmt, ok = true, w, h, md5, luma * 1000L / math.max(w * h, 1))
+          }
         }
       }
   }

@@ -930,6 +930,25 @@ object Queries {
            |FROM read_parquet('__AUX__/*.parquet')
            |WHERE toc_entries > 0 ORDER BY url""".stripMargin))
 
+  private val x17 = Q(
+    (spark, _) => {
+      val c = CorpusGen.mediaCorpus(spark, rows = 60, partitions = 4)
+      Surfaces.decodeImages(spark, c.select("url", "html"))
+        .toDF().select("url", "format", "ok", "width", "height", "pixelMd5")
+        .orderBy("url")
+    },
+    // REAL decode (JDK ImageIO), externally verified against construction
+    // facts: the generator authored every payload, so format/dimensions are
+    // facts for both JPEG and PNG, and for lossless PNG the decoded pixel
+    // md5 must equal the md5 of the pre-encoding pixel bytes. (JPEG is
+    // lossy: its pixel hash is decoder-defined, so it stays null.)
+    Some("""SELECT url,
+           |  CASE kind WHEN 'media_jpeg' THEN 'jpeg' WHEN 'media_png' THEN 'png'
+           |       ELSE 'binary' END AS format,
+           |  ok, width, height, pixel_md5 AS "pixelMd5"
+           |FROM read_parquet('__AUXMEDIA__/*.parquet')
+           |ORDER BY url""".stripMargin))
+
   private val x15 = Q(
     (spark, dir) =>
       graft.spark.Streaming.windowedEventCounts(spark, s"$dir/events.parquet",
@@ -1013,7 +1032,8 @@ object Queries {
     "x13_outlines_toc" -> x13,
     "x14_frame_sample" -> x14,
     "x15_stream_window" -> x15,
-    "x16_stream_sessions" -> x16)
+    "x16_stream_sessions" -> x16,
+    "x17_image_decode" -> x17)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, v) => k -> v.fn }

@@ -166,6 +166,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val weighted = Pipeline.extract(spark, re)
       .toDF().select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(plain == weighted)
+    // bounded-rank fallback: with maxRankedGiants < giant count, the
+    // overflow giants take uniform hash slots — nothing is lost and the
+    // top-ranked giants still round-robin exactly
+    val re2 = Pipeline.sizeWeightedRepartition(input, smallPartitions = 4,
+      giantSlots = 6, giantThresholdBytes = thresh, maxRankedGiants = 3)
+    assert(re2.count() == 60)
+    val giantRows2 = re2.filter(length(col("html")) > thresh).count()
+    assert(giantRows2 == 6, s"giants lost in fallback path: $giantRows2")
   }
 
   test("column pruning reaches the scan") {

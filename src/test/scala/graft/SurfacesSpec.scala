@@ -121,6 +121,27 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.forall(r => r.getAs[Seq[Float]]("featureVec").length == 16))
   }
 
+  test("real image decode: ImageIO round-trips authored JPEG/PNG payloads") {
+    val c = CorpusGen.mediaCorpus(spark, rows = 18, partitions = 2)
+    val decoded = Surfaces.decodeImages(spark, c.select(col("url"), col("html"))).toDF()
+    val joined = decoded.join(
+      c.select(col("url"), col("kind"), col("ok").as("exp_ok"),
+        col("width").as("exp_w"), col("height").as("exp_h"), col("pixel_md5")),
+      Seq("url")).collect()
+    assert(joined.length == 18)
+    for (r <- joined) {
+      val kind = r.getAs[String]("kind")
+      assert(r.getAs[Boolean]("ok") == r.getAs[Boolean]("exp_ok"), kind)
+      if (kind != "media_bin") {
+        assert(r.getAs[Int]("width") == r.getAs[Int]("exp_w"), kind)
+        assert(r.getAs[Int]("height") == r.getAs[Int]("exp_h"), kind)
+        assert(r.getAs[Long]("meanLumaMilli") >= 0, kind)
+      }
+      if (kind == "media_png") // lossless: decoded pixels == authored pixels
+        assert(r.getAs[String]("pixelMd5") == r.getAs[String]("pixel_md5"))
+    }
+  }
+
   test("frame sampling emits typed rows with stub features") {
     val c = CorpusGen.corpus(spark, rows = 12, partitions = 2)
     val frames = Surfaces.sampleFrames(spark, CorpusGen.inputView(c), everyNBytes = 256).toDF().collect()
