@@ -429,6 +429,115 @@ object Queries {
             |      (len(toks_a) + len(toks_b) - len(list_intersect(toks_a, toks_b))) >= 0.5
             |ORDER BY 1, 2""".stripMargin))
 
+  /** Deterministic sign-LSH band over pseudo-hyperplanes `from until to`
+    * (the s2/s3 plane family, parameterized; bit b = plane from+b). */
+  private def lshBandCol(emb: Column, from: Int, to: Int): Column =
+    (from until to).map { k =>
+      val proj = aggregate(
+        zip_with(emb,
+          transform(sequence(lit(0), size(emb) - 1),
+            i => cos(i.cast("double") * (k + 1) * 0.7 + k)),
+          (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << (k - from))).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private val d7 = Q(
+    (spark, dir) => {
+      // Embedding-cosine near-dup detection: every vector gets a
+      // CONSTRUCTED near-duplicate twin (one dimension replaced by a
+      // constant — pure value substitution, so both engines build
+      // bit-identical twins; twins land at cosine 0.92-1.0 on the
+      // unit-normalized table while unrelated pairs top out near 0.40, so
+      // the 0.9 threshold is decisive). Candidates come from OR-amplified
+      // sign-LSH: 4 bands x 16 planes. Unlike minhash bands, a sign-LSH
+      // collision is NOT evidence of near-duplication (few-plane buckets
+      // collide constantly at random), so bands are WIDE (65k keys ->
+      // buckets of ~1) and candidates are all-pairs WITHIN a band bucket
+      // with first-band-wins dedup — a twin is missed only when the
+      // perturbation flips a plane sign in all four bands. Never a cross
+      // join; each band join is a hash equi-join.
+      val e = t(spark, dir, "embeddings")
+      val base = e.select(col("vec_id").as("id"), col("embedding"))
+      val pert = e.select((col("vec_id") + 10000).as("id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === pmod(col("vec_id"), lit(64)).cast("int"), lit(0.05f)).otherwise(x))
+          .as("embedding"))
+      val allv = (0 until 4).foldLeft(base.unionByName(pert)) { (df, j) =>
+        df.withColumn(s"band$j", lshBandCol(col("embedding"), 16 * j, 16 * (j + 1)))
+      }
+      val lhs = allv.select(col("id").as("id_a") +: col("embedding").as("emb_a") +:
+        (0 until 4).map(j => col(s"band$j").as(s"a$j")): _*)
+      val rhs = allv.select(col("id").as("id_b") +: col("embedding").as("emb_b") +:
+        (0 until 4).map(j => col(s"band$j").as(s"c$j")): _*)
+      val links = (0 until 4).map { j =>
+        val cond = (0 until j).foldLeft(
+          col(s"a$j") === col(s"c$j") && col("id_a") < col("id_b")) {
+          (c, i) => c && col(s"a$i") =!= col(s"c$i")
+        }
+        lhs.join(rhs, cond).select("id_a", "id_b", "emb_a", "emb_b")
+      }.reduce(_.unionByName(_))
+      val dot = aggregate(zip_with(col("emb_a"), col("emb_b"), (a, x) => a * x),
+        lit(0.0), (acc, x) => acc + x)
+      val na = sqrt(aggregate(col("emb_a"), lit(0.0), (acc, x) => acc + x * x))
+      val nb = sqrt(aggregate(col("emb_b"), lit(0.0), (acc, x) => acc + x * x))
+      links
+        .select(col("id_a"), col("id_b"), round(dot / (na * nb), 6).as("sim"))
+        .filter(col("sim") >= 0.9)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH base AS (
+           |  SELECT vec_id AS id, embedding FROM embeddings
+           |), pert AS (
+           |  SELECT vec_id + 10000 AS id,
+           |    list_transform(range(1, len(embedding)+1),
+           |      i -> CASE WHEN i - 1 = vec_id % 64 THEN CAST(0.05 AS FLOAT) ELSE embedding[i] END) AS embedding
+           |  FROM embeddings
+           |), allv AS (
+           |  SELECT * FROM base UNION ALL SELECT * FROM pert
+           |), bucketed AS (
+           |  SELECT id, embedding,
+           |    CAST((SELECT sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)
+           |     FROM (SELECT k, (SELECT sum(embedding[i+1] * cos(i * (k+1) * 0.7 + k))
+           |                      FROM (SELECT unnest(range(0, len(embedding))) AS i)) AS pr
+           |           FROM (SELECT unnest(range(0, 16)) AS k))) AS BIGINT) AS band0,
+           |    CAST((SELECT sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << (k - 16) ELSE 0 END)
+           |     FROM (SELECT k, (SELECT sum(embedding[i+1] * cos(i * (k+1) * 0.7 + k))
+           |                      FROM (SELECT unnest(range(0, len(embedding))) AS i)) AS pr
+           |           FROM (SELECT unnest(range(16, 32)) AS k))) AS BIGINT) AS band1,
+           |    CAST((SELECT sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END)
+           |     FROM (SELECT k, (SELECT sum(embedding[i+1] * cos(i * (k+1) * 0.7 + k))
+           |                      FROM (SELECT unnest(range(0, len(embedding))) AS i)) AS pr
+           |           FROM (SELECT unnest(range(32, 48)) AS k))) AS BIGINT) AS band2,
+           |    CAST((SELECT sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << (k - 48) ELSE 0 END)
+           |     FROM (SELECT k, (SELECT sum(embedding[i+1] * cos(i * (k+1) * 0.7 + k))
+           |                      FROM (SELECT unnest(range(0, len(embedding))) AS i)) AS pr
+           |           FROM (SELECT unnest(range(48, 64)) AS k))) AS BIGINT) AS band3
+           |  FROM allv
+           |), cand AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, a.embedding AS emb_a, b.embedding AS emb_b
+           |  FROM bucketed a JOIN bucketed b ON a.band0 = b.band0 AND a.id < b.id
+           |  UNION ALL
+           |  SELECT a.id, b.id, a.embedding, b.embedding
+           |  FROM bucketed a JOIN bucketed b ON a.band1 = b.band1 AND a.id < b.id
+           |    AND a.band0 <> b.band0
+           |  UNION ALL
+           |  SELECT a.id, b.id, a.embedding, b.embedding
+           |  FROM bucketed a JOIN bucketed b ON a.band2 = b.band2 AND a.id < b.id
+           |    AND a.band0 <> b.band0 AND a.band1 <> b.band1
+           |  UNION ALL
+           |  SELECT a.id, b.id, a.embedding, b.embedding
+           |  FROM bucketed a JOIN bucketed b ON a.band3 = b.band3 AND a.id < b.id
+           |    AND a.band0 <> b.band0 AND a.band1 <> b.band1 AND a.band2 <> b.band2
+           |), pairs AS (
+           |  SELECT id_a, id_b,
+           |    round(list_reduce(list_transform(range(1, len(emb_a)+1), i -> CAST(emb_a[i] * emb_b[i] AS DOUBLE)), (x, y) -> x + y) /
+           |      (sqrt(list_reduce(list_transform(emb_a, x -> CAST(x * x AS DOUBLE)), (x, y) -> x + y)) *
+           |       sqrt(list_reduce(list_transform(emb_b, x -> CAST(x * x AS DOUBLE)), (x, y) -> x + y))), 6) AS sim
+           |  FROM cand
+           |)
+           |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9 ORDER BY 1, 2""".stripMargin))
+
   // ---------- training-data ops: text analysis ----------
 
   private val t1 = Q(
@@ -1009,6 +1118,7 @@ object Queries {
     "d4_ngram_profile" -> d4,
     "d5_lsh_buckets" -> d5,
     "d6_near_dup_verify" -> d6,
+    "d7_embed_neardup" -> d7,
     "t1_token_stats" -> t1,
     "t2_quality" -> t2,
     "t3_langid" -> t3,

@@ -76,6 +76,24 @@ class CcittSpec extends AnyFunSuite {
       assert(r.isLeft || r.isRight) // total: any Either is fine, no exception
     }
     assert(Ccitt.decodeG4(Array[Byte](0x55, 0x55), 0, 0, blackIs1 = false, byteAlign = false).isLeft)
+    // mini-soak: deterministic pseudo-random streams + mutated valid streams
+    val rnd = new scala.util.Random(42)
+    val valid = Ccitt.encodeG4(Array.tabulate(12, 64)((y, x) => (x * 3 + y) % 7 < 3), 64)
+    var decoded = 0
+    for (n <- 0 until 500) {
+      val bytes =
+        if (n % 2 == 0) Array.fill[Byte](1 + rnd.nextInt(96))(rnd.nextInt(256).toByte)
+        else {
+          val m = valid.clone()
+          m(rnd.nextInt(m.length)) = (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+          m
+        }
+      Ccitt.decodeG4(bytes, 64, 12, blackIs1 = false, byteAlign = false) match {
+        case Right(_) => decoded += 1
+        case Left(_) => ()
+      }
+    }
+    assert(decoded >= 0) // totality is the assertion; no throw, no hang
   }
 
   test("CCITT G4 image extracts end-to-end with correct dimensions") {

@@ -67,6 +67,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("embedding near-dup joins on sign-LSH band keys, never a cartesian (d7)") {
+    val plan = planOf("d7_embed_neardup")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("anti-join resume broadcasts the done set when small") {
     val corpus = CorpusGen.corpus(spark, rows = 20, partitions = 2)
     val input = CorpusGen.inputView(corpus)
