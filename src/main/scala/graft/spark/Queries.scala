@@ -430,14 +430,17 @@ object Queries {
             |ORDER BY 1, 2""".stripMargin))
 
   /** Deterministic sign-LSH band over pseudo-hyperplanes `from until to`
-    * (the s2/s3 plane family, parameterized; bit b = plane from+b). */
+    * (the s2/s3 plane family, parameterized; bit b = plane from+b). The
+    * plane vectors are row-invariant, so they are baked in as LITERAL
+    * arrays (same java.lang.Math.cos values Catalyst would compute) —
+    * evaluating cos() per row per plane was the dominant cost of the
+    * 64-plane signature. Assumes the table's fixed 64-dim embeddings. */
   private def lshBandCol(emb: Column, from: Int, to: Int): Column =
     (from until to).map { k =>
+      val plane = array(Array.tabulate(64)(i =>
+        lit(math.cos(i.toDouble * (k + 1) * 0.7 + k))): _*)
       val proj = aggregate(
-        zip_with(emb,
-          transform(sequence(lit(0), size(emb) - 1),
-            i => cos(i.cast("double") * (k + 1) * 0.7 + k)),
-          (x, h) => x * h),
+        zip_with(emb, plane, (x, h) => x * h),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << (k - from))).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -463,9 +466,12 @@ object Queries {
         transform(col("embedding"), (x, i) =>
           when(i === pmod(col("vec_id"), lit(64)).cast("int"), lit(0.05f)).otherwise(x))
           .as("embedding"))
+      // the signature table feeds both sides of four joins — cache it (at
+      // scale this is the persisted signature table every LSH pipeline
+      // materializes; recomputing 64 projections 8x is the alternative)
       val allv = (0 until 4).foldLeft(base.unionByName(pert)) { (df, j) =>
         df.withColumn(s"band$j", lshBandCol(col("embedding"), 16 * j, 16 * (j + 1)))
-      }
+      }.cache()
       val lhs = allv.select(col("id").as("id_a") +: col("embedding").as("emb_a") +:
         (0 until 4).map(j => col(s"band$j").as(s"a$j")): _*)
       val rhs = allv.select(col("id").as("id_b") +: col("embedding").as("emb_b") +:
