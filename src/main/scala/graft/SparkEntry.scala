@@ -24,7 +24,9 @@ object SparkEntry {
     * what the corpus generator constructed, recompute binary features /
     * frame samples from the construction-fact payload bytes, replay the
     * paragraph diff from both corpora's constructed page texts, and check
-    * the REAL ImageIO decode (x17) against authored format/dimensions and
-    * the lossless-PNG pixel md5. All 42 queries carry oracles. */
+    * the REAL ImageIO decode (x17) against authored format/dimensions +
+    * lossless-PNG pixel md5 and the REAL javax.sound WAV decode (x18)
+    * against authored RIFF fields + exact PCM md5. All 44 queries carry
+    * oracles. */
   def oracleSql: Map[String, String] = Queries.oracleSql
 }

@@ -51,6 +51,13 @@ object Verify {
           col("pixel_md5"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$auxDir/aux_media")
+      // Audio ground truth: RIFF header fields + exact PCM sample md5 are
+      // construction facts for the real audio-decode surface (x18).
+      graft.spark.CorpusGen.audioCorpus(spark, rows = 60, partitions = 4)
+        .select(col("url"), col("kind"), col("ok"), col("sample_rate"),
+          col("channels"), col("bits"), col("n_samples"), col("sample_md5"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$auxDir/aux_audio")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -74,9 +81,11 @@ object Verify {
     val auxPath = new java.io.File(auxDir, "aux_expected").getAbsolutePath
     val auxDiffPath = new java.io.File(auxDir, "aux_diff").getAbsolutePath
     val auxMediaPath = new java.io.File(auxDir, "aux_media").getAbsolutePath
+    val auxAudioPath = new java.io.File(auxDir, "aux_audio").getAbsolutePath
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUXDIFF__", auxDiffPath)
-        .replace("__AUXMEDIA__", auxMediaPath).replace("__AUX__", auxPath))}" }
+        .replace("__AUXMEDIA__", auxMediaPath).replace("__AUXAUDIO__", auxAudioPath)
+        .replace("__AUX__", auxPath))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

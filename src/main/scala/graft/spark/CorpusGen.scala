@@ -177,6 +177,42 @@ object CorpusGen {
     }).toDF()
   }
 
+  /** Audio corpus for the real WAV/PCM decode surface: 2 of 3 rows carry an
+    * authored RIFF/PCM payload (header fields + exact sample bytes are
+    * construction facts), the third a non-audio binary. */
+  final case class AudioRow(
+      url: String,
+      warc_ts: Timestamp,
+      html: Array[Byte],
+      text: String,
+      lang: String,
+      kind: String,
+      ok: Boolean,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_samples: Int,
+      sample_md5: String)
+
+  def audioCorpus(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, rows, 1, partitions).as[Long].mapPartitions(_.map { i =>
+      def md5(bs: Array[Byte]): String =
+        java.security.MessageDigest.getInstance("MD5").digest(bs)
+          .map(b => f"${b & 0xff}%02x").mkString
+      if (i % 3 == 2) {
+        AudioRow(s"https://media.test/audio_bin/$i", new Timestamp(epochMs + i * 1000L),
+          Array.tabulate[Byte](48)(k => ((k * 29 + i) % 241).toByte), null, "und",
+          "audio_bin", ok = false, -1, -1, -1, -1, null)
+      } else {
+        val w = FixtureGen.mediaWav(i)
+        AudioRow(s"https://media.test/audio_wav/$i", new Timestamp(epochMs + i * 1000L),
+          w.bytes, null, "und", "audio_wav", ok = true,
+          w.sampleRate, w.channels, w.bits, w.nSamples, md5(w.pcm))
+      }
+    }).toDF()
+  }
+
   /** Variant corpus: same urls and kinds, different body text (for the
     * document-diff surface). Carries the VARIANT's own ground-truth columns
     * (expected/page_texts/toc/...) so the diff surface can be oracled from

@@ -710,6 +710,42 @@ object FixtureGen {
     Media(Images.encodePng(w, h, px, rgb = false), "png", w, h, px)
   }
 
+  /** Real PCM WAV payload for the audio-decode surface (x18): the RIFF
+    * container is authored here byte by byte, so every header field AND
+    * the exact PCM sample bytes are construction facts (PCM is lossless —
+    * a correct decoder must return them verbatim). */
+  final case class Wav(bytes: Array[Byte], sampleRate: Int, channels: Int,
+      bits: Int, nSamples: Int, pcm: Array[Byte])
+
+  def mediaWav(i: Long): Wav = {
+    val rates = Array(8000, 16000, 44100)
+    val sampleRate = rates((i % 3).toInt)
+    val channels = 1 + (i % 2).toInt
+    val bits = 16
+    val nSamples = 400 + (i % 5).toInt * 100 // frames (per channel)
+    val pcm = new Array[Byte](nSamples * channels * 2)
+    var k = 0
+    while (k < nSamples * channels) {
+      // deterministic sawtooth-ish 16-bit LE samples
+      val v = (((i * 7 + k * 131) % 65536) - 32768).toInt
+      pcm(2 * k) = (v & 0xff).toByte
+      pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
+    }
+    val byteRate = sampleRate * channels * bits / 8
+    val blockAlign = channels * bits / 8
+    val out = new ArrayBuffer[Byte]
+    def le32(v: Int): Unit = out ++= Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    def le16(v: Int): Unit = out ++= Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    out ++= b("RIFF"); le32(36 + pcm.length); out ++= b("WAVE")
+    out ++= b("fmt "); le32(16); le16(1 /* PCM */); le16(channels)
+    le32(sampleRate); le32(byteRate); le16(blockAlign); le16(bits)
+    out ++= b("data"); le32(pcm.length)
+    out ++= pcm
+    Wav(out.toArray, sampleRate, channels, bits, nSamples, pcm)
+  }
+
   val kinds: Vector[Long => Doc] = Vector(
     classic, flate, xrefStream, objStm, multipage, tagged, encryptedRc4, htmlPage, textRow,
     outlined, jpegImage, encryptedAes, lzwDoc, runLengthDoc, encryptedAes256)

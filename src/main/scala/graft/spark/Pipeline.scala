@@ -465,6 +465,68 @@ object Surfaces {
       }
   }
 
+  // ---------- multimodal REAL audio decode (javax.sound.sampled) ----------
+
+  final case class DecodedAudio(url: String, format: String, ok: Boolean,
+      sampleRate: Int, channels: Int, bits: Int, nSamples: Int,
+      sampleMd5: String, rmsMilli: Long)
+
+  /** REAL audio decoding over an opaque binary column: WAV/PCM payloads go
+    * through the JDK's javax.sound.sampled (no external deps) and emit
+    * typed metadata (rate/channels/bits/frames), the md5 of the decoded
+    * PCM bytes (lossless — must equal the authored samples byte for
+    * byte), and an RMS energy feature. Non-audio payloads yield ok=false
+    * rows. Same scale shape as the extraction kernel: pruned scan ->
+    * mapPartitions, no shuffle. */
+  def decodeAudio(spark: SparkSession, input: DataFrame): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    input.select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (url, payload0) =>
+          val payload = if (payload0 == null) Array.emptyByteArray else payload0
+          val isRiff = payload.length >= 12 &&
+            payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+            payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E'
+          val fmt = if (isRiff) "wav" else "binary"
+          val decoded =
+            if (!isRiff) None
+            else
+              try {
+                val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(payload))
+                try {
+                  val af = in.getFormat
+                  val pcm = in.readAllBytes()
+                  Some((af, pcm))
+                } finally in.close()
+              } catch { case _: Throwable => None }
+          decoded match {
+            case None => DecodedAudio(url, fmt, ok = false, -1, -1, -1, -1, null, -1L)
+            case Some((af, pcm)) =>
+              val bits = af.getSampleSizeInBits
+              val channels = af.getChannels
+              val frameBytes = channels * bits / 8
+              val nSamples = if (frameBytes > 0) pcm.length / frameBytes else 0
+              val md5 = java.security.MessageDigest.getInstance("MD5").digest(pcm)
+                .map(b => f"${b & 0xff}%02x").mkString
+              // RMS over 16-bit LE samples (integer accumulation, exact)
+              var sumSq = 0L
+              var k = 0
+              while (bits == 16 && k + 1 < pcm.length) {
+                val v = ((pcm(k + 1) << 8) | (pcm(k) & 0xff)).toShort.toInt
+                sumSq += v.toLong * v
+                k += 2
+              }
+              val n = math.max(pcm.length / 2, 1)
+              val rmsMilli = (math.sqrt(sumSq.toDouble / n) * 1000).round
+              DecodedAudio(url, fmt, ok = true, af.getSampleRate.round, channels, bits,
+                nSamples, md5, rmsMilli)
+          }
+        }
+      }
+  }
+
   // ---------- multimodal frame sampling (stub decode) ----------
 
   final case class FrameRow(url: String, frameIdx: Int, byteOffset: Long,

@@ -1064,6 +1064,25 @@ object Queries {
            |FROM read_parquet('__AUXMEDIA__/*.parquet')
            |ORDER BY url""".stripMargin))
 
+  private val x18 = Q(
+    (spark, _) => {
+      val c = CorpusGen.audioCorpus(spark, rows = 60, partitions = 4)
+      Surfaces.decodeAudio(spark, c.select("url", "html"))
+        .toDF().select("url", "format", "ok", "sampleRate", "channels", "bits",
+          "nSamples", "sampleMd5")
+        .orderBy("url")
+    },
+    // REAL audio decode (javax.sound.sampled), externally verified against
+    // construction facts: the generator authored the RIFF header fields
+    // AND the raw PCM sample bytes, and PCM is lossless — the decoder must
+    // hand back the exact bytes (sample md5) and the exact header metadata.
+    Some("""SELECT url,
+           |  CASE kind WHEN 'audio_wav' THEN 'wav' ELSE 'binary' END AS format,
+           |  ok, sample_rate AS "sampleRate", channels, bits,
+           |  n_samples AS "nSamples", sample_md5 AS "sampleMd5"
+           |FROM read_parquet('__AUXAUDIO__/*.parquet')
+           |ORDER BY url""".stripMargin))
+
   private val x15 = Q(
     (spark, dir) =>
       graft.spark.Streaming.windowedEventCounts(spark, s"$dir/events.parquet",
@@ -1149,7 +1168,8 @@ object Queries {
     "x14_frame_sample" -> x14,
     "x15_stream_window" -> x15,
     "x16_stream_sessions" -> x16,
-    "x17_image_decode" -> x17)
+    "x17_image_decode" -> x17,
+    "x18_audio_decode" -> x18)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, v) => k -> v.fn }

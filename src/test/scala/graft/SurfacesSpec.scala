@@ -142,6 +142,30 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("real audio decode: PCM round-trips authored WAV payloads exactly") {
+    val c = CorpusGen.audioCorpus(spark, rows = 15, partitions = 2)
+    val decoded = Surfaces.decodeAudio(spark, c.select(col("url"), col("html"))).toDF()
+    val joined = decoded.join(
+      c.select(col("url"), col("kind"), col("ok").as("exp_ok"),
+        col("sample_rate"), col("channels").as("exp_ch"),
+        col("n_samples").as("exp_n"), col("sample_md5")),
+      Seq("url")).collect()
+    assert(joined.length == 15)
+    for (r <- joined) {
+      val kind = r.getAs[String]("kind")
+      assert(r.getAs[Boolean]("ok") == r.getAs[Boolean]("exp_ok"), kind)
+      if (kind == "audio_wav") {
+        assert(r.getAs[Int]("sampleRate") == r.getAs[Int]("sample_rate"))
+        assert(r.getAs[Int]("channels") == r.getAs[Int]("exp_ch"))
+        assert(r.getAs[Int]("bits") == 16)
+        assert(r.getAs[Int]("nSamples") == r.getAs[Int]("exp_n"))
+        // lossless: decoded PCM bytes == authored PCM bytes
+        assert(r.getAs[String]("sampleMd5") == r.getAs[String]("sample_md5"))
+        assert(r.getAs[Long]("rmsMilli") > 0)
+      }
+    }
+  }
+
   test("frame sampling emits typed rows with stub features") {
     val c = CorpusGen.corpus(spark, rows = 12, partitions = 2)
     val frames = Surfaces.sampleFrames(spark, CorpusGen.inputView(c), everyNBytes = 256).toDF().collect()
