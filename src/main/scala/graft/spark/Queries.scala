@@ -702,6 +702,77 @@ object Queries {
            |         FROM (SELECT unnest(range(0, 8)) AS k))) AS BIGINT) AS bucket
            |FROM embeddings ORDER BY vec_id""".stripMargin))
 
+  private val s4 = Q(
+    (spark, dir) => {
+      // IVF-flat ANN search — the other classic scale path next to LSH
+      // (s2/s3): a small coarse codebook partitions the vector space into
+      // cells; every vector is assigned to its nearest centroid (one
+      // 16-row broadcast against the full table — at 100 TB the codebook
+      // is a trained k-means artifact shipped to every executor, here a
+      // deterministic subset so the oracle can replay it); queries probe
+      // their nprobe=2 nearest cells and rerank exactly inside them. The
+      // candidate join is a hash equi-join on cell id, never a cross join
+      // over the corpus.
+      val e = t(spark, dir, "embeddings")
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val sim = {
+        val dot = aggregate(zip_with(col("cv"), col("embedding"), (a, x) => a * x),
+          lit(0.0), (acc, x) => acc + x)
+        val nc = sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x))
+        val ne = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
+        round(dot / (nc * ne), 6)
+      }
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+      val assigned = e.join(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cid"), sim.as("csim"))
+        .withColumn("crank", row_number().over(wAssign))
+      val cells = assigned.filter(col("crank") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      val probes = assigned.filter(col("vec_id") < 10 && col("crank") <= 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid").as("cell"))
+      val qdot = aggregate(zip_with(col("qv"), col("embedding"), (a, x) => a * x),
+        lit(0.0), (acc, x) => acc + x)
+      val qn = sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x))
+      val en = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
+      val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      probes.join(cells, Seq("cell"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), col("cell"), round(qdot / (qn * en), 6).as("sim"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .select("qid", "vec_id", "cell", "rank", "sim")
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH cent AS (
+           |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+           |), assigned AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      round(list_reduce(list_transform(range(1, len(c.cv)+1), i -> CAST(c.cv[i] * e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+           |        (sqrt(list_reduce(list_transform(c.cv, x -> CAST(x * x AS DOUBLE)), (x, y) -> x + y)) *
+           |         sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x * x AS DOUBLE)), (x, y) -> x + y))), 6) DESC,
+           |      c.cid ASC) AS crank
+           |  FROM embeddings e CROSS JOIN cent c
+           |), cells AS (
+           |  SELECT vec_id, embedding, cid AS cell FROM assigned WHERE crank = 1
+           |), probes AS (
+           |  SELECT vec_id AS qid, embedding AS qv, cid AS cell
+           |  FROM assigned WHERE vec_id < 10 AND crank <= 2
+           |), pairs AS (
+           |  SELECT p.qid, m.vec_id, p.cell,
+           |    round(list_reduce(list_transform(range(1, len(p.qv)+1), i -> CAST(p.qv[i] * m.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+           |      (sqrt(list_reduce(list_transform(p.qv, x -> CAST(x * x AS DOUBLE)), (x, y) -> x + y)) *
+           |       sqrt(list_reduce(list_transform(m.embedding, x -> CAST(x * x AS DOUBLE)), (x, y) -> x + y))), 6) AS sim
+           |  FROM probes p JOIN cells m ON m.cell = p.cell AND m.vec_id <> p.qid
+           |), ranked AS (
+           |  SELECT qid, vec_id, cell, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+           |  FROM pairs
+           |)
+           |SELECT qid, vec_id, cell, rank, sim FROM ranked WHERE rank <= 3
+           |ORDER BY qid, rank""".stripMargin))
+
   private val s3 = Q(
     (spark, dir) => {
       // LSH-bucketed ANN search: candidates restricted to the query's
@@ -1152,6 +1223,7 @@ object Queries {
     "s1_knn_cosine" -> s1,
     "s2_ann_lsh_bucket" -> s2,
     "s3_ann_search" -> s3,
+    "s4_ivf_search" -> s4,
     "x1_extract" -> x1,
     "x2_extract_match" -> x2,
     "x3_grep" -> x3,
