@@ -34,7 +34,8 @@ object FuzzSoak {
   def main(args: Array[String]): Unit = {
     val iterations = sys.env.getOrElse("FUZZ_ITERS", "4000").toInt
     val bases = (0L until 13L).map(graft.spark.FixtureGen.docFor).map(_.bytes) ++
-      Seq(graft.spark.FixtureGen.book(1).bytes) ++ {
+      Seq(graft.spark.FixtureGen.book(1).bytes,
+        graft.spark.FixtureGen.ccittImage(1).bytes) ++ {
         val dir = java.nio.file.Paths.get("/root/reference/data/fixtures")
         if (java.nio.file.Files.isDirectory(dir)) {
           val st = java.nio.file.Files.list(dir)
@@ -56,7 +57,11 @@ object FuzzSoak {
           try {
             Extract.extractPdf(m, None)
             Extract.extractPdfGeom(m, None)
-            DocStructure.openDocument(m, None).foreach(d => Legacy.legacyText(d))
+            DocStructure.openDocument(m, None).foreach { d =>
+              Legacy.legacyText(d)
+              // image path: filter decode (incl. CCITT G4) + PNG re-encode
+              Images.extractPageImages(d, 1)
+            }
             Html.extractHtml(m)
           } catch {
             case e: Throwable =>
