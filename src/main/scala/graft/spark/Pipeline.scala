@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 
@@ -186,6 +186,133 @@ object Pipeline {
       .repartitionByRange(giantSlots, col("giant_slot"))
       .drop("giant_slot")
     smalls.unionByName(giants)
+  }
+
+  /** Intra-document parallelism for GIANT PDFs: a 100k-page document is a
+    * single task under row-level parallelism — the one skew unit that
+    * placement (sizeWeightedRepartition) cannot shrink. Geometry-mode
+    * layout composes per page (geomText = per-page pageLinesRaw -> one
+    * document assembly), so giants split into page-RANGE chunks that
+    * extract in parallel tasks and reassemble byte-identically:
+    *
+    *   1. a skinny planning pass opens each PDF just far enough to count
+    *      pages (xref + page tree — no content streams);
+    *   2. giants (pages > giantThresholdPages) explode into chunk rows and
+    *      re-join the payload (the byte duplication per chunk is the price
+    *      of intra-doc parallelism — chunks re-open the doc and interpret
+    *      only their page range). Every re-open re-parses the xref + page
+    *      tree, a cost that grows WITH the document, so the chunk COUNT is
+    *      capped at maxChunksPerDoc (one per task slot, not one per 64
+    *      pages): measured here, a fixed small chunk size made a 40k-page
+    *      giant 17x SLOWER (625 re-opens), while capped chunking amortizes
+    *      the open against pages/maxChunks pages of kernel work;
+    *   3. serialized per-page PageLines shuffle by url and one assembly
+    *      task per giant runs the cross-page layout (header/footer strip,
+    *      paragraph merge) over the ordered concatenation — the exact
+    *      computation geomText runs, hence byte-identical output;
+    *   4. non-giants take the ordinary row-parallel geom path.
+    *
+    * On a real corpus you would read `pages` from table metadata and skip
+    * the planning pass entirely.
+    *
+    * WHEN TO USE — measured honestly (ChunkProbe, 201 docs, one giant,
+    * local[16]): for THIS kernel (~0.15 ms/page) the chunked path is a
+    * PESSIMIZATION at every size tried — 2.5s vs 0.9s wall at 4,000 pages
+    * and 16.4s vs 7.1s at 40,000 — because re-parsing the xref/page tree
+    * per chunk plus shipping serialized PageLines outweighs the page work
+    * it parallelizes. It pays off when per-page cost dwarfs both (an
+    * OCR/vision stage at ~100 ms/page: 1,250 pages of kernel per chunk vs
+    * a 0.5 s re-open). The default pipeline answer to giant-PDF skew
+    * remains row-level parallelism + scan-split/size-weighted placement
+    * (BENCH/BASELINE.md); this operator exists for the expensive-kernel
+    * regime and is pinned byte-identical so swapping it in is safe. */
+  def extractGeomChunked(spark: SparkSession, input: DataFrame,
+      maxChunksPerDoc: Int = 32, giantThresholdPages: Int = 256): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+    require(maxChunksPerDoc > 0)
+    val pruned = input.select(col("url"), col("html"), col("text"))
+    // 1. skinny plan: page count per PDF row (no content interpretation)
+    val planned = pruned.select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, html) =>
+        val payload = if (html == null) Array.emptyByteArray else html
+        val pages =
+          if (!Html.looksLikePdf(payload)) -1
+          else DocStructure.openDocument(payload, None) match {
+            case Right(doc) => DocStructure.pageRefs(doc).map(_.length).getOrElse(0)
+            case Left(_) => -1
+          }
+        (url, pages)
+      }).toDF("url", "pages")
+    val giantUrls = planned.filter(col("pages") > giantThresholdPages)
+      // per-doc chunk size: pages/maxChunks, floored at half the giant
+      // threshold so a barely-giant doc still amortizes its re-opens
+      .withColumn("cp", greatest(ceil(col("pages") / lit(maxChunksPerDoc)),
+        lit(math.max(giantThresholdPages / 2, 1))).cast("int"))
+    // 2. chunk rows (url, from, until) joined back to the payload
+    val chunks = giantUrls
+      .select(col("url"), explode(sequence(lit(0),
+        floor((col("pages") - 1) / col("cp")).cast("int"))).as("chunk"),
+        col("pages"), col("cp"))
+      .join(pruned.select(col("url"), col("html")), Seq("url"))
+      .select(col("url"), col("chunk"), col("pages"), col("cp"), col("html"))
+    // 3. per-chunk PageLines, then one assembly per giant
+    val chunkRows = chunks
+      .as[(String, Int, Int, Int, Array[Byte])]
+      .mapPartitions(_.map { case (url, chunk, pages, chunkPages, html) =>
+        val from = chunk * chunkPages
+        val until = math.min(pages, from + chunkPages)
+        val blobOrErr: Either[String, Array[Byte]] =
+          DocStructure.openDocument(html, None) match {
+            case Left(e) => Left(e.render)
+            case Right(doc) => DocStructure.pageRefs(doc) match {
+              case Left(e) => Left(e.render)
+              case Right(refs) =>
+                val layouts = new scala.collection.mutable.ListBuffer[Layout.PageLines]
+                var err: String = null
+                for (ref <- refs.slice(from, until) if err == null)
+                  Interp.interpretPageItems(doc, ref) match {
+                    case Right(items) => layouts += Layout.pageLinesRaw(items)
+                    case Left(e) => err = e.render
+                  }
+                if (err != null) Left(err)
+                else {
+                  val baos = new java.io.ByteArrayOutputStream()
+                  val oos = new java.io.ObjectOutputStream(baos)
+                  oos.writeObject(layouts.toList)
+                  oos.close()
+                  Right(baos.toByteArray)
+                }
+            }
+          }
+        (url, chunk, pages, blobOrErr.toOption.orNull, blobOrErr.left.toOption.orNull)
+      })
+      .toDF("url", "chunk", "pages", "blob", "err")
+    val giantDocs = chunkRows
+      .groupByKey(r => r.getString(0))(Encoders.STRING)
+      .mapGroups { (url, rows) =>
+        val t0 = System.nanoTime()
+        val sorted = rows.toArray.sortBy(_.getInt(1))
+        val pages = sorted.head.getInt(2)
+        val firstErr = sorted.find(_.getString(4) != null).map(_.getString(4))
+        firstErr match {
+          case Some(e) => ExtractedDoc(url, null, "error", ok = false, e, pages, 0,
+            (System.nanoTime() - t0) / 1000)
+          case None =>
+            val layouts = sorted.toList.flatMap { r =>
+              val ois = new java.io.ObjectInputStream(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](3)))
+              try ois.readObject().asInstanceOf[List[Layout.PageLines]]
+              finally ois.close()
+            }
+            val text = Layout.layoutDocumentFromPageLines(Layout.defaultOptions, layouts)
+            ExtractedDoc(url, text, "pdf-geom", ok = true, "", pages, text.length,
+              (System.nanoTime() - t0) / 1000)
+        }
+      }
+    // 4. everything that is not a chunked giant takes the ordinary path
+    val rest = pruned.join(broadcast(giantUrls.select("url")), Seq("url"), "left_anti")
+    extractMode(spark, rest, "geom").unionByName(giantDocs)
   }
 
   /** Per-partition lineage rows (append these to the metrics table). */
