@@ -533,13 +533,20 @@ object Surfaces {
   final case class DecodedImage(url: String, format: String, ok: Boolean,
       width: Int, height: Int, pixelMd5: String, meanLumaMilli: Long)
 
+  /** Decode-bomb guard: a crafted header declaring 60000x60000 would make
+    * ImageIO allocate gigabytes BEFORE any pixel data is validated — one
+    * malicious document must never kill an executor. 64 MP is far above
+    * any training-corpus image. */
+  val MaxImagePixels: Long = 64L * 1024 * 1024
+
   /** REAL image decoding over an opaque binary column — no stub: JPEG and
     * PNG payloads decode through the JDK's ImageIO (no external deps), and
     * the row carries typed metadata (dimensions, per-pixel md5 for
     * lossless formats, mean luma). Non-image payloads yield ok=false rows
-    * rather than errors. The same mapPartitions shape scales like the
-    * extraction kernel: pruned scan, no shuffle, one decoder instance per
-    * partition thread. */
+    * rather than errors; declared dimensions are read from the HEADER and
+    * capped before any pixel allocation happens. The same mapPartitions
+    * shape scales like the extraction kernel: pruned scan, no shuffle, one
+    * decoder instance per partition thread. */
   def decodeImages(spark: SparkSession, input: DataFrame): Dataset[DecodedImage] = {
     import spark.implicits._
     input.select(col("url"), col("html"))
@@ -553,8 +560,25 @@ object Surfaces {
           val img =
             if (fmt == "binary") null
             else
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-              catch { case _: Throwable => null }
+              try {
+                val iis = javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(payload))
+                try {
+                  val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                  if (!readers.hasNext) null
+                  else {
+                    val reader = readers.next()
+                    try {
+                      reader.setInput(iis)
+                      // header-declared dims — no pixel allocation yet
+                      val w = reader.getWidth(0).toLong
+                      val h = reader.getHeight(0).toLong
+                      if (w <= 0 || h <= 0 || w * h > MaxImagePixels) null
+                      else reader.read(0)
+                    } finally reader.dispose()
+                  }
+                } finally if (iis != null) iis.close()
+              } catch { case _: Throwable => null }
           if (img == null) DecodedImage(url, fmt, ok = false, -1, -1, null, -1L)
           else {
             val w = img.getWidth

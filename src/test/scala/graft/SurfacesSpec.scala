@@ -142,6 +142,25 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("image decode-bomb guard: giant declared dimensions are rejected cheaply") {
+    // minimal PNG whose IHDR declares 60000x60000 (would be ~3.6G pixels)
+    def be32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ihdrData = be32(60000) ++ be32(60000) ++ Array[Byte](8, 0, 0, 0, 0)
+    val crc = new java.util.zip.CRC32()
+    crc.update("IHDR".getBytes); crc.update(ihdrData)
+    val bomb = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes ++ ihdrData ++ be32(crc.getValue.toInt)
+    val sp = spark
+    import sp.implicits._
+    val input = Seq(("bomb://png", bomb)).toDF("url", "html")
+    val t0 = System.nanoTime()
+    val rows = Surfaces.decodeImages(spark, input).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 1 && !rows.head.ok && rows.head.width == -1)
+    assert(secs < 30, s"bomb guard too slow: $secs s") // header peek, not a decode
+  }
+
   test("real audio decode: PCM round-trips authored WAV payloads exactly") {
     val c = CorpusGen.audioCorpus(spark, rows = 15, partitions = 2)
     val decoded = Surfaces.decodeAudio(spark, c.select(col("url"), col("html"))).toDF()
