@@ -26,7 +26,8 @@ object SparkEntry {
     * paragraph diff from both corpora's constructed page texts, and check
     * the REAL ImageIO decode (x17) against authored format/dimensions +
     * lossless-PNG pixel md5 and the REAL javax.sound WAV decode (x18)
-    * against authored RIFF fields + exact PCM md5. All 44 queries carry
-    * oracles. */
+    * against authored RIFF fields + exact PCM md5 (the resize surface x19
+    * oracles its integer geometry and unit-tests exact pixels). All 46
+    * queries carry oracles. */
   def oracleSql: Map[String, String] = Queries.oracleSql
 }

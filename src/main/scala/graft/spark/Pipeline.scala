@@ -539,6 +539,37 @@ object Surfaces {
     * any training-corpus image. */
   val MaxImagePixels: Long = 64L * 1024 * 1024
 
+  /** Sniff + bomb-guarded ImageIO decode; null when the payload is not a
+    * decodable image within MaxImagePixels. */
+  private[spark] def readImage(payload: Array[Byte]): (String, java.awt.image.BufferedImage) = {
+    val isPng = payload.length >= 8 && (payload(0) & 0xff) == 0x89 && payload(1) == 'P'
+    val isJpeg = payload.length >= 3 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+    val fmt = if (isPng) "png" else if (isJpeg) "jpeg" else "binary"
+    val img =
+      if (fmt == "binary") null
+      else
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) null
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                // header-declared dims — no pixel allocation yet
+                val w = reader.getWidth(0).toLong
+                val h = reader.getHeight(0).toLong
+                if (w <= 0 || h <= 0 || w * h > MaxImagePixels) null
+                else reader.read(0)
+              } finally reader.dispose()
+            }
+          } finally if (iis != null) iis.close()
+        } catch { case _: Throwable => null }
+    (fmt, img)
+  }
+
   /** REAL image decoding over an opaque binary column — no stub: JPEG and
     * PNG payloads decode through the JDK's ImageIO (no external deps), and
     * the row carries typed metadata (dimensions, per-pixel md5 for
@@ -554,31 +585,7 @@ object Surfaces {
       .mapPartitions { iter =>
         iter.map { case (url, payload0) =>
           val payload = if (payload0 == null) Array.emptyByteArray else payload0
-          val isPng = payload.length >= 8 && (payload(0) & 0xff) == 0x89 && payload(1) == 'P'
-          val isJpeg = payload.length >= 3 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
-          val fmt = if (isPng) "png" else if (isJpeg) "jpeg" else "binary"
-          val img =
-            if (fmt == "binary") null
-            else
-              try {
-                val iis = javax.imageio.ImageIO.createImageInputStream(
-                  new java.io.ByteArrayInputStream(payload))
-                try {
-                  val readers = javax.imageio.ImageIO.getImageReaders(iis)
-                  if (!readers.hasNext) null
-                  else {
-                    val reader = readers.next()
-                    try {
-                      reader.setInput(iis)
-                      // header-declared dims — no pixel allocation yet
-                      val w = reader.getWidth(0).toLong
-                      val h = reader.getHeight(0).toLong
-                      if (w <= 0 || h <= 0 || w * h > MaxImagePixels) null
-                      else reader.read(0)
-                    } finally reader.dispose()
-                  }
-                } finally if (iis != null) iis.close()
-              } catch { case _: Throwable => null }
+          val (fmt, img) = readImage(payload)
           if (img == null) DecodedImage(url, fmt, ok = false, -1, -1, null, -1L)
           else {
             val w = img.getWidth
@@ -611,6 +618,61 @@ object Surfaces {
                 .map(b => f"${b & 0xff}%02x").mkString
             else null
             DecodedImage(url, fmt, ok = true, w, h, md5, luma * 1000L / math.max(w * h, 1))
+          }
+        }
+      }
+  }
+
+  // ---------- multimodal image resize ----------
+
+  final case class ResizedImage(url: String, format: String, ok: Boolean,
+      width: Int, height: Int, outWidth: Int, outHeight: Int, pixelMd5: String)
+
+  /** Aspect-preserving downscale to `maxDim` via nearest-neighbor sampling
+    * — pure integer index math (ix = x*W/outW), so the resized pixels are
+    * a deterministic function of the decoded image on every JVM (no
+    * interpolation float variance). Images already within bounds pass
+    * through unchanged. Same decode guard as decodeImages. */
+  def resizeImages(spark: SparkSession, input: DataFrame, maxDim: Int = 16): Dataset[ResizedImage] = {
+    import spark.implicits._
+    require(maxDim > 0)
+    input.select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (url, payload0) =>
+          val payload = if (payload0 == null) Array.emptyByteArray else payload0
+          val (fmt, img) = readImage(payload)
+          if (img == null) ResizedImage(url, fmt, ok = false, -1, -1, -1, -1, null)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val maxSide = math.max(w, h)
+            val (ow, oh) =
+              if (maxSide <= maxDim) (w, h)
+              else (math.max(1, w * maxDim / maxSide), math.max(1, h * maxDim / maxSide))
+            val in = img.getRaster
+            val bands = in.getNumBands
+            val out = new Array[Byte](ow * oh * bands)
+            var k = 0
+            var y = 0
+            while (y < oh) {
+              val iy = y * h / oh
+              var x = 0
+              while (x < ow) {
+                val ix = x * w / ow
+                var b = 0
+                while (b < bands) {
+                  out(k) = in.getSample(ix, iy, b).toByte
+                  k += 1
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            val md5 = java.security.MessageDigest.getInstance("MD5").digest(out)
+              .map(b => f"${b & 0xff}%02x").mkString
+            ResizedImage(url, fmt, ok = true, w, h, ow, oh, md5)
           }
         }
       }

@@ -1135,6 +1135,32 @@ object Queries {
            |FROM read_parquet('__AUXMEDIA__/*.parquet')
            |ORDER BY url""".stripMargin))
 
+  private val x19 = Q(
+    (spark, _) => {
+      val c = CorpusGen.mediaCorpus(spark, rows = 60, partitions = 4)
+      Surfaces.resizeImages(spark, c.select("url", "html"), maxDim = 12)
+        .toDF().select("url", "format", "ok", "width", "height", "outWidth", "outHeight")
+        .orderBy("url")
+    },
+    // Resize geometry is pure integer math on the authored (construction
+    // fact) dimensions: aspect-preserving floor-division downscale to 12,
+    // pass-through when already within bounds. The resized PIXELS are
+    // pinned separately by a unit test against an independent
+    // nearest-neighbor computation over the authored PNG pixel array.
+    Some("""SELECT url,
+           |  CASE kind WHEN 'media_jpeg' THEN 'jpeg' WHEN 'media_png' THEN 'png'
+           |       ELSE 'binary' END AS format,
+           |  ok,
+           |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           |  CAST(CASE WHEN NOT ok THEN -1
+           |       WHEN greatest(width, height) <= 12 THEN width
+           |       ELSE greatest(1, width * 12 // greatest(width, height)) END AS INT) AS "outWidth",
+           |  CAST(CASE WHEN NOT ok THEN -1
+           |       WHEN greatest(width, height) <= 12 THEN height
+           |       ELSE greatest(1, height * 12 // greatest(width, height)) END AS INT) AS "outHeight"
+           |FROM read_parquet('__AUXMEDIA__/*.parquet')
+           |ORDER BY url""".stripMargin))
+
   private val x18 = Q(
     (spark, _) => {
       val c = CorpusGen.audioCorpus(spark, rows = 60, partitions = 4)
@@ -1241,7 +1267,8 @@ object Queries {
     "x15_stream_window" -> x15,
     "x16_stream_sessions" -> x16,
     "x17_image_decode" -> x17,
-    "x18_audio_decode" -> x18)
+    "x18_audio_decode" -> x18,
+    "x19_image_resize" -> x19)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, v) => k -> v.fn }

@@ -161,6 +161,35 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(secs < 30, s"bomb guard too slow: $secs s") // header peek, not a decode
   }
 
+  test("image resize: nearest-neighbor pixels match an independent computation") {
+    val c = CorpusGen.mediaCorpus(spark, rows = 18, partitions = 2)
+    val rows = Surfaces.resizeImages(spark, c.select(col("url"), col("html")), maxDim = 12)
+      .toDF().collect().map(r => r.getAs[String]("url") -> r).toMap
+    var pngChecked = 0
+    for (i <- 0 until 18 if i % 3 == 1) { // media_png rows
+      val m = FixtureGen.mediaPng(i.toLong)
+      val r = rows(s"https://media.test/media_png/$i")
+      assert(r.getAs[Boolean]("ok"))
+      val (w, h) = (m.width, m.height)
+      val maxSide = math.max(w, h)
+      val (ow, oh) =
+        if (maxSide <= 12) (w, h)
+        else (math.max(1, w * 12 / maxSide), math.max(1, h * 12 / maxSide))
+      assert(r.getAs[Int]("outWidth") == ow && r.getAs[Int]("outHeight") == oh)
+      // independent NN resample over the AUTHORED gray pixels
+      val out = Array.tabulate[Byte](ow * oh) { k =>
+        val x = k % ow
+        val y = k / ow
+        m.pixels((y * h / oh) * w + (x * w / ow))
+      }
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(out)
+        .map(b => f"${b & 0xff}%02x").mkString
+      assert(r.getAs[String]("pixelMd5") == md5, s"png $i pixel mismatch")
+      pngChecked += 1
+    }
+    assert(pngChecked == 6)
+  }
+
   test("real audio decode: PCM round-trips authored WAV payloads exactly") {
     val c = CorpusGen.audioCorpus(spark, rows = 15, partitions = 2)
     val decoded = Surfaces.decodeAudio(spark, c.select(col("url"), col("html"))).toDF()
