@@ -120,4 +120,39 @@ class PropertySpec extends AnyFunSuite {
       Html.decodeEntities(s) // total
     }
   }
+
+  test("Kmv.bulkAdd is equivalent to repeated add for any batch") {
+    import graft.spark.Kmv
+    val itemsGen = Gen.listOf(Gen.chooseNum(0, 5000).map(n => s"item-$n"))
+    forAll(itemsGen, itemsGen) { (existing, batch) =>
+      var viaAdd = Array.emptyLongArray
+      for (it <- existing) viaAdd = Kmv.addItem(viaAdd, it)
+      val state = viaAdd
+      for (it <- batch) viaAdd = Kmv.addItem(viaAdd, it)
+      val viaBulk = Kmv.bulkAdd(state, batch.map(Kmv.hash).toArray)
+      assert(viaBulk.toList == viaAdd.toList,
+        s"bulkAdd diverged (existing=${existing.length}, batch=${batch.length})")
+    }
+  }
+
+  test("CCITT G4 encode/decode round-trips arbitrary bitmaps") {
+    val bmGen = for {
+      w <- Gen.chooseNum(1, 90)
+      h <- Gen.chooseNum(1, 20)
+      cells <- Gen.listOfN(w * h, Gen.oneOf(true, false))
+    } yield (w, h, cells.grouped(w).map(_.toArray).toArray)
+    forAll(bmGen) { case (w, h, bm) =>
+      val dec = Ccitt.decodeG4(Ccitt.encodeG4(bm, w), w, h,
+        blackIs1 = true, byteAlign = false)
+      assert(dec.isRight, s"${w}x$h failed: $dec")
+      val rowBytes = (w + 7) / 8
+      val expected = bm.toList.flatMap { row =>
+        val bs = new Array[Byte](rowBytes)
+        for (x <- 0 until w if row(x))
+          bs(x >> 3) = (bs(x >> 3) | (1 << (7 - (x & 7)))).toByte
+        bs.toList
+      }
+      assert(dec.toOption.get.toList == expected, s"${w}x$h pixel mismatch")
+    }
+  }
 }
