@@ -27,7 +27,8 @@ object SparkEntry {
     * the REAL ImageIO decode (x17) against authored format/dimensions +
     * lossless-PNG pixel md5 and the REAL javax.sound WAV decode (x18)
     * against authored RIFF fields + exact PCM md5 (the resize surface x19
-    * oracles its integer geometry and unit-tests exact pixels). All 46
-    * queries carry oracles. */
+    * oracles its integer geometry and unit-tests exact pixels; the REAL
+    * MJPEG/AVI demux x20 against authored per-frame JPEG md5s + container
+    * header facts). All 47 queries carry oracles. */
   def oracleSql: Map[String, String] = Queries.oracleSql
 }

@@ -58,6 +58,14 @@ object Verify {
           col("channels"), col("bits"), col("n_samples"), col("sample_md5"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$auxDir/aux_audio")
+      // Video ground truth: AVI header fields (dims/fps/frame count) + exact
+      // per-frame JPEG byte md5s are construction facts for the real
+      // MJPEG/AVI frame-decode surface (x20).
+      graft.spark.CorpusGen.videoCorpus(spark, rows = 60, partitions = 4)
+        .select(col("url"), col("kind"), col("ok"), col("width"), col("height"),
+          col("fps"), col("n_frames"), col("frame_md5s"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$auxDir/aux_video")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -82,9 +90,11 @@ object Verify {
     val auxDiffPath = new java.io.File(auxDir, "aux_diff").getAbsolutePath
     val auxMediaPath = new java.io.File(auxDir, "aux_media").getAbsolutePath
     val auxAudioPath = new java.io.File(auxDir, "aux_audio").getAbsolutePath
+    val auxVideoPath = new java.io.File(auxDir, "aux_video").getAbsolutePath
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUXDIFF__", auxDiffPath)
         .replace("__AUXMEDIA__", auxMediaPath).replace("__AUXAUDIO__", auxAudioPath)
+        .replace("__AUXVIDEO__", auxVideoPath)
         .replace("__AUX__", auxPath))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -213,6 +213,43 @@ object CorpusGen {
     }).toDF()
   }
 
+  /** Video corpus for the real MJPEG/AVI frame-decode surface: 2 of 3 rows
+    * carry an authored AVI container (header fields, frame count, fps AND
+    * the exact per-frame JPEG bytes are construction facts), the third a
+    * non-video binary. */
+  final case class VideoRow(
+      url: String,
+      warc_ts: Timestamp,
+      html: Array[Byte],
+      text: String,
+      lang: String,
+      kind: String,
+      ok: Boolean,
+      width: Int,
+      height: Int,
+      fps: Int,
+      n_frames: Int,
+      frame_md5s: Seq[String])
+
+  def videoCorpus(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, rows, 1, partitions).as[Long].mapPartitions(_.map { i =>
+      def md5(bs: Array[Byte]): String =
+        java.security.MessageDigest.getInstance("MD5").digest(bs)
+          .map(b => f"${b & 0xff}%02x").mkString
+      if (i % 3 == 2) {
+        VideoRow(s"https://media.test/video_bin/$i", new Timestamp(epochMs + i * 1000L),
+          Array.tabulate[Byte](56)(k => ((k * 41 + i) % 239).toByte), null, "und",
+          "video_bin", ok = false, -1, -1, -1, -1, null)
+      } else {
+        val v = FixtureGen.mediaAvi(i)
+        VideoRow(s"https://media.test/video_avi/$i", new Timestamp(epochMs + i * 1000L),
+          v.bytes, null, "und", "video_avi", ok = true,
+          v.width, v.height, v.fps, v.nFrames, v.frames.map(md5))
+      }
+    }).toDF()
+  }
+
   /** Variant corpus: same urls and kinds, different body text (for the
     * document-diff surface). Carries the VARIANT's own ground-truth columns
     * (expected/page_texts/toc/...) so the diff surface can be oracled from

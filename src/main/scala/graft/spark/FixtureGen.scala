@@ -746,6 +746,90 @@ object FixtureGen {
     Wav(out.toArray, sampleRate, channels, bits, nSamples, pcm)
   }
 
+  /** Real MJPEG/AVI payload for the video frame-decode surface (x20): the
+    * RIFF/AVI container (avih + strl vids/MJPG + movi '00dc' chunks + idx1)
+    * is authored here byte by byte, and every frame is an independently
+    * authored JPEG — so the container header fields (dims, fps, frame
+    * count) AND the exact per-frame JPEG bytes are construction facts. A
+    * correct demuxer must hand the frame bytes back verbatim (md5), and a
+    * correct frame decoder must recover the authored dimensions. */
+  final case class Avi(bytes: Array[Byte], width: Int, height: Int, fps: Int,
+      nFrames: Int, frames: Vector[Array[Byte]])
+
+  def mediaAvi(i: Long): Avi = {
+    val w = 16 + (i % 5).toInt * 8
+    val h = 12 + (i % 4).toInt * 8
+    val fps = Array(10, 15, 25)((i % 3).toInt)
+    val nFrames = 3 + (i % 4).toInt
+    val frames = Vector.tabulate(nFrames) { f =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val px = mediaPixels(i * 100 + f, w, h, 3)
+      var k = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ((px(k) & 0xff) << 16) | ((px(k + 1) & 0xff) << 8) | (px(k + 2) & 0xff)
+        img.setRGB(x, y, rgb)
+        k += 3
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", baos)
+      baos.toByteArray
+    }
+    val out = new ArrayBuffer[Byte]
+    def le32(v: Int): Unit = out ++= Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    def le16(v: Int): Unit = out ++= Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(fourcc: String)(body: => Unit): Unit = {
+      out ++= b(fourcc)
+      val sizeAt = out.length; le32(0)
+      body
+      val size = out.length - sizeAt - 4
+      out(sizeAt) = (size & 0xff).toByte
+      out(sizeAt + 1) = ((size >> 8) & 0xff).toByte
+      out(sizeAt + 2) = ((size >> 16) & 0xff).toByte
+      out(sizeAt + 3) = ((size >>> 24) & 0xff).toByte
+      if (size % 2 == 1) out += 0 // RIFF chunks are word-aligned
+    }
+    def list(kind: String)(body: => Unit): Unit = chunk("LIST") { out ++= b(kind); body }
+    chunk("RIFF") {
+      out ++= b("AVI ")
+      list("hdrl") {
+        chunk("avih") { // MainAVIHeader, 56 bytes
+          le32(1000000 / fps); le32(0); le32(0); le32(0x10 /* HASINDEX */)
+          le32(nFrames); le32(0); le32(1); le32(0)
+          le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+        }
+        list("strl") {
+          chunk("strh") { // AVIStreamHeader, 56 bytes
+            out ++= b("vids"); out ++= b("MJPG")
+            le32(0); le16(0); le16(0); le32(0)
+            le32(1 /* scale */); le32(fps /* rate */); le32(0); le32(nFrames)
+            le32(frames.map(_.length).max); le32(-1); le32(0)
+            le16(0); le16(0); le16(w); le16(h)
+          }
+          chunk("strf") { // BITMAPINFOHEADER, 40 bytes
+            le32(40); le32(w); le32(h); le16(1); le16(24)
+            out ++= b("MJPG"); le32(w * h * 3); le32(0); le32(0); le32(0); le32(0)
+          }
+        }
+      }
+      val frameOffsets = new ArrayBuffer[Int]
+      list("movi") {
+        val moviStart = out.length - 4 // offset of 'movi' fourcc
+        frames.foreach { fr =>
+          frameOffsets += out.length - moviStart
+          chunk("00dc") { out ++= fr }
+        }
+      }
+      chunk("idx1") {
+        frames.indices.foreach { f =>
+          out ++= b("00dc"); le32(0x10 /* AVIIF_KEYFRAME */)
+          le32(frameOffsets(f)); le32(frames(f).length)
+        }
+      }
+    }
+    Avi(out.toArray, w, h, fps, nFrames, frames)
+  }
+
   val kinds: Vector[Long => Doc] = Vector(
     classic, flate, xrefStream, objStm, multipage, tagged, encryptedRc4, htmlPage, textRow,
     outlined, jpegImage, encryptedAes, lzwDoc, runLengthDoc, encryptedAes256)

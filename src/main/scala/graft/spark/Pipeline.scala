@@ -740,6 +740,92 @@ object Surfaces {
       }
   }
 
+  // ---------- multimodal REAL video frame decode (RIFF/AVI + MJPEG) ----------
+
+  final case class VideoFrame(url: String, frameIdx: Int, fps: Int,
+      width: Int, height: Int, frameMd5: String,
+      decodedW: Int, decodedH: Int, decodeOk: Boolean)
+
+  /** Total RIFF/AVI demux: returns (width, height, fps, frames) for an
+    * MJPEG-style AVI, None for anything malformed — one corrupt payload
+    * must never kill an executor. Pure byte walking, no libraries. */
+  private[spark] def demuxAvi(p: Array[Byte]): Option[(Int, Int, Int, Vector[Array[Byte]])] = {
+    def le32(o: Int): Long =
+      if (o + 4 > p.length) -1L
+      else ((p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) | ((p(o + 2) & 0xffL) << 16) |
+        ((p(o + 3) & 0xffL) << 24))
+    def fourcc(o: Int): String =
+      if (o + 4 > p.length) "" else new String(p, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (p.length < 24 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var w = -1; var h = -1; var scale = 0L; var rate = 0L
+    val frames = Vector.newBuilder[Array[Byte]]
+    var nFrames = 0
+    // walk [from,to) as a sequence of <fourcc><le32 size><body> chunks,
+    // recursing into LISTs; word-aligned; depth-capped (crafted nesting)
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      if (depth > 8) return
+      var o = from
+      while (o + 8 <= to && o + 8 <= p.length) {
+        val cc = fourcc(o)
+        val size = le32(o + 4)
+        if (size < 0 || o + 8 + size > to) return // truncated/corrupt: stop
+        val body = o + 8
+        val end = body + size.toInt
+        cc match {
+          case "LIST" => walk(body + 4, end, depth + 1) // skip the list subtype
+          case "avih" if size >= 40 =>
+            w = le32(body + 32).toInt; h = le32(body + 36).toInt
+          case "strh" if size >= 28 && fourcc(body) == "vids" =>
+            scale = le32(body + 20); rate = le32(body + 24)
+          case cc2 if cc2.endsWith("dc") || cc2.endsWith("db") =>
+            if (nFrames < 4096) { // bound memory on crafted frame floods
+              frames += java.util.Arrays.copyOfRange(p, body, end)
+              nFrames += 1
+            }
+          case _ => ()
+        }
+        o = end + (size.toInt & 1) // RIFF word alignment
+      }
+    }
+    walk(12, (12 + le32(4) - 4).toInt.min(p.length), 0)
+    val fs = frames.result()
+    if (w <= 0 || h <= 0 || scale <= 0 || rate <= 0 || fs.isEmpty) None
+    else Some((w, h, (rate / scale).toInt, fs))
+  }
+
+  /** REAL video frame decoding over an opaque binary column: MJPEG/AVI
+    * payloads are demuxed by walking the RIFF container (avih dims, strh
+    * rate/scale, movi '00dc' chunks), and every extracted frame goes
+    * through the same bomb-guarded ImageIO JPEG decode as x17. The frame
+    * BYTES are lossless container content — a correct demuxer returns them
+    * verbatim (md5-checkable against authored frames) — while the decoded
+    * dimensions must match the container header. Non-video payloads yield
+    * one ok=false row. Same scale shape as the kernel: pruned scan ->
+    * mapPartitions flatMap, no shuffle. */
+  def decodeVideoFrames(spark: SparkSession, input: DataFrame): Dataset[VideoFrame] = {
+    import spark.implicits._
+    input.select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (url, payload0) =>
+          val payload = if (payload0 == null) Array.emptyByteArray else payload0
+          demuxAvi(payload) match {
+            case None =>
+              Iterator.single(VideoFrame(url, -1, -1, -1, -1, null, -1, -1, decodeOk = false))
+            case Some((w, h, fps, frames)) =>
+              frames.iterator.zipWithIndex.map { case (fr, idx) =>
+                val md5 = java.security.MessageDigest.getInstance("MD5").digest(fr)
+                  .map(b => f"${b & 0xff}%02x").mkString
+                val (_, img) = readImage(fr)
+                if (img == null) VideoFrame(url, idx, fps, w, h, md5, -1, -1, decodeOk = false)
+                else VideoFrame(url, idx, fps, w, h, md5, img.getWidth, img.getHeight,
+                  decodeOk = true)
+              }
+          }
+        }
+      }
+  }
+
   // ---------- multimodal frame sampling (stub decode) ----------
 
   final case class FrameRow(url: String, frameIdx: Int, byteOffset: Long,

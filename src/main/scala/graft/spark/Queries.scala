@@ -1180,6 +1180,32 @@ object Queries {
            |FROM read_parquet('__AUXAUDIO__/*.parquet')
            |ORDER BY url""".stripMargin))
 
+  private val x20 = Q(
+    (spark, _) => {
+      val c = CorpusGen.videoCorpus(spark, rows = 60, partitions = 4)
+      Surfaces.decodeVideoFrames(spark, c.select("url", "html"))
+        .toDF().select("url", "frameIdx", "fps", "width", "height", "frameMd5",
+          "decodedW", "decodedH", "decodeOk")
+        .orderBy("url", "frameIdx")
+    },
+    // REAL video demux + frame decode (RIFF/AVI walker + ImageIO MJPEG),
+    // externally verified against construction facts: the generator
+    // authored the container header (dims, fps, frame count) AND each
+    // frame's exact JPEG bytes, so a correct demuxer must return the
+    // authored per-frame md5s in order, and the decoded frame dimensions
+    // must equal the authored container dimensions.
+    Some("""SELECT url, CAST(i AS INT) AS "frameIdx", fps, width, height,
+           |  frame_md5s[CAST(i + 1 AS INT)] AS "frameMd5",
+           |  width AS "decodedW", height AS "decodedH", TRUE AS "decodeOk"
+           |FROM read_parquet('__AUXVIDEO__/*.parquet'),
+           |  LATERAL (SELECT unnest(range(0, n_frames)) AS i)
+           |WHERE ok
+           |UNION ALL
+           |SELECT url, CAST(-1 AS INT), CAST(-1 AS INT), CAST(-1 AS INT), CAST(-1 AS INT),
+           |  NULL, CAST(-1 AS INT), CAST(-1 AS INT), FALSE
+           |FROM read_parquet('__AUXVIDEO__/*.parquet') WHERE NOT ok
+           |ORDER BY url, "frameIdx"""".stripMargin))
+
   private val x15 = Q(
     (spark, dir) =>
       graft.spark.Streaming.windowedEventCounts(spark, s"$dir/events.parquet",
@@ -1268,7 +1294,8 @@ object Queries {
     "x16_stream_sessions" -> x16,
     "x17_image_decode" -> x17,
     "x18_audio_decode" -> x18,
-    "x19_image_resize" -> x19)
+    "x19_image_resize" -> x19,
+    "x20_video_frames" -> x20)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, v) => k -> v.fn }

@@ -214,6 +214,58 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("real video decode: AVI demux returns authored MJPEG frames verbatim") {
+    val c = CorpusGen.videoCorpus(spark, rows = 15, partitions = 2)
+    val frames = Surfaces.decodeVideoFrames(spark, c.select(col("url"), col("html")))
+      .toDF().collect()
+    val byUrl = frames.groupBy(_.getAs[String]("url"))
+    var videosChecked = 0
+    for (i <- 0 until 15) {
+      if (i % 3 == 2) {
+        val rows = byUrl(s"https://media.test/video_bin/$i")
+        assert(rows.length == 1 && !rows.head.getAs[Boolean]("decodeOk"))
+        assert(rows.head.getAs[Int]("frameIdx") == -1)
+      } else {
+        val v = FixtureGen.mediaAvi(i.toLong)
+        val rows = byUrl(s"https://media.test/video_avi/$i").sortBy(_.getAs[Int]("frameIdx"))
+        assert(rows.length == v.nFrames, s"video $i frame count")
+        for ((r, f) <- rows.zipWithIndex) {
+          assert(r.getAs[Int]("frameIdx") == f)
+          assert(r.getAs[Int]("fps") == v.fps)
+          assert(r.getAs[Int]("width") == v.width && r.getAs[Int]("height") == v.height)
+          // demux is lossless: extracted frame bytes == authored JPEG bytes
+          val md5 = java.security.MessageDigest.getInstance("MD5").digest(v.frames(f))
+            .map(b => f"${b & 0xff}%02x").mkString
+          assert(r.getAs[String]("frameMd5") == md5, s"video $i frame $f bytes")
+          // the decoded frame must recover the authored dimensions
+          assert(r.getAs[Boolean]("decodeOk"))
+          assert(r.getAs[Int]("decodedW") == v.width && r.getAs[Int]("decodedH") == v.height)
+        }
+        videosChecked += 1
+      }
+    }
+    assert(videosChecked == 10)
+  }
+
+  test("video demux is total: truncated/corrupt AVI payloads yield ok=false rows") {
+    val sp = spark
+    import sp.implicits._
+    val good = FixtureGen.mediaAvi(3L).bytes
+    val rnd = new scala.util.Random(7)
+    val inputs = Seq(
+      "trunc://hdr" -> good.take(20),
+      "trunc://movi" -> good.take(good.length / 2),
+      "corrupt://size" -> { val b = good.clone(); b(4) = -1; b(5) = -1; b(6) = -1; b(7) = 127; b },
+      "corrupt://rand" -> Array.fill[Byte](512)(rnd.nextInt(256).toByte),
+      "empty://" -> Array.emptyByteArray)
+    val out = Surfaces.decodeVideoFrames(spark, inputs.toDF("url", "html")).collect()
+    // no throw; every payload either demuxes or reports one ok=false row
+    assert(out.nonEmpty)
+    for (r <- out if r.url.startsWith("trunc://hdr") || r.url.startsWith("corrupt://rand") ||
+        r.url.startsWith("empty://"))
+      assert(!r.decodeOk && r.frameIdx == -1, r.url)
+  }
+
   test("frame sampling emits typed rows with stub features") {
     val c = CorpusGen.corpus(spark, rows = 12, partitions = 2)
     val frames = Surfaces.sampleFrames(spark, CorpusGen.inputView(c), everyNBytes = 256).toDF().collect()
