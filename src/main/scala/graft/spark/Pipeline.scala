@@ -749,7 +749,7 @@ object Surfaces {
   /** Total RIFF/AVI demux: returns (width, height, fps, frames) for an
     * MJPEG-style AVI, None for anything malformed — one corrupt payload
     * must never kill an executor. Pure byte walking, no libraries. */
-  private[spark] def demuxAvi(p: Array[Byte]): Option[(Int, Int, Int, Vector[Array[Byte]])] = {
+  private[graft] def demuxAvi(p: Array[Byte]): Option[(Int, Int, Int, Vector[Array[Byte]])] = {
     def le32(o: Int): Long =
       if (o + 4 > p.length) -1L
       else ((p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) | ((p(o + 2) & 0xffL) << 16) |

@@ -544,6 +544,46 @@ object Queries {
            |)
            |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9 ORDER BY 1, 2""".stripMargin))
 
+  private val d8 = Q(
+    (spark, dir) => {
+      // Exact substring-duplication detection (the Lee et al. "Deduplicating
+      // Training Data" signal, shingle-approximated): per-doc distinct
+      // 8-token shingles, a shuffle on the shingle key to count how many
+      // docs contain each, and a per-doc duplicated-span fraction. Shingle
+      // construction is ROW-LOCAL (transform over sequence — no token
+      // explode before the dedup key exists); the only shuffles are the
+      // shingle-key window and the final doc rollup, which is the honest
+      // 100 TB plan for exact-substring dedup (partial aggregation
+      // map-side, shingle key ~uniform by construction).
+      val d = t(spark, dir, "documents")
+      val w = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+      val grams = when(size(w) >= 8,
+        array_distinct(transform(sequence(lit(1), size(w) - 7),
+          i => array_join(slice(w, i, lit(8)), " "))))
+        .otherwise(array().cast("array<string>"))
+      val sh = d.select(col("doc_id"), explode(grams).as("g"))
+      // per-doc shingles are distinct, so count-per-key == docs containing g
+      val flagged = sh.withColumn("docs", count(lit(1)).over(Window.partitionBy("g")))
+      flagged.groupBy("doc_id")
+        .agg(count(lit(1)).as("shingles"),
+          sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("dup_shingles"))
+        .withColumn("dup_frac",
+          round(col("dup_shingles").cast("double") / col("shingles"), 4))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, list_aggregate(w[i:i+7], 'string_agg', ' ') AS g
+           |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w)-7, 0) + 1)) AS i)
+           |), fl AS (
+           |  SELECT doc_id, count(*) OVER (PARTITION BY g) AS docs FROM sh
+           |)
+           |SELECT doc_id, count(*) AS shingles,
+           |  CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
+           |  round(CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
+           |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // ---------- training-data ops: text analysis ----------
 
   private val t1 = Q(
@@ -639,6 +679,111 @@ object Queries {
         .orderBy("doc_id"),
     Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // PII regexes usable verbatim by BOTH engines (Java regex and DuckDB's
+  // RE2): character classes + bounded quantifiers only — no lookaround, no
+  // backreferences, where the two dialects could disagree.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  private val t6 = Q(
+    (spark, dir) => {
+      // PII detection + redaction (emails / IPv4s / phone-style numbers).
+      // The synthetic corpus carries no PII, so every third doc gets a
+      // deterministically CONSTRUCTED contact line (pure string concat —
+      // bit-identical in both engines, same trick as d7's constructed
+      // twins); detection counts and the md5 of the redacted text are then
+      // real work verifiable across engines. Row-local — scales like t1-t5.
+      val d = t(spark, dir, "documents")
+      val injected = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7 ext 555-0142")))
+          .otherwise(lit("")))
+      d.select(col("doc_id"), injected.as("body"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("body"), lit(EmailRe), lit(0))).as("emails"),
+          size(regexp_extract_all(col("body"), lit(Ipv4Re), lit(0))).as("ips"),
+          size(regexp_extract_all(col("body"), lit(PhoneRe), lit(0))).as("phones"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("body"),
+            EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")).as("redacted_md5"))
+        .withColumn("has_pii", col("emails") + col("ips") + col("phones") > 0)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH body AS (
+            |  SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+            |    THEN ' contact user' || doc_id || '@example.com or 10.0.' || (doc_id % 256) || '.7 ext 555-0142'
+            |    ELSE '' END AS body
+            |  FROM documents
+            |)
+            |SELECT doc_id,
+            |  len(regexp_extract_all(body, '$EmailRe')) AS emails,
+            |  len(regexp_extract_all(body, '$Ipv4Re')) AS ips,
+            |  len(regexp_extract_all(body, '$PhoneRe')) AS phones,
+            |  md5(regexp_replace(regexp_replace(regexp_replace(body,
+            |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5,
+            |  (len(regexp_extract_all(body, '$EmailRe')) +
+            |   len(regexp_extract_all(body, '$Ipv4Re')) +
+            |   len(regexp_extract_all(body, '$PhoneRe'))) > 0 AS has_pii
+            |FROM body ORDER BY doc_id""".stripMargin))
+
+  private val t7 = Q(
+    (spark, dir) => {
+      // Gopher-style repetition quality filters, re-expressed for a corpus
+      // without line structure: distinct-bigram ratio (low => boilerplate
+      // loops) and top-unigram fraction (high => keyword stuffing). All
+      // ROW-LOCAL Catalyst higher-order functions — the per-row mode scan
+      // is O(distinct-vocab x tokens), bounded by document length, and the
+      // whole query stays a single pass with no shuffle but the output sort.
+      val d = t(spark, dir, "documents")
+      val w = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+      val bigrams = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val topCount = array_max(transform(array_distinct(col("w")),
+        x => size(filter(col("w"), y => y === x))))
+      d.select(col("doc_id"), w.as("w"), bigrams.as("big"))
+        .select(
+          col("doc_id"),
+          size(col("w")).as("tokens"),
+          size(col("big")).as("bigrams"),
+          size(array_distinct(col("big"))).as("distinct_bigrams"),
+          when(size(col("big")) > 0,
+            round(size(array_distinct(col("big"))).cast("double") / size(col("big")), 4))
+            .otherwise(lit(1.0)).as("bigram_ratio"),
+          topCount.as("top_word_count"),
+          round(topCount.cast("double") / greatest(size(col("w")), lit(1)), 4).as("top_word_frac"))
+        .withColumn("repetition_ok",
+          col("bigram_ratio") >= 0.5 && col("top_word_frac") <= 0.2)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+           |), b AS (
+           |  SELECT doc_id, w,
+           |    CASE WHEN len(w) >= 2
+           |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+           |      ELSE [] END AS big,
+           |    list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS top_word_count
+           |  FROM t
+           |)
+           |SELECT doc_id,
+           |  len(w) AS tokens, len(big) AS bigrams,
+           |  len(list_distinct(big)) AS distinct_bigrams,
+           |  CASE WHEN len(big) > 0
+           |    THEN round(CAST(len(list_distinct(big)) AS DOUBLE) / len(big), 4)
+           |    ELSE 1.0 END AS bigram_ratio,
+           |  top_word_count,
+           |  round(CAST(top_word_count AS DOUBLE) / greatest(len(w), 1), 4) AS top_word_frac,
+           |  (CASE WHEN len(big) > 0
+           |     THEN round(CAST(len(list_distinct(big)) AS DOUBLE) / len(big), 4)
+           |     ELSE 1.0 END >= 0.5
+           |   AND round(CAST(top_word_count AS DOUBLE) / greatest(len(w), 1), 4) <= 0.2) AS repetition_ok
+           |FROM b ORDER BY doc_id""".stripMargin))
 
   // ---------- similarity search over embeddings ----------
 
@@ -1267,11 +1412,14 @@ object Queries {
     "d5_lsh_buckets" -> d5,
     "d6_near_dup_verify" -> d6,
     "d7_embed_neardup" -> d7,
+    "d8_substring_dup" -> d8,
     "t1_token_stats" -> t1,
     "t2_quality" -> t2,
     "t3_langid" -> t3,
     "t4_fingerprint" -> t4,
     "t5_bpe_tokens" -> t5,
+    "t6_pii_redact" -> t6,
+    "t7_repetition" -> t7,
     "s1_knn_cosine" -> s1,
     "s2_ann_lsh_bucket" -> s2,
     "s3_ann_search" -> s3,

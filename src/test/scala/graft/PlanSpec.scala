@@ -73,6 +73,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("PII redaction and repetition filters are row-local: single exchange (t6, t7)") {
+    for (q <- Seq("t6_pii_redact", "t7_repetition")) {
+      val plan = planOf(q)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"$q: $exchanges exchanges\n${plan.take(3000)}")
+    }
+  }
+
+  test("substring-dup shuffles only on the shingle key and the doc rollup (d8)") {
+    val plan = planOf("d8_substring_dup")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // shingle-key window + doc_id rollup + output sort — never more
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"$exchanges exchanges\n${plan.take(3000)}")
+  }
+
   test("anti-join resume broadcasts the done set when small") {
     val corpus = CorpusGen.corpus(spark, rows = 20, partitions = 2)
     val input = CorpusGen.inputView(corpus)

@@ -155,4 +155,16 @@ class PropertySpec extends AnyFunSuite {
       assert(dec.toOption.get.toList == expected, s"${w}x$h pixel mismatch")
     }
   }
+
+  test("AVI demux is total over arbitrary bytes and mutated real containers") {
+    val junk = Gen.chooseNum(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    forAll(junk)(bs => graft.spark.Surfaces.demuxAvi(bs)) // must not throw
+    val good = graft.spark.FixtureGen.mediaAvi(5L).bytes
+    val mut = Gen.zip(Gen.chooseNum(0, good.length - 1), Gen.chooseNum(-128, 127))
+    forAll(mut) { case (pos, v) =>
+      val m = good.clone(); m(pos) = v.toByte
+      graft.spark.Surfaces.demuxAvi(m) // single-byte corruption: no throw
+    }
+  }
 }
