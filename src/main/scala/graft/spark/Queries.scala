@@ -557,11 +557,22 @@ object Queries {
       // map-side, shingle key ~uniform by construction).
       val d = t(spark, dir, "documents")
       val w = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
-      val grams = when(size(w) >= 8,
-        array_distinct(transform(sequence(lit(1), size(w) - 7),
-          i => array_join(slice(w, i, lit(8)), " "))))
-        .otherwise(array().cast("array<string>"))
-      val sh = d.select(col("doc_id"), explode(grams).as("g"))
+      // numeric shingle key instead of the joined 8-token string: two
+      // independent rolling folds over the per-token hashes, combined into
+      // one 60-bit key. Both engines compute the SAME key, so any hash
+      // collision merges the same shingles on both sides — parity is
+      // exact by construction, and the shuffle moves longs, not ~50-char
+      // strings.
+      def roll(m: Long)(i: Column) =
+        aggregate(slice(col("th"), i, lit(8)), lit(7L),
+          (a, x) => pmod(a * m + x, lit(1000000007L)))
+      val grams = when(size(col("th")) >= 8,
+        array_distinct(transform(sequence(lit(1), size(col("th")) - 7),
+          i => roll(131)(i) * 1000000007L + roll(137)(i))))
+        .otherwise(array().cast("array<bigint>"))
+      val sh = d
+        .select(col("doc_id"), transform(w, tok => tokenHashCol(tok)).as("th"))
+        .select(col("doc_id"), explode(grams).as("g"))
       // per-doc shingles are distinct, so count-per-key == docs containing g
       val flagged = sh.withColumn("docs", count(lit(1)).over(Window.partitionBy("g")))
       flagged.groupBy("doc_id")
@@ -571,11 +582,16 @@ object Queries {
           round(col("dup_shingles").cast("double") / col("shingles"), 4))
         .orderBy("doc_id")
     },
-    Some("""WITH toks AS (
-           |  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+    Some(s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_transform(regexp_extract_all(text, '\\S+'),
+           |      t -> $duckTokenHash) AS th
+           |  FROM documents
            |), sh AS (
-           |  SELECT DISTINCT doc_id, list_aggregate(w[i:i+7], 'string_agg', ' ') AS g
-           |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w)-7, 0) + 1)) AS i)
+           |  SELECT DISTINCT doc_id,
+           |    list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]), (a, b) -> (a*131 + b) % 1000000007) * 1000000007
+           |      + list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]), (a, b) -> (a*137 + b) % 1000000007) AS g
+           |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(th)-7, 0) + 1)) AS i)
            |), fl AS (
            |  SELECT doc_id, count(*) OVER (PARTITION BY g) AS docs FROM sh
            |)
