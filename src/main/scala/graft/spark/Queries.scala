@@ -600,6 +600,67 @@ object Queries {
            |  round(CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
            |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  private val d9 = Q(
+    (spark, dir) => {
+      // Benchmark decontamination (the GPT-3-style n-gram overlap check):
+      // flag corpus documents sharing any 8-token shingle with a benchmark
+      // set. The benchmark (every 50th doc standing in for an eval suite)
+      // is tiny relative to the corpus BY DEFINITION, so its distinct
+      // shingle-key set is explicitly broadcast — at 100 TB the corpus
+      // side streams through a broadcast hash join with zero shuffle
+      // before the per-doc rollup. Shingle keys are the same dual-engine
+      // rolling hash as d8.
+      // Natural cross-doc 8-gram sharing is rare, so benchmark docs AND
+      // every 11th corpus doc get a constructed 8-token canary appended
+      // (bit-identical in both engines) — giving the check a decisive
+      // known-contaminated population on top of the organic overlaps.
+      val d = t(spark, dir, "documents")
+      val body = concat(col("text"),
+        when(pmod(col("doc_id"), lit(50)) === 0 || pmod(col("doc_id"), lit(11)) === 0,
+          lit(" canary eval suite phrase alpha beta gamma delta")).otherwise(lit("")))
+      val w = regexp_extract_all(body, lit("\\S+"), lit(0))
+      def roll(m: Long)(i: Column) =
+        aggregate(slice(col("th"), i, lit(8)), lit(7L),
+          (a, x) => pmod(a * m + x, lit(1000000007L)))
+      val grams = when(size(col("th")) >= 8,
+        array_distinct(transform(sequence(lit(1), size(col("th")) - 7),
+          i => roll(131)(i) * 1000000007L + roll(137)(i))))
+        .otherwise(array().cast("array<bigint>"))
+      val sh = d
+        .select(col("doc_id"), transform(w, tok => tokenHashCol(tok)).as("th"))
+        .select(col("doc_id"), explode(grams).as("g"))
+      val benchSh = sh.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("g")).distinct()
+      sh.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .join(broadcast(benchSh.withColumn("hit", lit(1))), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("shingles"),
+          sum(coalesce(col("hit"), lit(0))).as("contaminated_shingles"))
+        .withColumn("contaminated", col("contaminated_shingles") > 0)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_transform(regexp_extract_all(
+           |      text || CASE WHEN doc_id % 50 = 0 OR doc_id % 11 = 0
+           |        THEN ' canary eval suite phrase alpha beta gamma delta' ELSE '' END,
+           |      '\\S+'), t -> $duckTokenHash) AS th
+           |  FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]), (a, b) -> (a*131 + b) % 1000000007) * 1000000007
+           |      + list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]), (a, b) -> (a*137 + b) % 1000000007) AS g
+           |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(th)-7, 0) + 1)) AS i)
+           |), bench AS (
+           |  SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0
+           |)
+           |SELECT s.doc_id, count(*) AS shingles,
+           |  CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_shingles,
+           |  sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+           |FROM sh s LEFT JOIN bench b ON s.g = b.g
+           |WHERE s.doc_id % 50 <> 0
+           |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin))
+
   // ---------- training-data ops: text analysis ----------
 
   private val t1 = Q(
@@ -1429,6 +1490,7 @@ object Queries {
     "d6_near_dup_verify" -> d6,
     "d7_embed_neardup" -> d7,
     "d8_substring_dup" -> d8,
+    "d9_decontaminate" -> d9,
     "t1_token_stats" -> t1,
     "t2_quality" -> t2,
     "t3_langid" -> t3,

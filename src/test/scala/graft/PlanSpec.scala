@@ -89,6 +89,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 3, s"$exchanges exchanges\n${plan.take(3000)}")
   }
 
+  test("decontamination joins the benchmark shingle set by broadcast (d9)") {
+    val plan = planOf("d9_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("anti-join resume broadcasts the done set when small") {
     val corpus = CorpusGen.corpus(spark, rows = 20, partitions = 2)
     val input = CorpusGen.inputView(corpus)
