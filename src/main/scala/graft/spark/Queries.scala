@@ -862,6 +862,45 @@ object Queries {
            |   AND round(CAST(top_word_count AS DOUBLE) / greatest(len(w), 1), 4) <= 0.2) AS repetition_ok
            |FROM b ORDER BY doc_id""".stripMargin))
 
+  private val t8 = Q(
+    (spark, dir) => {
+      // Deterministic stratified corpus mixing: each source gets a mixing
+      // rate (a pure function of its id), and a doc survives iff a
+      // deterministic hash gate of its doc_id lands under the rate — the
+      // standard reproducible-sampling trick for domain mixing weights
+      // (rerunning the job keeps the SAME sample; no RNG state to
+      // coordinate across executors). Row-local gate + one rollup.
+      val d = t(spark, dir, "documents")
+      val srcNum = regexp_extract(col("source"), "\\d+", 0).cast("long")
+      val rate = (lit(10) + pmod(srcNum * 7, lit(80))).as("rate_pct")
+      // nonlinear mix: a plain LCG gate collapses here (source is doc_id
+      // mod 20 and the LCG step times 20 is 0 mod 100, so the gate would
+      // be constant per source); the two coprime residues break that.
+      // Production would use a 64-bit mixer — the shared-arithmetic oracle
+      // constraint keeps this overflow-safe small-modulus math instead.
+      val gate = pmod(
+        pmod(col("doc_id"), lit(97)) * pmod(col("doc_id"), lit(89)) * 31L +
+          col("doc_id") * 17L + 7L, lit(100))
+      d.select(col("source"), col("doc_id"), rate, gate.as("gate"))
+        .groupBy("source", "rate_pct")
+        .agg(count(lit(1)).as("docs_in"),
+          sum(when(col("gate") < col("rate_pct"), 1L).otherwise(0L)).as("docs_kept"))
+        .withColumn("kept_pct",
+          round(col("docs_kept") * lit(100.0) / col("docs_in"), 2))
+        .orderBy("source")
+    },
+    Some("""SELECT source,
+           |  10 + (CAST(regexp_extract(source, '\d+') AS BIGINT) * 7) % 80 AS rate_pct,
+           |  count(*) AS docs_in,
+           |  CAST(sum(CASE WHEN ((doc_id % 97) * (doc_id % 89) * 31 + doc_id * 17 + 7) % 100
+           |    < 10 + (CAST(regexp_extract(source, '\d+') AS BIGINT) * 7) % 80
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           |  round(CAST(sum(CASE WHEN ((doc_id % 97) * (doc_id % 89) * 31 + doc_id * 17 + 7) % 100
+           |    < 10 + (CAST(regexp_extract(source, '\d+') AS BIGINT) * 7) % 80
+           |    THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / count(*), 2) AS kept_pct
+           |FROM documents
+           |GROUP BY 1, 2 ORDER BY source""".stripMargin))
+
   // ---------- similarity search over embeddings ----------
 
   private val s1 = Q(
@@ -1498,6 +1537,7 @@ object Queries {
     "t5_bpe_tokens" -> t5,
     "t6_pii_redact" -> t6,
     "t7_repetition" -> t7,
+    "t8_sample_mix" -> t8,
     "s1_knn_cosine" -> s1,
     "s2_ann_lsh_bucket" -> s2,
     "s3_ann_search" -> s3,
