@@ -943,6 +943,34 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Streaming exact-dedup of an at-least-once delivery stream. The input
+    * simulates redelivery (every 7th event arrives TWICE — same event_id,
+    * same ts, the shape a retrying producer creates), and
+    * dropDuplicatesWithinWatermark keeps only the first arrival. The dedup
+    * state holds an event_id only until the watermark passes its event
+    * time — constant state on an unbounded stream, unlike a plain
+    * dropDuplicates whose key set grows forever (the same bounded-state
+    * contract as the windowed counts and sessions). */
+  def dedupedEventStream(spark: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
+    val eventsDir = streamDir(eventsDir0)
+    val schema = spark.read.parquet(eventsDir).schema
+    def src = spark.readStream.schema(schema).parquet(eventsDir)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"))
+    val redelivered = src.unionByName(src.filter(pmod(col("event_id"), lit(7)) === 0))
+    val q = redelivered
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   final case class UserSession(user_id: Long, events: Long, firstTs: java.sql.Timestamp,
       lastTs: java.sql.Timestamp, distinctTypes: Int)
 

@@ -1467,6 +1467,25 @@ object Queries {
            |FROM read_parquet('__AUXVIDEO__/*.parquet') WHERE NOT ok
            |ORDER BY url, "frameIdx"""".stripMargin))
 
+  private val x21 = Q(
+    (spark, dir) => {
+      // the deduped stream must look exactly like the original events
+      // table: redelivered copies (every 7th event_id, constructed
+      // identically in both engines... and invisible to the oracle
+      // precisely because a correct dedup removes them all)
+      val s = graft.spark.Streaming.dedupedEventStream(spark, s"$dir/events.parquet",
+        "stream_dedup_" + java.lang.Long.toHexString(System.nanoTime()))
+      s.groupBy("event_type")
+        .agg(count(lit(1)).as("events"),
+          countDistinct(col("event_id")).as("distinct_events"))
+        .orderBy("event_type")
+    },
+    // at-least-once redelivery dedup: the streaming output aggregates to
+    // the batch distinct-per-type counts iff every duplicate was dropped
+    Some("""SELECT event_type, count(*) AS events,
+           |  CAST(count(DISTINCT event_id) AS BIGINT) AS distinct_events
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val x15 = Q(
     (spark, dir) =>
       graft.spark.Streaming.windowedEventCounts(spark, s"$dir/events.parquet",
@@ -1561,7 +1580,8 @@ object Queries {
     "x17_image_decode" -> x17,
     "x18_audio_decode" -> x18,
     "x19_image_resize" -> x19,
-    "x20_video_frames" -> x20)
+    "x20_video_frames" -> x20,
+    "x21_stream_dedup" -> x21)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, v) => k -> v.fn }

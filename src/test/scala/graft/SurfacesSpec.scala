@@ -325,6 +325,19 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sess.select("user_id").distinct().count() == users)
   }
 
+  test("streaming dedup drops every at-least-once redelivery") {
+    val dir = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val n = events.count()
+    val redelivered = n + events.filter(pmod(col("event_id"), lit(7)) === 0).count()
+    assert(redelivered > n, "the redelivery construction must add duplicates")
+    val deduped = graft.spark.Streaming.dedupedEventStream(
+      spark, s"$dir/events.parquet", "t_dedup")
+    // every duplicate dropped, every original kept, ids unique
+    assert(deduped.count() == n, s"deduped=${deduped.count()} expected=$n (input $redelivered)")
+    assert(deduped.select("event_id").distinct().count() == n)
+  }
+
   test("streaming sessions: no unbounded NoTimeout state in main sources") {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/spark/Pipeline.scala")), "UTF-8")
