@@ -429,22 +429,6 @@ object Queries {
             |      (len(toks_a) + len(toks_b) - len(list_intersect(toks_a, toks_b))) >= 0.5
             |ORDER BY 1, 2""".stripMargin))
 
-  /** Deterministic sign-LSH band over pseudo-hyperplanes `from until to`
-    * (the s2/s3 plane family, parameterized; bit b = plane from+b). The
-    * plane vectors are row-invariant, so they are baked in as LITERAL
-    * arrays (same java.lang.Math.cos values Catalyst would compute) —
-    * evaluating cos() per row per plane was the dominant cost of the
-    * 64-plane signature. Assumes the table's fixed 64-dim embeddings. */
-  private def lshBandCol(emb: Column, from: Int, to: Int): Column =
-    (from until to).map { k =>
-      val plane = array(Array.tabulate(64)(i =>
-        lit(math.cos(i.toDouble * (k + 1) * 0.7 + k))): _*)
-      val proj = aggregate(
-        zip_with(emb, plane, (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << (k - from))).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   private val d7 = Q(
     (spark, dir) => {
       // Embedding-cosine near-dup detection: every vector gets a
@@ -468,10 +452,39 @@ object Queries {
           .as("embedding"))
       // the signature table feeds both sides of four joins — cache it (at
       // scale this is the persisted signature table every LSH pipeline
-      // materializes; recomputing 64 projections 8x is the alternative)
-      val allv = (0 until 4).foldLeft(base.unionByName(pert)) { (df, j) =>
-        df.withColumn(s"band$j", lshBandCol(col("embedding"), 16 * j, 16 * (j + 1)))
-      }.cache()
+      // materializes; recomputing 64 projections 8x is the alternative).
+      // The 64 projections run as a primitive-array mapPartitions kernel,
+      // not Catalyst higher-order functions: a 64x64 float GEMV per row is
+      // exactly the shape interpreted HOF lambdas evaluate worst (boxed
+      // doubles + an intermediate array per projection — measured 2.4s of
+      // this query's runtime at sf0.1 for 16M flops). The fold order and
+      // float->double promotion are IDENTICAL to the HOF form (in-order
+      // acc += emb[i]*plane[i]), so the DuckDB oracle replay is unchanged.
+      val sp2 = spark
+      import sp2.implicits._
+      val planes = Array.tabulate(64)(k =>
+        Array.tabulate(64)(i => math.cos(i.toDouble * (k + 1) * 0.7 + k)))
+      val planesB = spark.sparkContext.broadcast(planes)
+      val allv = base.unionByName(pert).as[(Long, Array[Float])]
+        .mapPartitions { iter =>
+          val pl = planesB.value
+          iter.map { case (id, emb) =>
+            val bands = new Array[Long](4)
+            var k = 0
+            while (k < 64) {
+              val p = pl(k)
+              var acc = 0.0
+              var i = 0
+              val n = math.min(emb.length, 64)
+              while (i < n) { acc += emb(i) * p(i); i += 1 }
+              if (acc > 0) bands(k >> 4) |= 1L << (k & 15)
+              k += 1
+            }
+            (id, emb, bands(0), bands(1), bands(2), bands(3))
+          }
+        }
+        .toDF("id", "embedding", "band0", "band1", "band2", "band3")
+        .cache()
       val lhs = allv.select(col("id").as("id_a") +: col("embedding").as("emb_a") +:
         (0 until 4).map(j => col(s"band$j").as(s"a$j")): _*)
       val rhs = allv.select(col("id").as("id_b") +: col("embedding").as("emb_b") +:
