@@ -1499,6 +1499,56 @@ object Queries {
            |  CAST(count(DISTINCT event_id) AS BIGINT) AS distinct_events
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  private val c1 = Q(
+    (spark, _) => {
+      // End-to-end curation pipeline as ONE plan: kernel extraction ->
+      // quality gate -> exact dedup -> keep/short/dup decision. The corpus
+      // is the 180-row extraction corpus plus mirror:// copies of rows
+      // 0-59 (same bytes under a different url — constructed duplicates
+      // the dedup stage must catch; originals win the min-url keeper rule
+      // because 'h' < 'm'). The only shuffle after the shuffle-free
+      // extraction pass is the dedup groupBy + keeper join — the same
+      // shape this pipeline has at 100 TB.
+      val c = CorpusGen.corpus(spark, rows = 180, partitions = 8)
+      val mirrors = CorpusGen.corpus(spark, rows = 60, partitions = 4)
+        .withColumn("url", concat(lit("mirror://"), col("url")))
+      val input = CorpusGen.inputView(c).unionByName(CorpusGen.inputView(mirrors))
+      val extracted = Pipeline.extract(spark, input).toDF()
+      val feat = extracted.select(col("url"), col("chars"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("tokens"),
+        md5(col("text")).as("h"))
+      val keeper = feat.groupBy("h").agg(min(col("url")).as("keeper_url"))
+      feat.join(keeper, Seq("h"))
+        .select(col("url"), col("chars"), col("tokens"),
+          when(!(col("chars") >= 25 && col("tokens") >= 4), "short")
+            .when(col("url") =!= col("keeper_url"), "dup")
+            .otherwise("keep").as("decision"))
+        .orderBy("url")
+    },
+    // DuckDB replays the whole pipeline from the generator's expected
+    // text (the aux table): a hash match proves extraction, the quality
+    // features, the dedup grouping AND the keeper rule all agree.
+    Some("""WITH orig AS (
+           |  SELECT url, text FROM read_parquet('__AUX__/*.parquet')
+           |), mir AS (
+           |  SELECT 'mirror://' || url AS url, text FROM orig
+           |  WHERE CAST(regexp_extract(url, '(\d+)$', 1) AS BIGINT) < 60
+           |), all_docs AS (
+           |  SELECT * FROM orig UNION ALL SELECT * FROM mir
+           |), feat AS (
+           |  SELECT url, CAST(len(text) AS INT) AS chars,
+           |    CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS tokens,
+           |    md5(text) AS h
+           |  FROM all_docs
+           |), keeper AS (
+           |  SELECT h, min(url) AS keeper_url FROM feat GROUP BY h
+           |)
+           |SELECT f.url, f.chars, f.tokens,
+           |  CASE WHEN NOT (f.chars >= 25 AND f.tokens >= 4) THEN 'short'
+           |       WHEN f.url <> k.keeper_url THEN 'dup'
+           |       ELSE 'keep' END AS decision
+           |FROM feat f JOIN keeper k USING (h) ORDER BY f.url""".stripMargin))
+
   private val x15 = Q(
     (spark, dir) =>
       graft.spark.Streaming.windowedEventCounts(spark, s"$dir/events.parquet",
@@ -1594,7 +1644,8 @@ object Queries {
     "x18_audio_decode" -> x18,
     "x19_image_resize" -> x19,
     "x20_video_frames" -> x20,
-    "x21_stream_dedup" -> x21)
+    "x21_stream_dedup" -> x21,
+    "c1_curation_e2e" -> c1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, v) => k -> v.fn }
