@@ -914,6 +914,29 @@ object Queries {
            |FROM documents
            |GROUP BY 1, 2 ORDER BY source""".stripMargin))
 
+  private val t9 = Q(
+    (spark, dir) => {
+      // Vocabulary construction (tokenizer-training step 0): global token
+      // frequency dictionary, top-50 with deterministic (count desc, token
+      // asc) ranking. The explode -> count is the one genuinely global
+      // shuffle in the text suite; partial aggregation combines map-side,
+      // and the top-k is a distributed orderBy.limit — the driver never
+      // sees the full vocabulary.
+      val d = t(spark, dir, "documents")
+      d.select(explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("token").asc)))
+        .select("rank", "token", "freq")
+    },
+    Some("""SELECT row_number() OVER (ORDER BY count(*) DESC, t ASC) AS rank,
+           |  t AS token, count(*) AS freq
+           |FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS t FROM documents)
+           |GROUP BY t ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin))
+
   // ---------- similarity search over embeddings ----------
 
   private val s1 = Q(
@@ -1620,6 +1643,7 @@ object Queries {
     "t6_pii_redact" -> t6,
     "t7_repetition" -> t7,
     "t8_sample_mix" -> t8,
+    "t9_vocab_topk" -> t9,
     "s1_knn_cosine" -> s1,
     "s2_ann_lsh_bucket" -> s2,
     "s3_ann_search" -> s3,
