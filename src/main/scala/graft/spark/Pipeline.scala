@@ -971,6 +971,37 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Stream-stream event-time join (click -> purchase attribution): a
+    * purchase joins every click by the same user in the preceding hour.
+    * Both sides carry watermarks and the join condition carries the time
+    * range, so each side's state is dropped once the watermark passes the
+    * range — bounded state on unbounded streams (an unconstrained
+    * stream-stream join would buffer both streams forever). Inner join:
+    * matches emit as soon as both rows have arrived; the watermark only
+    * gates state cleanup. */
+  def attributedPurchases(spark: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
+    val eventsDir = streamDir(eventsDir0)
+    val schema = spark.read.parquet(eventsDir).schema
+    def src(tpe: String, alias: String) = spark.readStream.schema(schema).parquet(eventsDir)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").cast("long").as(s"${alias}_user"),
+        col("ts").cast("timestamp").as(s"${alias}_ts"),
+        col("event_id").cast("long").as(s"${alias}_id"))
+      .withWatermark(s"${alias}_ts", "10 minutes")
+    val joined = src("click", "c").join(src("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 1 hour"))
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   final case class UserSession(user_id: Long, events: Long, firstTs: java.sql.Timestamp,
       lastTs: java.sql.Timestamp, distinctTypes: Int)
 

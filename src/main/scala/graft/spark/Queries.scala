@@ -1522,6 +1522,28 @@ object Queries {
            |  CAST(count(DISTINCT event_id) AS BIGINT) AS distinct_events
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  private val x22 = Q(
+    (spark, dir) => {
+      val j = graft.spark.Streaming.attributedPurchases(spark, s"$dir/events.parquet",
+        "stream_attr_" + java.lang.Long.toHexString(System.nanoTime()))
+      j.groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("attributed_pairs"),
+          countDistinct(col("p_id")).as("purchases"),
+          countDistinct(col("c_id")).as("clicks"))
+        .orderBy("user_id")
+    },
+    // inner stream-stream joins emit matched pairs regardless of the
+    // watermark (it only bounds state), so the finite run's output is
+    // exactly the batch join — pure SQL for the oracle
+    Some("""SELECT c.user_id, count(*) AS attributed_pairs,
+           |  CAST(count(DISTINCT p.event_id) AS BIGINT) AS purchases,
+           |  CAST(count(DISTINCT c.event_id) AS BIGINT) AS clicks
+           |FROM events c JOIN events p ON c.user_id = p.user_id
+           |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+           |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+           |  AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val c1 = Q(
     (spark, _) => {
       // End-to-end curation pipeline as ONE plan: kernel extraction ->
@@ -1669,6 +1691,7 @@ object Queries {
     "x19_image_resize" -> x19,
     "x20_video_frames" -> x20,
     "x21_stream_dedup" -> x21,
+    "x22_stream_join" -> x22,
     "c1_curation_e2e" -> c1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
