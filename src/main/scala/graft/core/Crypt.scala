@@ -46,8 +46,11 @@ object Crypt {
     d.get(k).collect { case PNum(n) => Util.hsTruncate(n) }
   private def dictBytes(d: TreeMap[String, PObj], k: String): Option[Array[Byte]] =
     d.get(k).flatMap {
-      case PText(s) => Some(s.toCharArray.map(c => (c & 0xff).toByte))
-      case PHex(h) => hexToBytes(h)
+      // crypto values are BINARY: prefer the lexer's pre-decoding bytes
+      // (the text form is lossy when the value happens to start FE FF)
+      case t @ PText(s) =>
+        Option(t.rawBytes).orElse(Some(s.toCharArray.map(c => (c & 0xff).toByte)))
+      case h @ PHex(x) => Option(h.rawBytes).orElse(hexToBytes(x))
       case _ => None
     }
 
@@ -174,8 +177,11 @@ object Crypt {
   private def firstId(trailer: TreeMap[String, PObj]): Option[Array[Byte]] =
     trailer.get("/ID") match {
       case Some(PArray(entry +: _)) => entry match {
-        case PHex(h) => hexToBytes(h)
-        case PText(s) => hexToBytes(s).orElse(Some(s.toCharArray.map(c => (c & 0xff).toByte)))
+        case h @ PHex(x) => Option(h.rawBytes).orElse(hexToBytes(x))
+        // keep the hex-digits-first reading for literal IDs (existing
+        // behavior); rawBytes only rescues the lossy BOM-decoded case
+        case t @ PText(s) => hexToBytes(s)
+          .orElse(Option(t.rawBytes)).orElse(Some(s.toCharArray.map(c => (c & 0xff).toByte)))
         case _ => None
       }
       case _ => None

@@ -288,7 +288,9 @@ object Lexer {
         case Some(s) => Crypt.decryptString(s, objNum, 0, raw)
         case None => raw
       }
-      PText(literalText(body))
+      val t = PText(literalText(body))
+      t.rawBytes = body // binary consumers (crypto dict, /ID) need the bytes
+      t
     }
 
   // ---- hex strings -----------------------------------------------------
@@ -315,9 +317,13 @@ object Lexer {
             val txt = latin1(decrypted)
             if ((txt.startsWith("feff") || txt.startsWith("FEFF")) &&
                 txt.length > 4 && txt.drop(4).forall(ch => isHexDigit(ch))) {
-              return Some(PHex(hexUtf16(txt.drop(4)).getOrElse(txt)))
+              val ph = PHex(hexUtf16(txt.drop(4)).getOrElse(txt))
+              ph.rawBytes = decrypted
+              return Some(ph)
             }
-            return Some(PText(literalText(decrypted)))
+            val pt = PText(literalText(decrypted))
+            pt.rawBytes = decrypted
+            return Some(pt)
         }
       } else if (isHexDigit(c)) sb.append(c.toChar)
       else { cur.pos = save; return None }
@@ -328,7 +334,12 @@ object Lexer {
   def plainHexObj(hex: String): PObj = {
     if ((hex.startsWith("feff") || hex.startsWith("FEFF")) && hex.length > 4) {
       hexUtf16(hex.substring(4)) match {
-        case Some(t) => return PHex(t)
+        case Some(t) =>
+          val ph = PHex(t)
+          // the BOM decode is lossy (invalid UTF-16 -> U+FFFD); keep the
+          // raw bytes for binary consumers like a FEFF-leading /O or /U
+          ph.rawBytes = decodeHexBytes(hex)
+          return ph
         case None => ()
       }
     }

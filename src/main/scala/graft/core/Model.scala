@@ -12,10 +12,18 @@ import scala.collection.immutable.TreeMap
 sealed trait PObj extends Product with Serializable
 object PObj {
   final case class PDict(d: TreeMap[String, PObj]) extends PObj
-  final case class PText(s: String) extends PObj
+  /** `rawBytes`: the pre-decoding string bytes, set by the lexer when the
+    * text form is lossy (UTF-16BE BOM decode replaces invalid sequences).
+    * Binary consumers — the /Encrypt dict's /O /U /UE /OE /Perms, the
+    * trailer /ID — MUST read these, never re-derive bytes from the decoded
+    * text: a 48-byte /U that happens to start FE FF would otherwise be
+    * mangled into Unicode replacement chars and fail password validation
+    * (observed ~5 per million synthetic AES-256 docs). Not part of
+    * equality (a var on the instance), so pattern matches are unchanged. */
+  final case class PText(s: String) extends PObj { var rawBytes: Array[Byte] = null }
   final case class PStream(bytes: Array[Byte]) extends PObj
   final case class PNum(v: Double) extends PObj
-  final case class PHex(hex: String) extends PObj
+  final case class PHex(hex: String) extends PObj { var rawBytes: Array[Byte] = null }
   final case class PBool(b: Boolean) extends PObj
   final case class PArray(xs: Vector[PObj]) extends PObj
   final case class PName(n: String) extends PObj

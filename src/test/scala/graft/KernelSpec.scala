@@ -434,6 +434,28 @@ class KernelSpec extends AnyFunSuite {
     assert(Extract.taggedText(doc4) == Right(d4.expected))
   }
 
+  test("crypto dict values survive a FE FF prefix (lossy BOM decode rescued)") {
+    // corpus indices whose derived /O //U //UE //OE or /Perms happens to
+    // start FE FF: the lexer BOM-decodes such hex strings to text (parity
+    // for TEXT strings), which mangles raw crypto bytes — the raw bytes
+    // must be carried alongside. These five failed password validation in
+    // the million-doc smoke before the fix.
+    for (i <- Seq(448394L, 509669L, 798764L, 806489L, 882824L)) {
+      val d = graft.spark.FixtureGen.encryptedAes256(i)
+      val doc = DocStructure.openDocument(d.bytes, None).toOption.get
+      assert(doc.security.exists(_.revision == 6), s"doc $i: security missing")
+      assert(Extract.taggedText(doc) == Right(d.expected), s"doc $i")
+    }
+    // and the lexer keeps raw bytes on a BOM-decoded plain hex string
+    Lexer.plainHexObj("FEFF00410042") match {
+      case h: graft.core.PObj.PHex =>
+        assert(h.hex == "AB")
+        assert(h.rawBytes.map(_ & 0xff).toList ==
+          List(0xfe, 0xff, 0x00, 0x41, 0x00, 0x42))
+      case other => fail(s"expected PHex, got $other")
+    }
+  }
+
   // ---- HTML stripper ----
 
   test("HTML boilerplate is dropped, entities decoded") {
