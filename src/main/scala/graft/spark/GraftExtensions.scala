@@ -2,7 +2,7 @@ package graft.spark
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
@@ -16,9 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * arbitrary SQL (`SELECT url, extract_text(html) FROM crawl WHERE ...`)
   * and Catalyst can fuse the surrounding projection/filters. Evaluation is
   * a pure kernel call per row; null/malformed input yields null (never a
-  * task failure), matching the pipeline's error-row behavior. */
-case class ExtractText(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * task failure), matching the pipeline's error-row behavior.
+  *
+  * Implements `doGenCode` (no CodegenFallback): the generated code calls
+  * the kernel through a referenced object, so the surrounding projection
+  * and filters stay inside ONE WholeStageCodegen stage instead of falling
+  * back to interpreted per-row evaluation around this expression. */
+case class ExtractText(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -26,10 +30,23 @@ case class ExtractText(child: Expression)
     else TypeCheckResult.TypeCheckFailure("extract_text requires a BINARY argument")
   override def prettyName: String = "extract_text"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  /** Kernel call shared by interpreted eval and generated code. */
+  def evalBytes(bytes: Array[Byte]): UTF8String = {
     val doc = Pipeline.extractRow("", bytes, null, geom = false)
     if (doc.ok && doc.text != null) UTF8String.fromString(doc.text) else null
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalBytes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("extractText", this, classOf[ExtractText].getName)
+    val r = ctx.freshName("extractTextR")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.unsafe.types.UTF8String $r = $self.evalBytes($c);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r; }
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ExtractText =

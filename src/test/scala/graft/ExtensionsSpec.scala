@@ -46,4 +46,20 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0)
     assert(grepped == 2)
   }
+
+  test("extract_text generates code (no CodegenFallback wrapper in the plan)") {
+    val corpus = CorpusGen.corpus(spark, rows = 6, partitions = 1)
+    corpus.createOrReplaceTempView("crawl_cg")
+    val df = spark.sql("SELECT url, extract_text(html) AS text FROM crawl_cg")
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks a WholeStageCodegen stage; the projection
+    // containing extract_text must carry it
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("extract_text")),
+      plan.take(2000))
+    // the expression implements doGenCode — it must not be the interpreted
+    // CodegenFallback escape hatch
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.spark.ExtractText]))
+    assert(df.collect().length == 6) // and the generated code actually runs
+  }
 }
