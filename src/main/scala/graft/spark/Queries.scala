@@ -613,6 +613,94 @@ object Queries {
            |  round(CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
            |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  private val d10 = Q(
+    (spark, dir) => {
+      // Dedup cluster assignment: connected components over the LSH bucket
+      // graph (docs sharing either minhash band key are linked through the
+      // bucket's min-doc representative — star edges, so the edge count is
+      // linear in docs, never quadratic in bucket size). Components are
+      // found by iterative min-label propagation: a DRIVER loop over
+      // iteration COUNTS only — each step is a distributed join + groupBy,
+      // the data never collects, and convergence is O(component diameter)
+      // steps (star edges keep diameters tiny). This is the keeper-
+      // assignment step a corpus-scale dedup actually ships.
+      val sig = t(spark, dir, "documents")
+        .select(col("doc_id"), transform(toksCol, tok => tokenHashCol(tok)).as("xs"))
+        .filter(size(col("xs")) > 0)
+        .select(col("doc_id"),
+          minPerm(col("xs"), 1299721, 104729).as("mh0"),
+          minPerm(col("xs"), 7919, 7507).as("mh1"),
+          minPerm(col("xs"), 104183, 337).as("mh2"),
+          minPerm(col("xs"), 909091, 5861).as("mh3"))
+        .withColumn("band0", md5(concat_ws(":", col("mh0"), col("mh1"))))
+        .withColumn("band1", md5(concat_ws(":", col("mh2"), col("mh3"))))
+        .select("doc_id", "band0", "band1").cache()
+      def starEdges(b: String) = {
+        val rep = sig.groupBy(col(b)).agg(min(col("doc_id")).as("rep"))
+        sig.select(col("doc_id"), col(b)).join(rep, b)
+          .select(col("doc_id").as("src"), col("rep").as("dst"))
+          .filter(col("src") =!= col("dst"))
+      }
+      val half = starEdges("band0").unionByName(starEdges("band1")).distinct()
+      val edges = half
+        .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+        .cache()
+      var labels = sig.select(col("doc_id").as("v"), col("doc_id").as("lbl")).cache()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val nbr = edges.join(labels, edges("dst") === labels("v"))
+          .groupBy(edges("src")).agg(min(labels("lbl")).as("nlbl"))
+        val next = labels.join(nbr, labels("v") === nbr("src"), "left")
+          .select(labels("v"), labels("lbl"),
+            least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("nl"))
+          .cache()
+        changed = next.filter(col("nl") < col("lbl")).count()
+        val newLabels = next.select(col("v"), col("nl").as("lbl")).cache()
+        labels.unpersist(false)
+        labels = newLabels
+        iter += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $iter iterations")
+      labels.select(col("v").as("doc_id"), col("lbl").as("component"))
+        .orderBy("doc_id")
+    },
+    // DuckDB replays the components as a transitive closure via a
+    // recursive CTE over the same star edges — min reachable label ==
+    // propagation fixpoint, engine-independently.
+    Some(s"""WITH RECURSIVE toks AS (
+            |  SELECT doc_id, $duckTokenHash AS x
+            |  FROM (SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS t
+            |        FROM documents)
+            |), sig AS (
+            |  SELECT doc_id,
+            |    min((x*1299721 + 104729) % 1000000007) AS mh0,
+            |    min((x*7919 + 7507) % 1000000007) AS mh1,
+            |    min((x*104183 + 337) % 1000000007) AS mh2,
+            |    min((x*909091 + 5861) % 1000000007) AS mh3
+            |  FROM toks GROUP BY 1
+            |), bands AS (
+            |  SELECT doc_id,
+            |    md5(concat(CAST(mh0 AS VARCHAR), ':', CAST(mh1 AS VARCHAR))) AS band0,
+            |    md5(concat(CAST(mh2 AS VARCHAR), ':', CAST(mh3 AS VARCHAR))) AS band1
+            |  FROM sig
+            |), r0 AS (
+            |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band0) AS rep FROM bands
+            |), r1 AS (
+            |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band1) AS rep FROM bands
+            |), e AS (
+            |  SELECT doc_id AS src, rep AS dst FROM r0 WHERE doc_id <> rep
+            |  UNION SELECT doc_id, rep FROM r1 WHERE doc_id <> rep
+            |), edges AS (
+            |  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+            |), reach AS (
+            |  SELECT doc_id AS v, doc_id AS lbl FROM bands
+            |  UNION
+            |  SELECT ed.src AS v, r.lbl FROM edges ed JOIN reach r ON r.v = ed.dst
+            |)
+            |SELECT v AS doc_id, min(lbl) AS component
+            |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val d9 = Q(
     (spark, dir) => {
       // Benchmark decontamination (the GPT-3-style n-gram overlap check):
@@ -1657,6 +1745,7 @@ object Queries {
     "d7_embed_neardup" -> d7,
     "d8_substring_dup" -> d8,
     "d9_decontaminate" -> d9,
+    "d10_dedup_components" -> d10,
     "t1_token_stats" -> t1,
     "t2_quality" -> t2,
     "t3_langid" -> t3,
