@@ -635,34 +635,79 @@ object Queries {
         .withColumn("band0", md5(concat_ws(":", col("mh0"), col("mh1"))))
         .withColumn("band1", md5(concat_ws(":", col("mh2"), col("mh3"))))
         .select("doc_id", "band0", "band1").cache()
-      def starEdges(b: String) = {
-        val rep = sig.groupBy(col(b)).agg(min(col("doc_id")).as("rep"))
-        sig.select(col("doc_id"), col(b)).join(rep, b)
-          .select(col("doc_id").as("src"), col("rep").as("dst"))
-          .filter(col("src") =!= col("dst"))
-      }
-      val half = starEdges("band0").unionByName(starEdges("band1")).distinct()
+      // contract the graph to bucket REPRESENTATIVES first: every doc
+      // points at its two bucket-min reps, and those two reps are linked
+      // through the doc — so components over the (tiny) rep graph
+      // determine every doc's component. Propagation then runs on reps
+      // only, with a path-halving step (label := label of label) per
+      // round, so convergence is O(log diameter) rounds — one-hop
+      // propagation on long rep chains needed one round PER HOP and took
+      // minutes at sf0.1.
+      val withReps = List("band0", "band1").foldLeft(sig) { (df, b) =>
+        df.join(sig.groupBy(col(b)).agg(min(col("doc_id")).as(s"rep_$b")), b)
+      }.select(col("doc_id"), col("rep_band0"), col("rep_band1")).cache()
+      val half = withReps
+        .select(col("rep_band0").as("src"), col("rep_band1").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
       val edges = half
         .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
         .cache()
-      var labels = sig.select(col("doc_id").as("v"), col("doc_id").as("lbl")).cache()
+      var labels = withReps
+        .select(explode(array(col("rep_band0"), col("rep_band1"))).as("v"))
+        .distinct()
+        .select(col("v"), col("v").as("lbl")).cache()
+      // Each round MUST materialize: the path-halving self-join references
+      // the round's frame twice, so a lazy chain doubles the plan tree per
+      // round (2^rounds nodes — Catalyst never finishes). The rep graph is
+      // tiny, so the per-round cost is scheduler/shuffle overhead — run the
+      // rounds under few shuffle partitions (restored after; on a cluster
+      // you size these to the rep-graph volume, orders of magnitude below
+      // the corpus).
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 20) {
-        val nbr = edges.join(labels, edges("dst") === labels("v"))
-          .groupBy(edges("src")).agg(min(labels("lbl")).as("nlbl"))
-        val next = labels.join(nbr, labels("v") === nbr("src"), "left")
-          .select(labels("v"), labels("lbl"),
-            least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("nl"))
-          .cache()
-        changed = next.filter(col("nl") < col("lbl")).count()
-        val newLabels = next.select(col("v"), col("nl").as("lbl")).cache()
-        labels.unpersist(false)
-        labels = newLabels
-        iter += 1
-      }
+      def dbg(m: => String): Unit =
+        if (sys.env.contains("GRAFT_D10_DEBUG"))
+          System.err.println(s"[d10] $m t=${System.nanoTime() / 1000000}")
+      dbg("start")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        dbg(s"sig=${sig.count()}")
+        dbg(s"withReps=${withReps.count()}")
+        dbg(s"edges=${edges.count()}")
+        dbg(s"labels=${labels.count()}")
+        while (changed > 0 && iter < 15) {
+          val nbr = edges.join(labels, edges("dst") === labels("v"))
+            .groupBy(edges("src")).agg(min(labels("lbl")).as("nlbl"))
+          val hop = labels.join(nbr, labels("v") === nbr("src"), "left")
+            .select(labels("v").as("v"),
+              least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("lbl"))
+          // path halving: adopt the label of one's current label
+          val l2 = hop.select(col("v").as("v2"), col("lbl").as("lbl2"))
+          val next = hop.join(l2, hop("lbl") === l2("v2"), "left")
+            .select(hop("v"), hop("lbl"),
+              least(hop("lbl"), coalesce(col("lbl2"), hop("lbl"))).as("nl"))
+            .cache()
+          changed = next.filter(col("nl") < col("lbl")).count()
+          // localCheckpoint TRUNCATES the logical lineage (cache alone does
+          // not — cached plans substitute only at physical planning, so the
+          // halving self-join doubled the ANALYZED plan tree per round and
+          // analysis time grew exponentially: measured 2.7s -> 11.5s per
+          // round on a 102-vertex graph)
+          val newLabels = next.select(col("v"), col("nl").as("lbl"))
+            .localCheckpoint(true)
+          labels.unpersist(false)
+          next.unpersist(false)
+          labels = newLabels
+          iter += 1
+          dbg(s"iter=$iter changed=$changed")
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       require(changed == 0, s"label propagation did not converge in $iter iterations")
-      labels.select(col("v").as("doc_id"), col("lbl").as("component"))
+      dbg("loop done")
+      withReps
+        .join(labels, withReps("rep_band0") === labels("v"))
+        .select(col("doc_id"), col("lbl").as("component"))
         .orderBy("doc_id")
     },
     // DuckDB replays the components as a transitive closure via a
