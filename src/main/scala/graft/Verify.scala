@@ -37,10 +37,10 @@ object Verify {
       // can reproduce the paragraph-diff output without running the kernel.
       val a = graft.spark.CorpusGen.corpus(spark, rows = 33, partitions = 3)
         .select(col("url"), col("kind"), col("pages").as("pages_a"),
-          col("page_texts").as("page_texts_a"))
+          col("page_texts").as("page_texts_a"), col("expected").as("text_a"))
       val bv = graft.spark.CorpusGen.variantCorpus(spark, rows = 33, partitions = 3)
         .select(col("url"), col("pages").as("pages_b"),
-          col("page_texts").as("page_texts_b"))
+          col("page_texts").as("page_texts_b"), col("expected").as("text_b"))
       a.join(bv, Seq("url"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$auxDir/aux_diff")

@@ -1677,6 +1677,59 @@ object Queries {
            |  AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  private val x23 = Q(
+    (spark, _) => {
+      // Incremental recrawl merge: yesterday's extraction vs today's crawl
+      // as a full outer join on url, classifying every document as
+      // added / removed / changed / unchanged — the delta-processing step
+      // a periodic-crawl pipeline runs so only changed documents re-enter
+      // downstream stages. Today's corpus: the variant text for 2 of 3
+      // overlapping urls (changed), the original for every third
+      // (unchanged), urls 33-39 dropped (removed), urls 40-49 new (added).
+      val idx = regexp_extract(col("url"), "(\\d+)$", 1).cast("long")
+      val yesterdayC = CorpusGen.corpus(spark, rows = 40, partitions = 4)
+      val todayC = CorpusGen.variantCorpus(spark, rows = 33, partitions = 3)
+        .filter(pmod(idx, lit(3)) =!= 0)
+        .unionByName(CorpusGen.corpus(spark, rows = 33, partitions = 3)
+          .filter(pmod(idx, lit(3)) === 0))
+        .unionByName(CorpusGen.corpus(spark, rows = 50, partitions = 4)
+          .filter(idx >= 40))
+      val y = Pipeline.extract(spark, CorpusGen.inputView(yesterdayC)).toDF()
+        .select(col("url"), col("text").as("text_y"))
+      val td = Pipeline.extract(spark, CorpusGen.inputView(todayC)).toDF()
+        .select(col("url"), col("text").as("text_t"))
+      y.join(td, Seq("url"), "full_outer")
+        .select(col("url"),
+          when(col("text_y").isNull, "added")
+            .when(col("text_t").isNull, "removed")
+            .when(col("text_y") === col("text_t"), "unchanged")
+            .otherwise("changed").as("status"))
+        .orderBy("url")
+    },
+    // DuckDB replays the merge from both corpora's constructed expected
+    // text (the aux + aux-diff tables) — a hash match verifies extraction
+    // on both sides AND the delta classification.
+    Some("""WITH ax AS (
+           |  SELECT url, text, CAST(regexp_extract(url, '(\d+)$', 1) AS BIGINT) AS i
+           |  FROM read_parquet('__AUX__/*.parquet')
+           |), vd AS (
+           |  SELECT url, text_b, CAST(regexp_extract(url, '(\d+)$', 1) AS BIGINT) AS i
+           |  FROM read_parquet('__AUXDIFF__/*.parquet')
+           |), y AS (
+           |  SELECT url, text FROM ax WHERE i < 40
+           |), t AS (
+           |  SELECT url, text_b AS text FROM vd WHERE i % 3 <> 0
+           |  UNION ALL SELECT url, text FROM ax WHERE i < 33 AND i % 3 = 0
+           |  UNION ALL SELECT url, text FROM ax WHERE i >= 40 AND i < 50
+           |)
+           |SELECT coalesce(y.url, t.url) AS url,
+           |  CASE WHEN y.url IS NULL THEN 'added'
+           |       WHEN t.url IS NULL THEN 'removed'
+           |       WHEN y.text = t.text THEN 'unchanged'
+           |       ELSE 'changed' END AS status
+           |FROM y FULL OUTER JOIN t ON y.url = t.url
+           |ORDER BY url""".stripMargin))
+
   private val c1 = Q(
     (spark, _) => {
       // End-to-end curation pipeline as ONE plan: kernel extraction ->
@@ -1826,6 +1879,7 @@ object Queries {
     "x20_video_frames" -> x20,
     "x21_stream_dedup" -> x21,
     "x22_stream_join" -> x22,
+    "x23_incremental" -> x23,
     "c1_curation_e2e" -> c1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
