@@ -1070,6 +1070,48 @@ object Queries {
            |FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS t FROM documents)
            |GROUP BY t ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin))
 
+  private val t10 = Q(
+    (spark, dir) => {
+      // Corpus-trained fluency scoring (the CCNet-style "train a LM on the
+      // corpus, score every doc" shape, with count-based scoring so the
+      // oracle stays in exact integer arithmetic): pass 1 aggregates global
+      // bigram counts (map-side combined — the training step); pass 2
+      // scores each document by its average bigram frequency via a
+      // broadcast join of the model (bounded by vocabulary size — the
+      // always-broadcastable side at any corpus scale). Low scores mark
+      // disfluent outliers.
+      val d = t(spark, dir, "documents")
+      val w = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+      val bigrams = when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat(element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val docBigrams = d.select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+      val model = docBigrams.groupBy("bg").agg(count(lit(1)).as("freq"))
+      docBigrams.join(broadcast(model), Seq("bg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("bigrams"),
+          sum(col("freq")).as("freq_sum"))
+        .withColumn("avg_bigram_freq",
+          round(col("freq_sum").cast("double") / col("bigrams"), 4))
+        .withColumn("fluent", col("avg_bigram_freq") >= 29.5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH bg AS (
+           |  SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+           |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+           |    LATERAL (SELECT unnest(range(1, greatest(len(w), 1))) AS i)
+           |), model AS (
+           |  SELECT bg, count(*) AS freq FROM bg GROUP BY 1
+           |)
+           |SELECT b.doc_id, count(*) AS bigrams,
+           |  CAST(sum(m.freq) AS BIGINT) AS freq_sum,
+           |  round(CAST(sum(m.freq) AS DOUBLE) / count(*), 4) AS avg_bigram_freq,
+           |  round(CAST(sum(m.freq) AS DOUBLE) / count(*), 4) >= 29.5 AS fluent
+           |FROM bg b JOIN model m USING (bg)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // ---------- similarity search over embeddings ----------
 
   private val s1 = Q(
@@ -1853,6 +1895,7 @@ object Queries {
     "t7_repetition" -> t7,
     "t8_sample_mix" -> t8,
     "t9_vocab_topk" -> t9,
+    "t10_lm_score" -> t10,
     "s1_knn_cosine" -> s1,
     "s2_ann_lsh_bucket" -> s2,
     "s3_ann_search" -> s3,
