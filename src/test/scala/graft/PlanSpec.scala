@@ -89,6 +89,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 3, s"$exchanges exchanges\n${plan.take(3000)}")
   }
 
+  test("fluency model joins by broadcast; sampler is row-local (t10, t8)") {
+    val p10 = planOf("t10_lm_score")
+    assert(p10.contains("BroadcastHashJoin"), p10.take(3000))
+    assert(!p10.contains("CartesianProduct"), p10.take(3000))
+    val p8 = planOf("t8_sample_mix")
+    // gate + rollup: partial aggregation map-side, one exchange + the sort
+    val exchanges = "Exchange".r.findAllIn(p8).length
+    assert(exchanges <= 2, s"t8: $exchanges exchanges\n${p8.take(3000)}")
+  }
+
+  test("incremental merge joins on url with no cartesian (x23)") {
+    val plan = planOf("x23_incremental")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("decontamination joins the benchmark shingle set by broadcast (d9)") {
     val plan = planOf("d9_decontaminate")
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
