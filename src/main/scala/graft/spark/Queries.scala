@@ -204,6 +204,39 @@ object Queries {
            |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  private val q12 = Q(
+    (spark, dir) => {
+      // Bucketed co-located fact-fact join: both sides are written bucketed
+      // (and sorted) on the join key, so the SortMergeJoin reads
+      // co-partitioned buckets directly — NO exchange before the join
+      // (PlanSpec pins this). At 100 TB this is how a repeatedly-joined
+      // fact pair amortizes its shuffle: pay the bucketed write once,
+      // join shuffle-free forever after. Bucketed tables land in a temp
+      // external location; names are per-run to keep reruns independent.
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val base = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      t(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/li").saveAsTable(s"li_$tag")
+      t(spark, dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/ord").saveAsTable(s"ord_$tag")
+      spark.table(s"li_$tag")
+        .join(spark.table(s"ord_$tag"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("line_items"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS line_items,
+           |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // ---------- training-data ops: deduplication ----------
 
   private val d1 = Q(
@@ -1876,6 +1909,7 @@ object Queries {
     "q9_window_avg" -> q9,
     "q10_intersect" -> q10,
     "q11_json_props" -> q11,
+    "q12_bucketed_join" -> q12,
     "d1_dedup_exact" -> d1,
     "d2_minhash_lsh" -> d2,
     "d3_simhash" -> d3,

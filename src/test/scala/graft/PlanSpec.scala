@@ -89,6 +89,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 3, s"$exchanges exchanges\n${plan.take(3000)}")
   }
 
+  test("bucketed fact-fact join runs with no exchange before the join (q12)") {
+    // at production scale neither fact side fits a broadcast — simulate by
+    // disabling auto-broadcast so the planner must use the bucketed SMJ
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        Queries.queries("q12_bucketed_join")(spark, sfDir)
+          .queryExecution.executedPlan.toString
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    // the join consumes co-bucketed scans directly: every Exchange in the
+    // plan sits ABOVE the join (the groupBy/sort), never between the join
+    // and its scans
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    val belowJoin = plan.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange"), plan.take(3000))
+  }
+
   test("fluency model joins by broadcast; sampler is row-local (t10, t8)") {
     val p10 = planOf("t10_lm_score")
     assert(p10.contains("BroadcastHashJoin"), p10.take(3000))
