@@ -999,16 +999,19 @@ object Streaming {
     // checkpoint, so sizing it here is the real-world move too — on a
     // cluster you size it to state volume, not to the session default.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
+    try {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
-      joined.writeStream
+      val q = joined.writeStream
         .format("memory")
         .queryName(queryName)
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .start()
+      // the conf must stay set until the stream-execution thread has read
+      // it (it is captured at micro-batch planning, which races start()'s
+      // return) — restore only after the finite run completes
+      q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination()
     spark.table(queryName)
   }
 

@@ -211,22 +211,23 @@ object Queries {
       // co-partitioned buckets directly — NO exchange before the join
       // (PlanSpec pins this). At 100 TB this is how a repeatedly-joined
       // fact pair amortizes its shuffle: pay the bucketed write once,
-      // join shuffle-free forever after. Bucketed tables land in a temp
-      // external location; names are per-run to keep reruns independent.
-      val tag = java.lang.Long.toHexString(System.nanoTime())
-      val base = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      // join shuffle-free forever after. Bucketed tables live at a FIXED
+      // external location with overwrite semantics — per-run names and
+      // fresh temp dirs would leak a table copy into /tmp and an orphan
+      // catalog entry on every Verify/test/bench invocation.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_tables"
       t(spark, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$base/li").saveAsTable(s"li_$tag")
+        .option("path", s"$base/li").saveAsTable("graft_li_bucketed")
       t(spark, dir, "orders")
         .select("o_orderkey", "o_orderstatus")
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$base/ord").saveAsTable(s"ord_$tag")
-      spark.table(s"li_$tag")
-        .join(spark.table(s"ord_$tag"), col("l_orderkey") === col("o_orderkey"))
+        .option("path", s"$base/ord").saveAsTable("graft_ord_bucketed")
+      spark.table("graft_li_bucketed")
+        .join(spark.table("graft_ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("line_items"),
           round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double").as("sum_qty"))
@@ -258,6 +259,28 @@ object Queries {
 
   private val duckTokenHash =
     "list_reduce(list_prepend(CAST(7 AS BIGINT), [CAST(ord(t[i:i]) AS BIGINT) for i in range(1, len(t)+1)]), (a, b) -> (a*31 + b) % 1000000007)"
+
+  /** 60-bit 8-token shingle key over a per-row token-hash array `th`
+    * (d8 substring-dup + d9 decontamination): two independent rolling
+    * folds mod 1e9+7 combined into one long. Both engines compute the SAME
+    * key, so a hash collision merges the same shingles on both sides —
+    * parity stays exact by construction — and the shuffle moves longs, not
+    * ~50-char strings. Kept in ONE place (with [[duckShingle]]) because
+    * the arithmetic must match the oracle digit for digit. */
+  private def shingleGramsCol: Column = {
+    def roll(m: Long)(i: Column) =
+      aggregate(slice(col("th"), i, lit(8)), lit(7L),
+        (a, x) => pmod(a * m + x, lit(1000000007L)))
+    when(size(col("th")) >= 8,
+      array_distinct(transform(sequence(lit(1), size(col("th")) - 7),
+        i => roll(131)(i) * 1000000007L + roll(137)(i))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** DuckDB replay of [[shingleGramsCol]] for position `i` in list `th`. */
+  private val duckShingle =
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]), (a, b) -> (a*131 + b) % 1000000007) * 1000000007 " +
+      "+ list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]), (a, b) -> (a*137 + b) % 1000000007)"
 
   /** Row-local distinct-token array (whitespace split, empties dropped). */
   private def toksCol: Column =
@@ -603,22 +626,9 @@ object Queries {
       // map-side, shingle key ~uniform by construction).
       val d = t(spark, dir, "documents")
       val w = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
-      // numeric shingle key instead of the joined 8-token string: two
-      // independent rolling folds over the per-token hashes, combined into
-      // one 60-bit key. Both engines compute the SAME key, so any hash
-      // collision merges the same shingles on both sides — parity is
-      // exact by construction, and the shuffle moves longs, not ~50-char
-      // strings.
-      def roll(m: Long)(i: Column) =
-        aggregate(slice(col("th"), i, lit(8)), lit(7L),
-          (a, x) => pmod(a * m + x, lit(1000000007L)))
-      val grams = when(size(col("th")) >= 8,
-        array_distinct(transform(sequence(lit(1), size(col("th")) - 7),
-          i => roll(131)(i) * 1000000007L + roll(137)(i))))
-        .otherwise(array().cast("array<bigint>"))
       val sh = d
         .select(col("doc_id"), transform(w, tok => tokenHashCol(tok)).as("th"))
-        .select(col("doc_id"), explode(grams).as("g"))
+        .select(col("doc_id"), explode(shingleGramsCol).as("g"))
       // per-doc shingles are distinct, so count-per-key == docs containing g
       val flagged = sh.withColumn("docs", count(lit(1)).over(Window.partitionBy("g")))
       flagged.groupBy("doc_id")
@@ -635,8 +645,7 @@ object Queries {
            |  FROM documents
            |), sh AS (
            |  SELECT DISTINCT doc_id,
-           |    list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]), (a, b) -> (a*131 + b) % 1000000007) * 1000000007
-           |      + list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]), (a, b) -> (a*137 + b) % 1000000007) AS g
+           |    $duckShingle AS g
            |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(th)-7, 0) + 1)) AS i)
            |), fl AS (
            |  SELECT doc_id, count(*) OVER (PARTITION BY g) AS docs FROM sh
@@ -712,16 +721,21 @@ object Queries {
         while (changed > 0 && iter < 15) {
           val nbr = edges.join(labels, edges("dst") === labels("v"))
             .groupBy(edges("src")).agg(min(labels("lbl")).as("nlbl"))
+          // lbl0 = the ROUND-INPUT label: convergence must be measured
+          // against it, not against the hop output — a round where the hop
+          // progresses but halving adds nothing would otherwise read as
+          // "no change" and exit with non-converged labels, silently
+          // (the require below would pass)
           val hop = labels.join(nbr, labels("v") === nbr("src"), "left")
-            .select(labels("v").as("v"),
+            .select(labels("v").as("v"), labels("lbl").as("lbl0"),
               least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("lbl"))
           // path halving: adopt the label of one's current label
           val l2 = hop.select(col("v").as("v2"), col("lbl").as("lbl2"))
           val next = hop.join(l2, hop("lbl") === l2("v2"), "left")
-            .select(hop("v"), hop("lbl"),
+            .select(hop("v"), hop("lbl0"),
               least(hop("lbl"), coalesce(col("lbl2"), hop("lbl"))).as("nl"))
             .cache()
-          changed = next.filter(col("nl") < col("lbl")).count()
+          changed = next.filter(col("nl") < col("lbl0")).count()
           // localCheckpoint TRUNCATES the logical lineage (cache alone does
           // not — cached plans substitute only at physical planning, so the
           // halving self-join doubled the ANALYZED plan tree per round and
@@ -798,16 +812,9 @@ object Queries {
         when(pmod(col("doc_id"), lit(50)) === 0 || pmod(col("doc_id"), lit(11)) === 0,
           lit(" canary eval suite phrase alpha beta gamma delta")).otherwise(lit("")))
       val w = regexp_extract_all(body, lit("\\S+"), lit(0))
-      def roll(m: Long)(i: Column) =
-        aggregate(slice(col("th"), i, lit(8)), lit(7L),
-          (a, x) => pmod(a * m + x, lit(1000000007L)))
-      val grams = when(size(col("th")) >= 8,
-        array_distinct(transform(sequence(lit(1), size(col("th")) - 7),
-          i => roll(131)(i) * 1000000007L + roll(137)(i))))
-        .otherwise(array().cast("array<bigint>"))
       val sh = d
         .select(col("doc_id"), transform(w, tok => tokenHashCol(tok)).as("th"))
-        .select(col("doc_id"), explode(grams).as("g"))
+        .select(col("doc_id"), explode(shingleGramsCol).as("g"))
       val benchSh = sh.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select(col("g")).distinct()
       sh.filter(pmod(col("doc_id"), lit(50)) =!= 0)
@@ -827,8 +834,7 @@ object Queries {
            |  FROM documents
            |), sh AS (
            |  SELECT DISTINCT doc_id,
-           |    list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]), (a, b) -> (a*131 + b) % 1000000007) * 1000000007
-           |      + list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]), (a, b) -> (a*137 + b) % 1000000007) AS g
+           |    $duckShingle AS g
            |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(th)-7, 0) + 1)) AS i)
            |), bench AS (
            |  SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0

@@ -12,7 +12,7 @@ object SmokeBad {
     val corpus = CorpusGen.corpus(spark, docs, 128).cache()
     val bad = Pipeline.extract(spark, CorpusGen.inputView(corpus)).toDF()
       .join(corpus.select(col("url"), col("kind"), col("expected")), Seq("url"))
-      .filter(!col("ok") || not(col("text") === col("expected")))
+      .filter(!col("ok") || !(col("text") <=> col("expected"))) // null-safe: ok=true with null text must surface
       .select("url", "kind", "ok", "error", "chars")
       .collect()
     println(s"BAD rows: ${bad.length}")
