@@ -153,9 +153,7 @@ object CorpusGen {
   def mediaCorpus(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
     import spark.implicits._
     spark.range(0, rows, 1, partitions).as[Long].mapPartitions(_.map { i =>
-      def md5(bs: Array[Byte]): String =
-        java.security.MessageDigest.getInstance("MD5").digest(bs)
-          .map(b => f"${b & 0xff}%02x").mkString
+      def md5(bs: Array[Byte]): String = Surfaces.md5Hex(bs)
       val (kind, m) = (i % 3) match {
         case 0 => ("media_jpeg", FixtureGen.mediaJpeg(i))
         case 1 => ("media_png", FixtureGen.mediaPng(i))
@@ -197,9 +195,7 @@ object CorpusGen {
   def audioCorpus(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
     import spark.implicits._
     spark.range(0, rows, 1, partitions).as[Long].mapPartitions(_.map { i =>
-      def md5(bs: Array[Byte]): String =
-        java.security.MessageDigest.getInstance("MD5").digest(bs)
-          .map(b => f"${b & 0xff}%02x").mkString
+      def md5(bs: Array[Byte]): String = Surfaces.md5Hex(bs)
       if (i % 3 == 2) {
         AudioRow(s"https://media.test/audio_bin/$i", new Timestamp(epochMs + i * 1000L),
           Array.tabulate[Byte](48)(k => ((k * 29 + i) % 241).toByte), null, "und",
@@ -234,9 +230,7 @@ object CorpusGen {
   def videoCorpus(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
     import spark.implicits._
     spark.range(0, rows, 1, partitions).as[Long].mapPartitions(_.map { i =>
-      def md5(bs: Array[Byte]): String =
-        java.security.MessageDigest.getInstance("MD5").digest(bs)
-          .map(b => f"${b & 0xff}%02x").mkString
+      def md5(bs: Array[Byte]): String = Surfaces.md5Hex(bs)
       if (i % 3 == 2) {
         VideoRow(s"https://media.test/video_bin/$i", new Timestamp(epochMs + i * 1000L),
           Array.tabulate[Byte](56)(k => ((k * 41 + i) % 239).toByte), null, "und",

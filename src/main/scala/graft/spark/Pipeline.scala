@@ -226,6 +226,31 @@ object Pipeline {
     * remains row-level parallelism + scan-split/size-weighted placement
     * (BENCH/BASELINE.md); this operator exists for the expensive-kernel
     * regime and is pinned byte-identical so swapping it in is safe. */
+  /** One page-range chunk of a giant PDF -> serialized PageLines list. */
+  private def doChunk(html: Array[Byte], from: Int, until: Int): Either[String, Array[Byte]] =
+    DocStructure.openDocument(html, None) match {
+      case Left(e) => Left(e.render)
+      case Right(doc) => DocStructure.pageRefs(doc) match {
+        case Left(e) => Left(e.render)
+        case Right(refs) =>
+          val layouts = new scala.collection.mutable.ListBuffer[Layout.PageLines]
+          var err: String = null
+          for (ref <- refs.slice(from, until) if err == null)
+            Interp.interpretPageItems(doc, ref) match {
+              case Right(items) => layouts += Layout.pageLinesRaw(items)
+              case Left(e) => err = e.render
+            }
+          if (err != null) Left(err)
+          else {
+            val baos = new java.io.ByteArrayOutputStream()
+            val oos = new java.io.ObjectOutputStream(baos)
+            oos.writeObject(layouts.toList)
+            oos.close()
+            Right(baos.toByteArray)
+          }
+      }
+    }
+
   def extractGeomChunked(spark: SparkSession, input: DataFrame,
       maxChunksPerDoc: Int = 32, giantThresholdPages: Int = 256): Dataset[ExtractedDoc] = {
     import spark.implicits._
@@ -237,18 +262,27 @@ object Pipeline {
       .mapPartitions(_.map { case (url, html) =>
         val payload = if (html == null) Array.emptyByteArray else html
         val pages =
-          if (!Html.looksLikePdf(payload)) -1
-          else DocStructure.openDocument(payload, None) match {
-            case Right(doc) => DocStructure.pageRefs(doc).map(_.length).getOrElse(0)
-            case Left(_) => -1
-          }
+          // over-cap payloads are NOT giants: they fall through to the
+          // ordinary path, which emits the same "payload too large" error
+          // row as extractRowMode — the decode-bomb cap and the
+          // byte-identical contract both hold on the chunked path
+          if (payload.length > MaxPayloadBytes || !Html.looksLikePdf(payload)) -1
+          else
+            try DocStructure.openDocument(payload, None) match {
+              case Right(doc) => DocStructure.pageRefs(doc).map(_.length).getOrElse(0)
+              case Left(_) => -1
+            } catch { case _: Throwable => -1 } // total: plan failures take the row path
         (url, pages)
       }).toDF("url", "pages")
+    // the skinny planning output feeds both the chunk build and the
+    // left-anti "rest" join — cache it or the full-corpus planning parse
+    // runs once per consumer
     val giantUrls = planned.filter(col("pages") > giantThresholdPages)
       // per-doc chunk size: pages/maxChunks, floored at half the giant
       // threshold so a barely-giant doc still amortizes its re-opens
       .withColumn("cp", greatest(ceil(col("pages") / lit(maxChunksPerDoc)),
         lit(math.max(giantThresholdPages / 2, 1))).cast("int"))
+      .cache()
     // 2. chunk rows (url, from, until) joined back to the payload
     val chunks = giantUrls
       .select(col("url"), explode(sequence(lit(0),
@@ -263,27 +297,9 @@ object Pipeline {
         val from = chunk * chunkPages
         val until = math.min(pages, from + chunkPages)
         val blobOrErr: Either[String, Array[Byte]] =
-          DocStructure.openDocument(html, None) match {
-            case Left(e) => Left(e.render)
-            case Right(doc) => DocStructure.pageRefs(doc) match {
-              case Left(e) => Left(e.render)
-              case Right(refs) =>
-                val layouts = new scala.collection.mutable.ListBuffer[Layout.PageLines]
-                var err: String = null
-                for (ref <- refs.slice(from, until) if err == null)
-                  Interp.interpretPageItems(doc, ref) match {
-                    case Right(items) => layouts += Layout.pageLinesRaw(items)
-                    case Left(e) => err = e.render
-                  }
-                if (err != null) Left(err)
-                else {
-                  val baos = new java.io.ByteArrayOutputStream()
-                  val oos = new java.io.ObjectOutputStream(baos)
-                  oos.writeObject(layouts.toList)
-                  oos.close()
-                  Right(baos.toByteArray)
-                }
-            }
+          try doChunk(html, from, until)
+          catch { case t: Throwable => // totality: one bad payload = one error row
+            Left(s"chunk extraction failed: ${t.getClass.getSimpleName}")
           }
         (url, chunk, pages, blobOrErr.toOption.orNull, blobOrErr.left.toOption.orNull)
       })
@@ -292,22 +308,28 @@ object Pipeline {
       .groupByKey(r => r.getString(0))(Encoders.STRING)
       .mapGroups { (url, rows) =>
         val t0 = System.nanoTime()
-        val sorted = rows.toArray.sortBy(_.getInt(1))
-        val pages = sorted.head.getInt(2)
-        val firstErr = sorted.find(_.getString(4) != null).map(_.getString(4))
-        firstErr match {
-          case Some(e) => ExtractedDoc(url, null, "error", ok = false, e, pages, 0,
-            (System.nanoTime() - t0) / 1000)
-          case None =>
-            val layouts = sorted.toList.flatMap { r =>
-              val ois = new java.io.ObjectInputStream(
-                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](3)))
-              try ois.readObject().asInstanceOf[List[Layout.PageLines]]
-              finally ois.close()
-            }
-            val text = Layout.layoutDocumentFromPageLines(Layout.defaultOptions, layouts)
-            ExtractedDoc(url, text, "pdf-geom", ok = true, "", pages, text.length,
+        try {
+          val sorted = rows.toArray.sortBy(_.getInt(1))
+          val pages = sorted.head.getInt(2)
+          val firstErr = sorted.find(_.getString(4) != null).map(_.getString(4))
+          firstErr match {
+            case Some(e) => ExtractedDoc(url, null, "error", ok = false, e, pages, 0,
               (System.nanoTime() - t0) / 1000)
+            case None =>
+              val layouts = sorted.toList.flatMap { r =>
+                val ois = new java.io.ObjectInputStream(
+                  new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](3)))
+                try ois.readObject().asInstanceOf[List[Layout.PageLines]]
+                finally ois.close()
+              }
+              val text = Layout.layoutDocumentFromPageLines(Layout.defaultOptions, layouts)
+              ExtractedDoc(url, text, "pdf-geom", ok = true, "", pages, text.length,
+                (System.nanoTime() - t0) / 1000)
+          }
+        } catch { case t: Throwable => // totality: assembly failures become error rows
+          ExtractedDoc(url, null, "error", ok = false,
+            s"chunk assembly failed: ${t.getClass.getSimpleName}", 0, 0,
+            (System.nanoTime() - t0) / 1000)
         }
       }
     // 4. everything that is not a chunked giant takes the ordinary path
@@ -411,6 +433,13 @@ object Pipeline {
   * features, and a Structured Streaming variant of the extraction — all on
   * the same kernel. */
 object Surfaces {
+  /** Lowercase-hex MD5 — the ONE digest formatting used by every decode
+    * surface AND the corpus generators: oracle parity depends on all
+    * producers and consumers formatting identically. */
+  private[spark] def md5Hex(bs: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bs)
+      .map(b => f"${b & 0xff}%02x").mkString
+
   import Pipeline._
   import graft.core._
 
@@ -614,8 +643,7 @@ object Surfaces {
               y += 1
             }
             val md5 = if (fmt == "png") // lossless: pixels are a checkable fact
-              java.security.MessageDigest.getInstance("MD5").digest(bytes)
-                .map(b => f"${b & 0xff}%02x").mkString
+              md5Hex(bytes)
             else null
             DecodedImage(url, fmt, ok = true, w, h, md5, luma * 1000L / math.max(w * h, 1))
           }
@@ -656,10 +684,12 @@ object Surfaces {
             var k = 0
             var y = 0
             while (y < oh) {
-              val iy = y * h / oh
+              // Long index math: x*w can pass Int.MaxValue for extreme-
+              // aspect images that are still under the 64 MP pixel cap
+              val iy = (y.toLong * h / oh).toInt
               var x = 0
               while (x < ow) {
-                val ix = x * w / ow
+                val ix = (x.toLong * w / ow).toInt
                 var b = 0
                 while (b < bands) {
                   out(k) = in.getSample(ix, iy, b).toByte
@@ -670,8 +700,7 @@ object Surfaces {
               }
               y += 1
             }
-            val md5 = java.security.MessageDigest.getInstance("MD5").digest(out)
-              .map(b => f"${b & 0xff}%02x").mkString
+            val md5 = md5Hex(out)
             ResizedImage(url, fmt, ok = true, w, h, ow, oh, md5)
           }
         }
@@ -721,8 +750,7 @@ object Surfaces {
               val channels = af.getChannels
               val frameBytes = channels * bits / 8
               val nSamples = if (frameBytes > 0) pcm.length / frameBytes else 0
-              val md5 = java.security.MessageDigest.getInstance("MD5").digest(pcm)
-                .map(b => f"${b & 0xff}%02x").mkString
+              val md5 = md5Hex(pcm)
               // RMS over 16-bit LE samples (integer accumulation, exact)
               var sumSq = 0L
               var k = 0
@@ -732,7 +760,10 @@ object Surfaces {
                 k += 2
               }
               val n = math.max(pcm.length / 2, 1)
-              val rmsMilli = (math.sqrt(sumSq.toDouble / n) * 1000).round
+              // RMS is only computed for 16-bit PCM; -1 marks "not
+              // computed" so non-16-bit audio is never mistaken for silence
+              val rmsMilli =
+                if (bits == 16) (math.sqrt(sumSq.toDouble / n) * 1000).round else -1L
               DecodedAudio(url, fmt, ok = true, af.getSampleRate.round, channels, bits,
                 nSamples, md5, rmsMilli)
           }
@@ -814,8 +845,7 @@ object Surfaces {
               Iterator.single(VideoFrame(url, -1, -1, -1, -1, null, -1, -1, decodeOk = false))
             case Some((w, h, fps, frames)) =>
               frames.iterator.zipWithIndex.map { case (fr, idx) =>
-                val md5 = java.security.MessageDigest.getInstance("MD5").digest(fr)
-                  .map(b => f"${b & 0xff}%02x").mkString
+                val md5 = md5Hex(fr)
                 val (_, img) = readImage(fr)
                 if (img == null) VideoFrame(url, idx, fps, w, h, md5, -1, -1, decodeOk = false)
                 else VideoFrame(url, idx, fps, w, h, md5, img.getWidth, img.getHeight,
@@ -1026,21 +1056,21 @@ object Streaming {
     * StreamingQueryProgress) — a test hook for the bounded-keys contract. */
   @volatile var lastSessionStateRows: Long = -1L
 
-  /** Custom keyed state: per-user running session summary via
-    * flatMapGroupsWithState (KeyValueGroupedDataset). Bounded in BOTH
-    * dimensions a long-running stream grows in:
-    *
-    *   - per-key state is O(Kmv.K): the distinct-type count is a KMV
-    *     sketch (exact below K distinct types), not an unbounded set;
-    *   - the NUMBER of keys is bounded by event-time eviction: a
-    *     10-minute watermark plus EventTimeTimeout — when the watermark
-    *     passes a key's last activity + SessionGapMs, the final session
-    *     row is emitted and the key's state is removed. On an unbounded
-    *     user population the state store holds only currently-active
-    *     users (without a timeout the key count would grow forever).
-    *
-    * Batch inserts go through Kmv.bulkAdd (one sort + merge per group per
-    * micro-batch) instead of a copy-on-insert per event. */
+  /** Custom keyed state: per-user EVENT-TIME sessionization via
+    * flatMapGroupsWithState (KeyValueGroupedDataset). Sessions are defined
+    * by the DATA, not the batching: within each invocation the batch is
+    * processed in ts order and a gap > SessionGapMs CLOSES the current
+    * session (emitting its final row) and opens a new one — so the session
+    * set is a pure function of event times, identical whether the stream
+    * arrives as one batch or many (an earlier version split sessions only
+    * at timeout firings, which depend on micro-batch boundaries — the
+    * output was only deterministic for single-batch runs). A timeout
+    * (watermark past last activity + gap) emits the final open session and
+    * DROPS the key. Bounded in BOTH dimensions a long-running stream grows
+    * in: per-key state is O(Kmv.K) (the per-session distinct-type count is
+    * a KMV sketch, exact below K), and the key count is bounded by
+    * event-time eviction. Batch inserts go through Kmv.bulkAdd (one
+    * sort + merge per session per micro-batch), not copy-on-insert. */
   def userSessions(spark: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
     import spark.implicits._
     val eventsDir = streamDir(eventsDir0)
@@ -1063,19 +1093,33 @@ object Streaming {
           } else {
             var (n, first, last, kmv) = state.getOption.getOrElse(
               (0L, null: java.sql.Timestamp, null: java.sql.Timestamp, Array.emptyLongArray))
-            val batch = new scala.collection.mutable.ArrayBuffer[Long](64)
-            for ((_, ts, tpe) <- rows) {
+            val out = new scala.collection.mutable.ListBuffer[UserSession]
+            val pending = new scala.collection.mutable.ArrayBuffer[Long](64)
+            def flushKmv(): Unit =
+              if (pending.nonEmpty) { kmv = Kmv.bulkAdd(kmv, pending.toArray); pending.clear() }
+            // ts order makes the session split a pure event-time fact
+            for ((_, ts, tpe) <- rows.toArray.sortBy(_._2.getTime)) {
+              if (last != null && ts.getTime - last.getTime > SessionGapMs) {
+                // event-time gap: close the current session NOW (batch
+                // boundaries play no part in where sessions split)
+                flushKmv()
+                out += UserSession(user, n, first, last, Kmv.estimate(kmv))
+                n = 0; first = null; last = null; kmv = Array.emptyLongArray
+              }
               n += 1
               if (first == null || ts.before(first)) first = ts
               if (last == null || ts.after(last)) last = ts
-              batch += Kmv.hash(tpe)
+              pending += Kmv.hash(tpe)
             }
-            kmv = Kmv.bulkAdd(kmv, batch.toArray)
+            flushKmv()
             state.update((n, first, last, kmv))
             // the timeout must sit strictly past the current watermark
             state.setTimeoutTimestamp(
               math.max(state.getCurrentWatermarkMs() + 1, last.getTime + SessionGapMs))
-            Iterator.single(UserSession(user, n, first, last, Kmv.estimate(kmv)))
+            // running snapshot of the open session (its final row wins the
+            // per-(user, firstTs) max in consumers)
+            out += UserSession(user, n, first, last, Kmv.estimate(kmv))
+            out.iterator
           }
       }
     val q = sessions.toDF().writeStream

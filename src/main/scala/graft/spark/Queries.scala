@@ -573,20 +573,28 @@ object Queries {
            |), bucketed AS (
            |  SELECT id, embedding,
            |    CAST((SELECT sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)
-           |     FROM (SELECT k, (SELECT sum(embedding[i+1] * cos(i * (k+1) * 0.7 + k))
-           |                      FROM (SELECT unnest(range(0, len(embedding))) AS i)) AS pr
+           |     FROM (SELECT k, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |                      list_transform(range(0, len(embedding)),
+           |                        i -> embedding[i+1] * cos(i * (k+1) * 0.7 + k))),
+           |                      (a, b) -> a + b) AS pr
            |           FROM (SELECT unnest(range(0, 16)) AS k))) AS BIGINT) AS band0,
            |    CAST((SELECT sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << (k - 16) ELSE 0 END)
-           |     FROM (SELECT k, (SELECT sum(embedding[i+1] * cos(i * (k+1) * 0.7 + k))
-           |                      FROM (SELECT unnest(range(0, len(embedding))) AS i)) AS pr
+           |     FROM (SELECT k, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |                      list_transform(range(0, len(embedding)),
+           |                        i -> embedding[i+1] * cos(i * (k+1) * 0.7 + k))),
+           |                      (a, b) -> a + b) AS pr
            |           FROM (SELECT unnest(range(16, 32)) AS k))) AS BIGINT) AS band1,
            |    CAST((SELECT sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END)
-           |     FROM (SELECT k, (SELECT sum(embedding[i+1] * cos(i * (k+1) * 0.7 + k))
-           |                      FROM (SELECT unnest(range(0, len(embedding))) AS i)) AS pr
+           |     FROM (SELECT k, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |                      list_transform(range(0, len(embedding)),
+           |                        i -> embedding[i+1] * cos(i * (k+1) * 0.7 + k))),
+           |                      (a, b) -> a + b) AS pr
            |           FROM (SELECT unnest(range(32, 48)) AS k))) AS BIGINT) AS band2,
            |    CAST((SELECT sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << (k - 48) ELSE 0 END)
-           |     FROM (SELECT k, (SELECT sum(embedding[i+1] * cos(i * (k+1) * 0.7 + k))
-           |                      FROM (SELECT unnest(range(0, len(embedding))) AS i)) AS pr
+           |     FROM (SELECT k, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |                      list_transform(range(0, len(embedding)),
+           |                        i -> embedding[i+1] * cos(i * (k+1) * 0.7 + k))),
+           |                      (a, b) -> a + b) AS pr
            |           FROM (SELECT unnest(range(48, 64)) AS k))) AS BIGINT) AS band3
            |  FROM allv
            |), cand AS (
@@ -1881,25 +1889,39 @@ object Queries {
 
   private val x16 = Q(
     (spark, dir) => {
-      // final state per user (last emitted row has the full running
-      // aggregate; intermediate per-micro-batch rows depend on batch
-      // boundaries, the final state does not)
+      // per-SESSION rows: sessions are a pure event-time fact (the
+      // stateful operator splits on >30-min gaps inside batches too), so
+      // firstTs identifies a session and its final emitted row — the one
+      // with the max event count — carries the complete session aggregate
+      // regardless of micro-batch boundaries
       val sess = graft.spark.Streaming.userSessions(spark, s"$dir/events.parquet",
         "stream_sess_" + java.lang.Long.toHexString(System.nanoTime()))
-      sess.groupBy("user_id")
+      sess.groupBy(col("user_id"), col("firstTs").as("first_ts"))
         .agg(max(col("events")).as("events"),
-          min(col("firstTs")).as("first_ts"),
           max(col("lastTs")).as("last_ts"),
           max(col("distinctTypes")).as("distinct_types"))
-        .orderBy("user_id")
+        .orderBy("user_id", "first_ts")
     },
-    // KMV distinct counts are exact below K=256, so the streaming session
-    // state is oracle-comparable to batch COUNT(DISTINCT)
-    Some("""SELECT user_id, count(*) AS events,
-           |  min(CAST(ts AS TIMESTAMP)) AS first_ts,
-           |  max(CAST(ts AS TIMESTAMP)) AS last_ts,
+    // the batch oracle reconstructs the same sessions by gap clustering
+    // (cumulative sum of >30-min breaks per user); KMV distinct counts are
+    // exact below K=256, so per-session counts compare exactly
+    Some("""WITH e AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+           |), g AS (
+           |  SELECT user_id, ts, event_type,
+           |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           |  FROM e
+           |), s AS (
+           |  SELECT user_id, ts, event_type,
+           |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |                   ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM g
+           |)
+           |SELECT user_id, min(ts) AS first_ts, count(*) AS events,
+           |  max(ts) AS last_ts,
            |  CAST(count(DISTINCT event_type) AS INT) AS distinct_types
-           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+           |FROM s GROUP BY user_id, sid ORDER BY user_id, first_ts""".stripMargin))
 
   // ---------- registry ----------
 

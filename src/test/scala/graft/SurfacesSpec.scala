@@ -301,11 +301,14 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(win.count() > 0)
     val sess = graft.spark.Streaming.userSessions(spark, s"$dir/events.parquet", "t_sess")
     val users = spark.read.parquet(s"$dir/events.parquet").select("user_id").distinct().count()
-    // one session row per user per micro-batch; AvailableNow may use several
-    // batches, so dedupe by user and compare
     assert(sess.select("user_id").distinct().count() == users)
-    val ev = sess.groupBy("user_id").agg(org.apache.spark.sql.functions.max("events").as("n"))
-      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    // sessions split on >30-min event-time gaps: (user, firstTs) identifies
+    // a session, its max(events) row is the complete session — their sum
+    // must account for every event exactly once
+    val perSession = sess.groupBy("user_id", "firstTs")
+      .agg(org.apache.spark.sql.functions.max("events").as("n"))
+    assert(perSession.count() > users, "gap splitting must create multiple sessions per user")
+    val ev = perSession.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
     assert(ev == spark.read.parquet(s"$dir/events.parquet").count())
     // bounded keys: the watermark (max ts - 10 min) passed last_ts + gap for
     // expired users -> their state was dropped; only active keys remain
