@@ -9,7 +9,7 @@ package graft.core
   * strings; spans are capped at 65536 codes.
   */
 object CMapParse {
-  private val MaxBfrangeSpan = 65536
+  private[core] val MaxBfrangeSpan = 65536
 
   def parseCMap(bytes: Array[Byte]): Map[Int, String] = {
     if (bytes.isEmpty) return Map.empty

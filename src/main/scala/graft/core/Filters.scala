@@ -201,17 +201,20 @@ object Filters {
   def inflate(s: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(s)
-    val out = new ArrayBuffer[Byte]
+    // ByteArrayOutputStream, not ArrayBuffer[Byte]: this is the hottest
+    // decode path (every content/xref/font stream) and the generic buffer
+    // boxes each byte and re-copies a buf.take(n) slice per chunk
+    val out = new java.io.ByteArrayOutputStream(math.max(64, math.min(s.length * 6, 1 << 20)))
     val buf = new Array[Byte](math.max(1024, math.min(s.length * 6, 1 << 20)))
     try {
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(buf)
-        if (n > 0) out ++= buf.take(n)
-        else if (!inf.finished()) return out.toArray
+        if (n > 0) out.write(buf, 0, n)
+        else if (!inf.finished()) return out.toByteArray
       }
-      out.toArray
+      out.toByteArray
     } catch {
-      case _: Exception => out.toArray
+      case _: Exception => out.toByteArray
     } finally inf.end()
   }
 
@@ -251,7 +254,12 @@ object Filters {
         val bytes = Array(
           ((n >> 24) & 0xff).toByte, ((n >> 16) & 0xff).toByte,
           ((n >> 8) & 0xff).toByte, (n & 0xff).toByte)
-        out ++= bytes.take(math.max(0, grpLen - 1))
+        // reference quirk (DocumentStructure.hs:338): the final PARTIAL
+        // group emits the LOW (grpLen-1) bytes — `take (g-1) (reverse
+        // bytes)` re-reversed by the accumulator — not Adobe's high bytes.
+        // Full groups are unaffected (takeRight 4 = all 4). Byte parity
+        // demands the quirk.
+        out ++= bytes.takeRight(math.max(0, grpLen - 1))
         i += grpLen
       }
     }

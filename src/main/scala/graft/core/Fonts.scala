@@ -276,7 +276,12 @@ object Fonts {
         metric(w) match {
           case Some(n) =>
             var cid = Util.hsTruncate(cFirst)
-            val last = Util.hsTruncate(cLast)
+            // cap the range span like CMapParse's MaxBfrangeSpan: a crafted
+            // "0 2147483647 500" would otherwise insert 2^31 entries (and
+            // cLast = Int.MaxValue makes `cid += 1` wrap negative — an
+            // infinite loop). No real CID font exceeds 65536 CIDs.
+            val last = math.min(Util.hsTruncate(cLast).toLong,
+              cid.toLong + CMapParse.MaxBfrangeSpan)
             while (cid <= last) { m = m.updated(cid, n); cid += 1 }
           case None => ()
         }

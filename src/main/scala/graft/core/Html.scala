@@ -51,6 +51,16 @@ object Html {
     bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
       bytes(3) == 'F' && bytes(4) == '-'
 
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    var i = math.max(0, from)
+    val last = s.length - needle.length
+    while (i <= last) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** Extract main-content paragraphs from HTML bytes (UTF-8 assumed). */
   def extractHtml(bytes: Array[Byte]): String = {
     val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
@@ -117,7 +127,11 @@ object Html {
             }
             // script/style content must be skipped verbatim to matching close
             if (!isClose && (lt == "script" || lt == "style") && !selfClose) {
-              val closeIdx = html.toLowerCase.indexOf(s"</$lt", i)
+              // case-insensitive scan in place: `html.toLowerCase.indexOf`
+              // copied the whole document per script tag AND could return a
+              // shifted index (Unicode lowercasing can change string length,
+              // e.g. U+0130 -> two chars)
+              val closeIdx = indexOfIgnoreCase(html, "</" + lt, i)
               if (closeIdx >= 0) {
                 // pop the skip entry we just pushed and jump past the raw text
                 skipStack = skipStack match {

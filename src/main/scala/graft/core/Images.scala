@@ -41,29 +41,49 @@ object Images {
       def posInt(key: String): Option[Int] = d.get(key).collect {
         case PNum(n) if Util.hsTruncate(n) > 0 => Util.hsTruncate(n)
       }
+      // Long arithmetic: a crafted 65536x65536 dict would make w*h*3
+      // overflow Int to 0 == an empty stream's length and crash encodePng
       (posInt("/Width"), posInt("/Height"), posInt("/BitsPerComponent"),
         colorComponents(doc, d.get("/ColorSpace"))) match {
-        case (Some(w), Some(h), Some(8), Some(3)) if bs.length == w * h * 3 =>
+        case (Some(w), Some(h), Some(8), Some(3)) if bs.length.toLong == w.toLong * h * 3 =>
           Right(("png", encodePng(w, h, bs, rgb = true)))
-        case (Some(w), Some(h), Some(8), Some(1)) if bs.length == w * h =>
+        case (Some(w), Some(h), Some(8), Some(1)) if bs.length.toLong == w.toLong * h =>
           Right(("png", encodePng(w, h, bs, rgb = false)))
-        case (Some(w), Some(h), Some(1), Some(1)) if bs.length == (w + 7) / 8 * h =>
-          // packed 1-bit gray (e.g. decoded CCITT G4): 0 = black, 1 = white
-          Right(("png", encodePng(w, h, expand1Bit(bs, w, h), rgb = false)))
+        case (Some(w), Some(h), Some(1), Some(1)) if bs.length.toLong == ((w + 7) / 8).toLong * h =>
+          // packed 1-bit gray (e.g. decoded CCITT G4). Bit polarity follows
+          // the filter's /BlackIs1: false (default) -> 0 = black; true ->
+          // 1 = black — without this, a BlackIs1 scan exports tonally
+          // inverted (white text on black)
+          Right(("png", encodePng(w, h, expand1Bit(bs, w, h, blackIs1Of(d)), rgb = false)))
         case _ => Right(("raw", bs))
       }
     }
   }
 
-  private def expand1Bit(bs: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  /** /BlackIs1 from the image dict's /DecodeParms (single dict or the
+    * per-filter array form). */
+  private def blackIs1Of(d: Dict): Boolean = {
+    def fromDict(p: Dict): Boolean = p.get("/BlackIs1") match {
+      case Some(PBool(b)) => b
+      case _ => false
+    }
+    (d.get("/DecodeParms") orElse d.get("/DP")) match {
+      case Some(PDict(p)) => fromDict(p)
+      case Some(PArray(xs)) => xs.exists { case PDict(p) => fromDict(p); case _ => false }
+      case _ => false
+    }
+  }
+
+  private def expand1Bit(bs: Array[Byte], w: Int, h: Int, blackIs1: Boolean): Array[Byte] = {
     val rowBytes = (w + 7) / 8
+    val blackBit = if (blackIs1) 1 else 0
     val out = new Array[Byte](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val bit = (bs(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
-        out(y * w + x) = if (bit == 1) 0xff.toByte else 0
+        out(y * w + x) = if (bit == blackBit) 0 else 0xff.toByte
         x += 1
       }
       y += 1

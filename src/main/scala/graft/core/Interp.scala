@@ -826,29 +826,6 @@ object Interp {
     } else s
   }
 
-  private def fontWidthUnits(fi: FontInfo, code: Int): Double = {
-    val w = fi.width(code)
-    if (w == 0) fi.defaultWidth else w
-  }
-
-  private def fontWidthVUnits(fi: FontInfo, code: Int): Double = {
-    val w = fi.widthV(code)
-    if (w == 0) FontInfo.DefaultVerticalW1 else w
-  }
-
-  private def codeAdvance(gs: GS, fi: FontInfo, code: Int): (Double, Double) = {
-    val tfs = gs.fontSize
-    val tc = gs.charSp
-    val tw = gs.wordSp
-    val th = gs.hScale
-    if (fi.wmode == 1) (0.0, (fontWidthVUnits(fi, code) / 1000) * tfs + tc + tw)
-    else {
-      val w0 = fontWidthUnits(fi, code) / 1000
-      val space = if (fi.bytesPerCode == 1 && code == 32) tw else 0.0
-      ((w0 * tfs + tc + space) * th, 0.0)
-    }
-  }
-
   private def textRenderingMatrix(gs: GS, tm: Mat): Mat = {
     val textMat = Mat(gs.fontSize * gs.hScale, 0, 0, gs.fontSize, 0, gs.rise)
     textMat.multiply(tm).multiply(gs.ctm)

@@ -137,10 +137,17 @@ object Layout {
     else if (fallbackNeeded(glyphs)) PageFallback(List(glyphs.map(_.text).mkString("\n")))
     else {
       val visible = filterPageGlyphs(glyphs)
-      val wmode = dominantWMode(visible)
-      val bounds = pageExtents(visible)
-      val ls = buildLines(visible).map(fixDingbatBulletLine)
-      PageNormal(wmode, graphics, bounds, ls)
+      // the coordinate filter (measure >= 0) can drop EVERY glyph (e.g. a
+      // page whose glyphs all sit at negative y): pageExtents on an empty
+      // list would throw (the reference's `maximum []` errors here too —
+      // totality demands an empty page instead of a crash)
+      if (visible.isEmpty) PageFallback(Nil)
+      else {
+        val wmode = dominantWMode(visible)
+        val bounds = pageExtents(visible)
+        val ls = buildLines(visible).map(fixDingbatBulletLine)
+        PageNormal(wmode, graphics, bounds, ls)
+      }
     }
   }
 

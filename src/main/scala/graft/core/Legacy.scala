@@ -196,19 +196,18 @@ object Legacy {
     formOpt match {
       case None => ""
       case Some((formDict, stream)) =>
-        val st2 = st.copy(
-          fontmaps = findFontEncoding(formDict, doc) ++ st.fontmaps.filterNot {
-            case (k, _) => findFontEncoding(formDict, doc).contains(k)
-          },
-          cmaps = findCMap(formDict, doc) ++ st.cmaps.filterNot {
-            case (k, _) => findCMap(formDict, doc).contains(k)
-          },
+        // resolve the form's font encodings and CMaps ONCE (each is an
+        // uncached /Resources walk + stream parse; the previous code
+        // resolved them three times and built an intermediate state whose
+        // maps were immediately overwritten). M.union form st: form's
+        // entries win (DocumentStructure.hs:226).
+        val fm = findFontEncoding(formDict, doc)
+        val cm = findCMap(formDict, doc)
+        val st3 = st.copy(
+          fontmaps = st.fontmaps ++ fm,
+          cmaps = st.cmaps ++ cm,
           resDict = Some(formDict),
           formDepth = st.formDepth + 1)
-        // M.union form st: form's entries win
-        val st3 = st2.copy(
-          fontmaps = st.fontmaps ++ findFontEncoding(formDict, doc),
-          cmaps = st.cmaps ++ findCMap(formDict, doc))
         parseStream(doc, st3, stream) match {
           case Right((txt, _)) => txt
           case Left(_) => ""

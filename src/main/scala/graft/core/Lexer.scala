@@ -315,11 +315,20 @@ object Lexer {
             val decrypted = Crypt.decryptString(s, objNum, 0, decodeHexBytes(hex))
             // re-encode decrypted bytes as latin-1 chars and re-run detection
             val txt = latin1(decrypted)
-            if ((txt.startsWith("feff") || txt.startsWith("FEFF")) &&
-                txt.length > 4 && txt.drop(4).forall(ch => isHexDigit(ch))) {
-              val ph = PHex(hexUtf16(txt.drop(4)).getOrElse(txt))
-              ph.rawBytes = decrypted
-              return Some(ph)
+            // Object.hs:214-223 (hexSec): strip FEFF, take the longest
+            // hex-digit PREFIX (parseOnly discards the rest), decode the
+            // complete 4-digit groups, drop a trailing partial group;
+            // no hex digit after the BOM falls through to the literal path
+            if (txt.startsWith("feff") || txt.startsWith("FEFF")) {
+              val rest = txt.drop(4).takeWhile(ch => isHexDigit(ch))
+              if (rest.nonEmpty) {
+                val groups = rest.length / 4
+                val ph =
+                  if (groups == 0) PHex(rest)
+                  else PHex(hexUtf16(rest.substring(0, groups * 4)).getOrElse(txt))
+                ph.rawBytes = decrypted
+                return Some(ph)
+              }
             }
             val pt = PText(literalText(decrypted))
             pt.rawBytes = decrypted
@@ -332,16 +341,25 @@ object Lexer {
   }
 
   def plainHexObj(hex: String): PObj = {
+    // Object.hs:382-401 semantics: strip a feff/FEFF prefix (exact case
+    // variants only), decode the COMPLETE 4-digit groups as UTF-16BE and
+    // DROP a trailing partial group (attoparsec parseOnly discards
+    // unconsumed input); when no complete group exists the digits after
+    // the BOM are kept as-is (BOM stripped). A lone "FEFF" keeps the full
+    // digits (the reference's outer many1 fails). Invalid UTF-16 would
+    // CRASH the reference (decodeUtf16BEWith strictDecode); we totalize
+    // with replacement chars and keep the raw bytes alongside.
     if ((hex.startsWith("feff") || hex.startsWith("FEFF")) && hex.length > 4) {
-      hexUtf16(hex.substring(4)) match {
-        case Some(t) =>
-          val ph = PHex(t)
-          // the BOM decode is lossy (invalid UTF-16 -> U+FFFD); keep the
-          // raw bytes for binary consumers like a FEFF-leading /O or /U
-          ph.rawBytes = decodeHexBytes(hex)
-          return ph
-        case None => ()
-      }
+      val rest = hex.substring(4)
+      val groups = rest.length / 4
+      val ph =
+        if (groups == 0) PHex(rest)
+        else PHex(hexUtf16(rest.substring(0, groups * 4)).getOrElse(hex))
+      // the BOM decode is lossy (partial-group drop, invalid UTF-16 ->
+      // U+FFFD); keep the raw bytes for binary consumers like a
+      // FEFF-leading /O or /U
+      ph.rawBytes = decodeHexBytes(hex)
+      return ph
     }
     PHex(hex)
   }

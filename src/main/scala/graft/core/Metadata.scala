@@ -54,29 +54,51 @@ object Metadata {
     }
   }
 
-  private def gather(dict: Dict, doc: Document, destsRoot: Option[Int],
-      depth: Int, visited: Set[Int]): List[TocEntry] = {
-    val dest = findDest(dict, doc, destsRoot).headOption.getOrElse(0)
-    val titleText = dict.get("/Title") match {
-      case Some(PText(s)) => s
-      case Some(PRef(r)) => doc.objsByRef(r) match {
-        case Some(List(PText(s))) => s
-        case _ => ""
+  /** Outline nesting cap (Structure.scala uses the same bound for /K). */
+  private val MaxTocDepth = 512
+
+  /** The /Next sibling chain is walked ITERATIVELY (a 50k-entry chain
+    * recursed one stack frame per sibling and threw StackOverflowError);
+    * only /First (nesting) recurses, bounded by MaxTocDepth. Entry order
+    * is identical to the recursive form: node, its subtree, next sibling.
+    * The visited set accumulates across siblings (slightly more
+    * conservative than path-threading on crafted shared structures — a
+    * node referenced from two siblings expands once, which also bounds
+    * diamond blowup). */
+  private def gather(dict0: Dict, doc: Document, destsRoot: Option[Int],
+      depth: Int, visited0: Set[Int]): List[TocEntry] = {
+    if (depth > MaxTocDepth) return Nil
+    val out = new scala.collection.mutable.ListBuffer[TocEntry]
+    var visited = visited0
+    var cur: Option[Dict] = Some(dict0)
+    while (cur.isDefined) {
+      val dict = cur.get
+      val dest = findDest(dict, doc, destsRoot).headOption.getOrElse(0)
+      val titleText = dict.get("/Title") match {
+        case Some(PText(s)) => s
+        case Some(PRef(r)) => doc.objsByRef(r) match {
+          case Some(List(PText(s))) => s
+          case _ => ""
+        }
+        case Some(x) => ppObj(x)
+        case None => ""
       }
-      case Some(x) => ppObj(x)
-      case None => ""
+      out += TocEntry(depth, titleText, dest)
+      dict.get("/First") match {
+        case Some(PRef(r)) if !visited.contains(r) =>
+          visited += r
+          out ++= doc.findDictByRef(r)
+            .map(gather(_, doc, destsRoot, depth + 1, visited)).getOrElse(Nil)
+        case _ => ()
+      }
+      cur = dict.get("/Next") match {
+        case Some(PRef(r)) if !visited.contains(r) =>
+          visited += r
+          doc.findDictByRef(r)
+        case _ => None
+      }
     }
-    val children = dict.get("/First") match {
-      case Some(PRef(r)) if !visited.contains(r) =>
-        doc.findDictByRef(r).map(gather(_, doc, destsRoot, depth + 1, visited + r)).getOrElse(Nil)
-      case _ => Nil
-    }
-    val next = dict.get("/Next") match {
-      case Some(PRef(r)) if !visited.contains(r) =>
-        doc.findDictByRef(r).map(gather(_, doc, destsRoot, depth, visited + r)).getOrElse(Nil)
-      case _ => Nil
-    }
-    TocEntry(depth, titleText, dest) :: (children ++ next)
+    out.toList
   }
 
   /** /Root -> /Names -> /Dests named-destination tree root. */

@@ -292,6 +292,24 @@ class KernelSpec extends AnyFunSuite {
     assert(Filters.ascii85("z".getBytes).toList == List[Byte](0, 0, 0, 0))
     val roundtrip = Filters.ascii85("87cUR@<Q".getBytes) // "Hello" region
     assert(roundtrip.nonEmpty)
+    // full group: standard high-to-low order ("87cUR" = "Hell")
+    assert(Filters.ascii85("87cUR".getBytes).toList == "Hell".getBytes.toList)
+    // reference quirk (DocumentStructure.hs:338): a PARTIAL final group
+    // emits the LOW grpLen-1 bytes, not Adobe's high bytes — computed by
+    // hand: "ab" + 'uuu' padding -> n, emit [(n>>? ) low byte only]
+    locally {
+      var n = 0L
+      for (v <- Seq('a' - 33, 'u' - 33, 'u' - 33, 'u' - 33, 'u' - 33)) n = n * 85 + v
+      assert(Filters.ascii85("a".getBytes).isEmpty) // grpLen 1 -> 0 bytes
+      var n2 = 0L
+      for (v <- Seq('a' - 33, 'b' - 33, 'u' - 33, 'u' - 33, 'u' - 33)) n2 = n2 * 85 + v
+      assert(Filters.ascii85("ab".getBytes).toList ==
+        List((n2 & 0xff).toByte)) // LOW byte — reference parity
+      var n3 = 0L
+      for (v <- Seq('a' - 33, 'b' - 33, 'c' - 33, 'u' - 33, 'u' - 33)) n3 = n3 * 85 + v
+      assert(Filters.ascii85("abc".getBytes).toList ==
+        List(((n3 >> 8) & 0xff).toByte, (n3 & 0xff).toByte))
+    }
   }
 
   test("PNG Up predictor") {
@@ -454,6 +472,16 @@ class KernelSpec extends AnyFunSuite {
           List(0xfe, 0xff, 0x00, 0x41, 0x00, 0x42))
       case other => fail(s"expected PHex, got $other")
     }
+    // FEFF partial-group parity (Object.hs:382-401): complete groups
+    // decode, a trailing partial group is DROPPED, <4 digits after the
+    // BOM keep the digits with the BOM stripped, a lone FEFF keeps all
+    def hexOf(o: graft.core.PObj): String = o match {
+      case h: graft.core.PObj.PHex => h.hex
+      case other => fail(s"expected PHex, got $other")
+    }
+    assert(hexOf(Lexer.plainHexObj("FEFF004100")) == "A") // "00" tail dropped
+    assert(hexOf(Lexer.plainHexObj("FEFF41")) == "41")    // BOM stripped
+    assert(hexOf(Lexer.plainHexObj("FEFF")) == "FEFF")    // outer many1 fails
   }
 
   // ---- HTML stripper ----
