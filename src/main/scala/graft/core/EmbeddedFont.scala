@@ -82,7 +82,12 @@ object EmbeddedFont {
                 s += 1
               }
             case 12 =>
-              val numGroups = u32(font, sub + 12)
+              // bound the declared group count by the bytes actually
+              // present (12 bytes per group): a crafted numGroups of ~4e9
+              // would otherwise spin the loop for seconds per font even
+              // though every out-of-bounds read is guarded
+              val numGroups = math.min(u32(font, sub + 12),
+                math.max(0L, (font.length - sub - 16).toLong / 12))
               var g = 0L
               while (g < numGroups) {
                 val grp = sub + 16 + (g * 12).toInt
