@@ -1071,11 +1071,15 @@ object Streaming {
     * a KMV sketch, exact below K), and the key count is bounded by
     * event-time eviction. Batch inserts go through Kmv.bulkAdd (one
     * sort + merge per session per micro-batch), not copy-on-insert. */
-  def userSessions(spark: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
+  def userSessions(spark: SparkSession, eventsDir0: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val eventsDir = streamDir(eventsDir0)
     val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val reader0 = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(eventsDir)
       .select(col("user_id").cast("long"), col("ts").cast("timestamp").as("ts"), col("event_type"))
       .withWatermark("ts", "10 minutes")
       .as[(Long, java.sql.Timestamp, String)]
@@ -1134,5 +1138,32 @@ object Streaming {
       .map(_.stateOperators(0).numRowsTotal)
       .getOrElse(-1L)
     spark.table(queryName)
+  }
+
+  /** Collapse the Append-mode session snapshot stream to one row per
+    * session. Two steps: (1) per (user, firstTs) the final snapshot wins —
+    * events/lastTs/distinctTypes are monotone within a session, so max()
+    * selects it; (2) PHANTOM DROP: when a later micro-batch delivers an
+    * in-session event EARLIER than the session's current firstTs (legal
+    * within the watermark), earlier snapshots keyed by the now-stale
+    * firstTs remain in the Append output as phantom "sessions". A phantom's
+    * firstTs is an event time INSIDE the real session's [firstTs, lastTs]
+    * span, while true sessions are disjoint and separated by > the session
+    * gap — so any row whose first_ts is covered by the running max last_ts
+    * of earlier-starting rows is a phantom and is dropped. On an in-order
+    * single-batch run the filter is a no-op. */
+  def finalizedSessions(snapshots: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rolled = snapshots
+      .groupBy(col("user_id"), col("firstTs").as("first_ts"))
+      .agg(max(col("events")).as("events"),
+        max(col("lastTs")).as("last_ts"),
+        max(col("distinctTypes")).as("distinct_types"))
+    val prior = Window.partitionBy("user_id").orderBy("first_ts")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rolled
+      .withColumn("prev_max_last", max(col("last_ts")).over(prior))
+      .filter(col("prev_max_last").isNull || col("prev_max_last") < col("first_ts"))
+      .drop("prev_max_last")
   }
 }

@@ -485,6 +485,54 @@ object Queries {
             |      (len(toks_a) + len(toks_b) - len(list_intersect(toks_a, toks_b))) >= 0.5
             |ORDER BY 1, 2""".stripMargin))
 
+  /** All-pairs candidate generation within sign-LSH band buckets, with a
+    * bucket-size safety cap. Input: the cached signature table
+    * (id, embedding, band0..band3). Pairing within a bucket is quadratic in
+    * the bucket size, and at crawl scale degenerate embeddings (zero
+    * vectors, model failure modes) pile into ONE bucket — AQE splits
+    * shuffle partitions, not pair cardinality, so nothing downstream can
+    * save a 10M-row bucket. Buckets larger than `cap` are therefore
+    * excluded from pairing via a broadcast anti-join on the (few) oversize
+    * band keys, and the drop is COUNTED and logged (never silent): a real
+    * pipeline would route those ids to an exact-dedup pass instead. On a
+    * healthy corpus 65k band keys give buckets of ~1 and the cap never
+    * bites, so the d7 oracle is unchanged.
+    */
+  private[graft] def signLshBandPairs(allv: DataFrame, cap: Long = 64L): DataFrame = {
+    // per-band oversize band keys; tiny by construction (≤ totalRows/cap
+    // keys can exceed the cap), so each is safe to broadcast
+    val big = (0 until 4).map { j =>
+      allv.groupBy(col(s"band$j").as(s"a$j")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap)
+    }
+    // no silent caps: one aggregate action reports what was dropped
+    val drop = big.map(_.agg(
+        coalesce(count(lit(1)), lit(0L)).as("buckets"),
+        coalesce(sum(col("n")), lit(0L)).as("rows"),
+        coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")), lit(0L)).as("pairs")))
+      .reduce(_.unionByName(_))
+      .agg(sum("buckets"), sum("rows"), sum("pairs")).first()
+    if (drop.getLong(0) > 0)
+      System.err.println(
+        s"[signLshBandPairs] dropped ${drop.getLong(0)} oversize bucket(s) " +
+          s"(cap=$cap): ${drop.getLong(1)} rows, ${drop.getLong(2)} " +
+          "would-be pairs routed out of LSH pairing")
+    val lhs = allv.select(col("id").as("id_a") +: col("embedding").as("emb_a") +:
+      (0 until 4).map(j => col(s"band$j").as(s"a$j")): _*)
+    val rhs = allv.select(col("id").as("id_b") +: col("embedding").as("emb_b") +:
+      (0 until 4).map(j => col(s"band$j").as(s"c$j")): _*)
+    (0 until 4).map { j =>
+      val cond = (0 until j).foldLeft(
+        col(s"a$j") === col(s"c$j") && col("id_a") < col("id_b")) {
+        (c, i) => c && col(s"a$i") =!= col(s"c$i")
+      }
+      // excluding the key from ONE side suffices: the equi-join on a$j===c$j
+      // can then never form a pair inside that bucket
+      val safeLhs = lhs.join(broadcast(big(j).select(s"a$j")), Seq(s"a$j"), "left_anti")
+      safeLhs.join(rhs, cond).select("id_a", "id_b", "emb_a", "emb_b")
+    }.reduce(_.unionByName(_))
+  }
+
   private val d7 = Q(
     (spark, dir) => {
       // Embedding-cosine near-dup detection: every vector gets a
@@ -541,17 +589,7 @@ object Queries {
         }
         .toDF("id", "embedding", "band0", "band1", "band2", "band3")
         .cache()
-      val lhs = allv.select(col("id").as("id_a") +: col("embedding").as("emb_a") +:
-        (0 until 4).map(j => col(s"band$j").as(s"a$j")): _*)
-      val rhs = allv.select(col("id").as("id_b") +: col("embedding").as("emb_b") +:
-        (0 until 4).map(j => col(s"band$j").as(s"c$j")): _*)
-      val links = (0 until 4).map { j =>
-        val cond = (0 until j).foldLeft(
-          col(s"a$j") === col(s"c$j") && col("id_a") < col("id_b")) {
-          (c, i) => c && col(s"a$i") =!= col(s"c$i")
-        }
-        lhs.join(rhs, cond).select("id_a", "id_b", "emb_a", "emb_b")
-      }.reduce(_.unionByName(_))
+      val links = signLshBandPairs(allv)
       val dot = aggregate(zip_with(col("emb_a"), col("emb_b"), (a, x) => a * x),
         lit(0.0), (acc, x) => acc + x)
       val na = sqrt(aggregate(col("emb_a"), lit(0.0), (acc, x) => acc + x * x))
@@ -1890,16 +1928,13 @@ object Queries {
   private val x16 = Q(
     (spark, dir) => {
       // per-SESSION rows: sessions are a pure event-time fact (the
-      // stateful operator splits on >30-min gaps inside batches too), so
-      // firstTs identifies a session and its final emitted row — the one
-      // with the max event count — carries the complete session aggregate
-      // regardless of micro-batch boundaries
+      // stateful operator splits on >30-min gaps inside batches too);
+      // finalizedSessions collapses the snapshot stream to one row per
+      // session and drops phantom stale-firstTs snapshots, so the result
+      // is identical whether the stream arrived as one batch or many
       val sess = graft.spark.Streaming.userSessions(spark, s"$dir/events.parquet",
         "stream_sess_" + java.lang.Long.toHexString(System.nanoTime()))
-      sess.groupBy(col("user_id"), col("firstTs").as("first_ts"))
-        .agg(max(col("events")).as("events"),
-          max(col("lastTs")).as("last_ts"),
-          max(col("distinctTypes")).as("distinct_types"))
+      graft.spark.Streaming.finalizedSessions(sess)
         .orderBy("user_id", "first_ts")
     },
     // the batch oracle reconstructs the same sessions by gap clustering

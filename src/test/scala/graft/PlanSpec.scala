@@ -129,6 +129,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("sign-LSH pairing drops degenerate buckets at the cap, counted (d7 guard)") {
+    val sp = spark; import sp.implicits._
+    // 200 degenerate rows (zero-vector failure mode) whose signatures all
+    // collide into ONE bucket in every band, plus one healthy near-dup pair
+    // in a bucket of 2
+    val degen = (1L to 200L).map(i => (i, Array.fill(4)(0.0f), 7L, 7L, 7L, 7L))
+    val healthy = Seq(
+      (2001L, Array.fill(4)(1.0f), 1L, 21L, 31L, 41L),
+      (2002L, Array.fill(4)(1.0f), 1L, 22L, 32L, 42L))
+    val allv = (degen ++ healthy).toDF(
+      "id", "embedding", "band0", "band1", "band2", "band3")
+    // cap 64: the 200-row bucket (19,900 would-be pairs) is excluded from
+    // pairing in every band; only the healthy pair survives
+    val capped = Queries.signLshBandPairs(allv, cap = 64L).collect()
+    assert(capped.length == 1, capped.mkString(","))
+    assert(capped.head.getLong(0) == 2001L && capped.head.getLong(1) == 2002L)
+    // cap above the bucket size: behavior is the uncapped all-pairs-within-
+    // bucket semantics (200*199/2 degenerate pairs + the healthy one)
+    assert(Queries.signLshBandPairs(allv, cap = 300L).count() == 19901L)
+  }
+
   test("anti-join resume broadcasts the done set when small") {
     val corpus = CorpusGen.corpus(spark, rows = 20, partitions = 2)
     val input = CorpusGen.inputView(corpus)

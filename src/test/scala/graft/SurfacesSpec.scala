@@ -328,6 +328,50 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sess.select("user_id").distinct().count() == users)
   }
 
+  test("multi-batch sessions: stale-firstTs snapshots are dropped, not phantom sessions") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("sess_mb").toString
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val sp = spark; import sp.implicits._
+    // batch A: user 1 session in progress (60, 65); user 2 a closed session
+    // (0, 10) and a fresh one (64). Watermark after A = 65 - 10 = min 55.
+    val fileA = Seq((1L, ts(60), "view"), (1L, ts(65), "click"),
+      (2L, ts(0), "view"), (2L, ts(10), "view"), (2L, ts(64), "click"))
+      .toDF("user_id", "ts", "event_type")
+    // batch B delivers a user-1 event EARLIER than the session's current
+    // firstTs but inside the watermark (58 >= 55): the session's firstTs
+    // moves back, stranding batch A's snapshot under the stale key
+    val fileB = Seq((1L, ts(58), "buy")).toDF("user_id", "ts", "event_type")
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("sess_part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val st = Files.list(tmp)
+      val part = try st.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get() finally st.close()
+      val dst = Paths.get(dir, name)
+      Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+    }
+    addFile(fileA, "a.parquet", 1000000000L)
+    addFile(fileB, "b.parquet", 2000000000L)
+    val raw = graft.spark.Streaming.userSessions(spark, dir, "t_sess_mb",
+      maxFilesPerTrigger = Some(1))
+    // the raw Append stream really does hold a stale-firstTs snapshot for
+    // user 1 (the scenario under test)…
+    assert(raw.select("user_id", "firstTs").distinct()
+      .filter(col("user_id") === 1L).count() == 2,
+      "expected a stale-firstTs snapshot — the phantom path was not exercised")
+    // …and finalizedSessions collapses to the true event-time session set
+    val fin = graft.spark.Streaming.finalizedSessions(raw)
+      .orderBy("user_id", "first_ts").collect()
+    assert(fin.length == 3, fin.mkString("\n"))
+    val u1 = fin.filter(_.getLong(0) == 1L)
+    assert(u1.length == 1 && u1.head.getTimestamp(1) == ts(58)
+      && u1.head.getLong(2) == 3L, u1.mkString("\n"))
+    assert(fin.filter(_.getLong(0) == 2L).map(_.getLong(2)).toSeq == Seq(2L, 1L))
+  }
+
   test("streaming dedup drops every at-least-once redelivery") {
     val dir = "/root/testdata/sf0.001"
     val events = spark.read.parquet(s"$dir/events.parquet")
