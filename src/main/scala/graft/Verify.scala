@@ -29,7 +29,7 @@ object Verify {
           col("expected_geom").as("text_geom"),
           col("expected_legacy").as("text_legacy"),
           col("toc_entries"), col("toc_text"), col("page_texts"),
-          col("title"), col("html").as("payload"))
+          col("title"), col("regions"), col("html").as("payload"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$auxDir/aux_expected")
       // Diff ground truth: per-url page paragraph texts of the 33-row corpus

@@ -23,7 +23,8 @@ object CorpusGen {
       toc_entries: Int,
       toc_text: String,
       page_texts: Seq[String],
-      title: String)
+      title: String,
+      regions: Seq[String])
 
   private val epochMs = 1577836800000L // 2020-01-01T00:00:00Z
 
@@ -45,7 +46,8 @@ object CorpusGen {
       toc_entries = d.tocEntries,
       toc_text = d.tocText,
       page_texts = d.pageTexts,
-      title = d.title)
+      title = d.title,
+      regions = d.regions)
   }
 
   /** Build the corpus as a DataFrame. Rows are generated ON THE EXECUTORS
@@ -79,7 +81,8 @@ object CorpusGen {
         toc_entries = d.tocEntries,
         toc_text = d.tocText,
         page_texts = d.pageTexts,
-        title = d.title)
+        title = d.title,
+        regions = d.regions)
     }).toDF()
   }
 
@@ -128,7 +131,8 @@ object CorpusGen {
         toc_entries = 0,
         toc_text = "",
         page_texts = Nil,
-        title = null)
+        title = null,
+        regions = Nil)
     }).toDF())
   }
 
@@ -265,7 +269,8 @@ object CorpusGen {
         toc_entries = d.tocEntries,
         toc_text = d.tocText,
         page_texts = d.pageTexts,
-        title = d.title)
+        title = d.title,
+        regions = d.regions)
     }).toDF()
   }
 }

@@ -25,7 +25,8 @@ object FixtureGen {
       expectedLegacyOrNull: String = null,
       tocEntries: Int = 0, tocText: String = "",
       pageTextsOrNull: Seq[String] = null,
-      title: String = null) {
+      title: String = null,
+      regionsOrNull: Seq[String] = null) {
     def expectedGeom: String = if (expectedGeomOrNull == null) expected else expectedGeomOrNull
     def expectedLegacy: String = if (expectedLegacyOrNull == null) expected else expectedLegacyOrNull
     /** Per-page layout text by construction: single-page PDFs lay out as
@@ -36,6 +37,22 @@ object FixtureGen {
       else if (kind == "html" || kind == "textrow") Nil
       else if (pages == 1) Seq(expectedGeom)
       else Nil
+    /** Paragraph bounding boxes by construction, "page|para|x0|y0|x1|y1".
+      * Paragraph j's TEXT is split j of pageTexts(page-1) on "\n\n" — the
+      * bbox strings here carry only the geometry. The default covers every
+      * single-line kind (one 12 pt show at (72,720), Helvetica with no
+      * /Widths so each glyph advances 0 -> x1 == x0; y spans
+      * [baseline - size, baseline]); multi-paragraph kinds set it
+      * explicitly, non-PDF kinds have no page surface. */
+    def regions: Seq[String] =
+      if (regionsOrNull != null) regionsOrNull
+      else if (kind == "html" || kind == "textrow") Nil
+      else if (pages == 1) Seq(Doc.stdLineRegion)
+      else Nil
+  }
+
+  object Doc {
+    val stdLineRegion = "1|1|72.0|708.0|72.0|720.0"
   }
 
   /** Legacy-mode (stream-order) expectation: the extractor emits a
@@ -223,7 +240,13 @@ object FixtureGen {
       // does not apply to the single-page surface)
       pageTextsOrNull = bodyLines.zipWithIndex.map { case (line, p) =>
         s"Corpus Header\n\n$line\n\n${p + 1}\n"
-      })
+      },
+      // three single-line paragraphs per page: 10 pt header at (72,770),
+      // 12 pt body at (72,400), 10 pt page number at (300,30)
+      regionsOrNull = (1 to n).flatMap(p => Seq(
+        s"$p|1|72.0|760.0|72.0|770.0",
+        s"$p|2|72.0|388.0|72.0|400.0",
+        s"$p|3|300.0|20.0|300.0|30.0")))
   }
 
   /** Tagged PDF: /StructTreeRoot -> /Document -> two /P elements with MCIDs. */
@@ -245,7 +268,11 @@ object FixtureGen {
       "<< /S /P /Pg 3 0 R /K 1 >>"))
     Doc("tagged", pdf, para1 + "\n\n" + para2 + "\n", "en",
       expectedGeomOrNull = para1 + " " + para2 + "\n",
-      expectedLegacyOrNull = legacyOf(para1, para2))
+      expectedLegacyOrNull = legacyOf(para1, para2),
+      // geometry layout (the page-region surface ignores the structure
+      // tree) joins the 20-pt-apart lines into ONE paragraph spanning
+      // both baselines: y from 700-12 up to 720
+      regionsOrNull = Seq("1|1|72.0|688.0|72.0|720.0"))
   }
 
   /** RC4 40-bit (V1/R2) encrypted document, empty user password. */

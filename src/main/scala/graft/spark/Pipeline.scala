@@ -399,6 +399,38 @@ object Pipeline {
       }
   }
 
+  /** Paragraph-with-geometry row (the reference's PageRegion, Page.hs:93):
+    * the layout-aware chunking primitive — RAG chunk boundaries and
+    * figure-caption pairing key off these bboxes. */
+  final case class RegionRow(url: String, page: Int, para: Int,
+      x0: Double, y0: Double, x1: Double, y1: Double, text: String)
+
+  /** Per-page paragraph regions for every PDF row (pageRegions over each
+    * page; same shuffle-free mapPartitions shape as extractPages — the
+    * layout pass runs ONCE per page and yields all its regions). */
+  def extractRegions(spark: SparkSession, input: DataFrame): Dataset[RegionRow] = {
+    import spark.implicits._
+    input.select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (url, html) =>
+          val payload = if (html == null) Array.emptyByteArray else html
+          if (!Html.looksLikePdf(payload)) Iterator.empty
+          else DocStructure.openDocument(payload, None) match {
+            case Right(doc) =>
+              DocStructure.pageRefs(doc).getOrElse(Nil).iterator.zipWithIndex.flatMap {
+                case (ref, idx) =>
+                  val items = Interp.interpretPageItems(doc, ref).getOrElse(Nil)
+                  graft.core.Page.pageRegions(idx + 1, Layout.defaultOptions, items)
+                    .iterator.map(r => RegionRow(url, r.page, r.paragraph,
+                      r.bbox.x0, r.bbox.y0, r.bbox.x1, r.bbox.y1, r.text))
+              }
+            case Left(_) => Iterator.empty
+          }
+        }
+      }
+  }
+
   /** Metadata/outline query surface (info/title/toc/trailer verbs). */
   final case class DocMeta(url: String, title: String, infoJson: String,
       trailerJson: String, pages: Int, tocEntries: Int, tocText: String)

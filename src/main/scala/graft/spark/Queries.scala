@@ -1958,6 +1958,104 @@ object Queries {
            |  CAST(count(DISTINCT event_type) AS INT) AS distinct_types
            |FROM s GROUP BY user_id, sid ORDER BY user_id, first_ts""".stripMargin))
 
+  private val x24 = Q(
+    (spark, _) => {
+      // paragraph regions WITH geometry (the reference's pageRegions page
+      // API, Page.hs:105-117): one row per paragraph per page with its
+      // bounding box — the layout-aware chunking primitive. Region TEXT is
+      // oracled from the generator's per-page paragraph ground truth;
+      // bounding boxes are oracled against the generator's construction
+      // facts (it authored every Td/Tf coordinate, so the bbox is known
+      // without running the kernel).
+      val c = corpus(spark)
+      Pipeline.extractRegions(spark, CorpusGen.inputView(c)).toDF()
+        .select(col("url"), col("page"), col("para"),
+          round(col("x0"), 2).as("x0"), round(col("y0"), 2).as("y0"),
+          round(col("x1"), 2).as("x1"), round(col("y1"), 2).as("y1"),
+          col("text"))
+        .orderBy("url", "page", "para")
+    },
+    // boxes parse the generator's "page|para|x0|y0|x1|y1" strings; texts
+    // split each page's ground-truth text on the blank-line paragraph
+    // separator — paragraph j of page p is split j of page_texts[p]
+    Some("""WITH exp AS (
+           |  SELECT url, page_texts, regions
+           |  FROM read_parquet('__AUX__/*.parquet') WHERE len(regions) > 0
+           |), boxes AS (
+           |  SELECT url,
+           |    CAST(string_split(regions[k], '|')[1] AS INT) AS page,
+           |    CAST(string_split(regions[k], '|')[2] AS INT) AS para,
+           |    round(CAST(string_split(regions[k], '|')[3] AS DOUBLE), 2) AS x0,
+           |    round(CAST(string_split(regions[k], '|')[4] AS DOUBLE), 2) AS y0,
+           |    round(CAST(string_split(regions[k], '|')[5] AS DOUBLE), 2) AS x1,
+           |    round(CAST(string_split(regions[k], '|')[6] AS DOUBLE), 2) AS y1
+           |  FROM exp, LATERAL (SELECT unnest(range(1, len(regions)+1)) AS k)
+           |), texts AS (
+           |  SELECT url, CAST(i AS INT) AS page, CAST(j AS INT) AS para,
+           |         paras[j] AS text
+           |  FROM (
+           |    SELECT url, i,
+           |      string_split(rtrim(page_texts[i], chr(10)), chr(10)||chr(10)) AS paras
+           |    FROM exp, LATERAL (SELECT unnest(range(1, len(page_texts)+1)) AS i)
+           |  ), LATERAL (SELECT unnest(range(1, len(paras)+1)) AS j)
+           |)
+           |SELECT b.url, b.page, b.para, b.x0, b.y0, b.x1, b.y1, t.text
+           |FROM boxes b JOIN texts t
+           |  ON b.url = t.url AND b.page = t.page AND b.para = t.para
+           |ORDER BY b.url, b.page, b.para""".stripMargin))
+
+  private val c2 = Q(
+    (spark, _) => {
+      // Layout-aware chunking on region boundaries (the pretraining-chunker
+      // shape pageRegions exists for): paragraphs accumulate in reading
+      // order and a chunk break falls where the cumulative token offset
+      // crosses the 8-token budget — every chunk boundary is a paragraph
+      // boundary, assignment is a pure window function (no per-doc
+      // recursion, so the plan is one shuffle on url + the rollup).
+      val budget = 8
+      val c = corpus(spark)
+      val toks = Pipeline.extractRegions(spark, CorpusGen.inputView(c)).toDF()
+        .withColumn("tok", size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
+      val w = Window.partitionBy("url").orderBy("page", "para")
+      toks.withColumn("cum", sum(col("tok")).over(w))
+        .withColumn("chunk", floor((col("cum") - col("tok")) / budget).cast("int"))
+        .groupBy(col("url"), col("chunk"))
+        .agg(count(lit(1)).cast("int").as("paras"),
+          sum(col("tok")).cast("long").as("tokens"),
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("page"), col("para"), col("text")))),
+              x => x.getField("text")),
+            "\n\n").as("text"))
+        .orderBy("url", "chunk")
+    },
+    // DuckDB rebuilds the paragraphs from the generator page_texts ground
+    // truth (same split as x24) and replays the identical window math
+    Some("""WITH exp AS (
+           |  SELECT url, page_texts FROM read_parquet('__AUX__/*.parquet')
+           |  WHERE len(regions) > 0
+           |), texts AS (
+           |  SELECT url, CAST(i AS INT) AS page, CAST(j AS INT) AS para,
+           |         paras[j] AS text
+           |  FROM (
+           |    SELECT url, i,
+           |      string_split(rtrim(page_texts[i], chr(10)), chr(10)||chr(10)) AS paras
+           |    FROM exp, LATERAL (SELECT unnest(range(1, len(page_texts)+1)) AS i)
+           |  ), LATERAL (SELECT unnest(range(1, len(paras)+1)) AS j)
+           |), cums AS (
+           |  SELECT url, page, para, text,
+           |    len(regexp_extract_all(text, '\S+')) AS tok,
+           |    sum(len(regexp_extract_all(text, '\S+'))) OVER (
+           |      PARTITION BY url ORDER BY page, para
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM texts
+           |)
+           |SELECT url, CAST((cum - tok) // 8 AS INT) AS chunk,
+           |  CAST(count(*) AS INT) AS paras,
+           |  CAST(sum(tok) AS BIGINT) AS tokens,
+           |  string_agg(text, chr(10)||chr(10) ORDER BY page, para) AS text
+           |FROM cums GROUP BY url, chunk ORDER BY url, chunk""".stripMargin))
+
   // ---------- registry ----------
 
   val all: Map[String, Q] = Map(
@@ -2020,7 +2118,9 @@ object Queries {
     "x21_stream_dedup" -> x21,
     "x22_stream_join" -> x22,
     "x23_incremental" -> x23,
-    "c1_curation_e2e" -> c1)
+    "x24_page_regions" -> x24,
+    "c1_curation_e2e" -> c1,
+    "c2_region_chunks" -> c2)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, v) => k -> v.fn }
