@@ -369,6 +369,13 @@ object Ccitt {
             val a0p = math.max(a0, 0)
             val r1 = readRun(br, if (white) whiteDecode else blackDecode)
             val r2 = if (r1 >= 0) readRun(br, if (white) blackDecode else whiteDecode) else r1
+            // -2 = a bit pattern outside the run tables: CORRUPTION, a hard
+            // parse error like a bad mode code (a silent short image would
+            // misreport a damaged scan as success); -1 = clean EOF, keep
+            // the truncation semantics
+            if (r1 == -2 || r2 == -2)
+              return Left(PdfError.ParseError(
+                s"CCITT G4: bad run code at bit ${br.pos} (row $rowCount)"))
             if (r1 < 0 || r2 < 0) { rowOk = false; rowDone = true; done = true }
             else {
               val a1 = math.min(a0p + r1, columns)

@@ -83,14 +83,18 @@ object Crypt {
       stmEncrypted = v < 4 || !filterIsIdentity(encDict, "/StmF"))
   }
 
-  /** Crypt-filter selection at V>=4: only an EXPLICIT /Identity disables
-    * decryption for that surface. (The spec's default for an absent
-    * /StmF//StrF is /Identity, but real writers that encrypt always set
-    * them — treating absence as encrypted matches common-reader leniency
-    * and keeps pre-V4-style dicts working.) */
+  /** Crypt-filter selection at V>=4: an EXPLICIT /Identity disables
+    * decryption for that surface. An ABSENT /StmF//StrF defaults to
+    * /Identity per ISO 32000-1 7.6.5 — but ONLY when /CF is also absent
+    * (no named crypt filters declared anywhere): a spec-conforming writer
+    * that omits /StmF intends Identity, while a real encrypting writer
+    * declares /CF and names a filter; when /CF exists, treating an absent
+    * /StmF as encrypted matches common-reader leniency and keeps
+    * pre-V4-style dicts working. */
   private def filterIsIdentity(d: TreeMap[String, PObj], key: String): Boolean =
     d.get(key) match {
       case Some(PName("/Identity")) => true
+      case None => !d.contains("/CF") // spec default when no filters declared
       case _ => false
     }
 

@@ -63,3 +63,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => ExtractText(children.head)))
   }
 }
+
+object GraftExtensions {
+  /** Register extract_text on an ALREADY-BUILT session (extensions via
+    * spark.sql.extensions only apply at session construction; a shared
+    * session — notebook, Verify — installs it post hoc). Idempotent. */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("extract_text"),
+      new ExpressionInfo(classOf[ExtractText].getName, "extract_text"),
+      (children: Seq[Expression]) => ExtractText(children.head))
+}

@@ -275,14 +275,18 @@ object Pipeline {
         (url, pages)
       }).toDF("url", "pages")
     // the skinny planning output feeds both the chunk build and the
-    // left-anti "rest" join — cache it or the full-corpus planning parse
-    // runs once per consumer
+    // left-anti "rest" join — materialize it or the full-corpus planning
+    // parse runs once per consumer. localCheckpoint, NOT cache: cache()
+    // registers in the session's CacheManager and is never released unless
+    // explicitly unpersisted (repeat invocations in a long-lived session
+    // would accumulate storage), while checkpoint blocks are dropped by the
+    // ContextCleaner as soon as the returned Dataset is unreferenced.
     val giantUrls = planned.filter(col("pages") > giantThresholdPages)
       // per-doc chunk size: pages/maxChunks, floored at half the giant
       // threshold so a barely-giant doc still amortizes its re-opens
       .withColumn("cp", greatest(ceil(col("pages") / lit(maxChunksPerDoc)),
         lit(math.max(giantThresholdPages / 2, 1))).cast("int"))
-      .cache()
+      .localCheckpoint(true)
     // 2. chunk rows (url, from, until) joined back to the payload
     val chunks = giantUrls
       .select(col("url"), explode(sequence(lit(0),
@@ -1041,7 +1045,12 @@ object Streaming {
     * stream-stream join would buffer both streams forever). Inner join:
     * matches emit as soon as both rows have arrived; the watermark only
     * gates state cleanup. */
-  def attributedPurchases(spark: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
+  def attributedPurchases(spark0: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
+    // the stream runs in an ISOLATED child session: shuffle partitions are
+    // sized to state volume below, and mutating the CALLER's conf would
+    // leak into concurrently planned queries (newSession shares the
+    // SparkContext but owns its SQLConf + temp-view catalog)
+    val spark = spark0.newSession()
     val eventsDir = streamDir(eventsDir0)
     val schema = spark.read.parquet(eventsDir).schema
     def src(tpe: String, alias: String) = spark.readStream.schema(schema).parquet(eventsDir)
@@ -1058,22 +1067,17 @@ object Streaming {
     // shuffle partition per micro-batch; at this input scale 32 partitions
     // are pure per-store overhead (measured 8s -> ~3s at 8). The shuffle
     // partition count is pinned at stream START and baked into the
-    // checkpoint, so sizing it here is the real-world move too — on a
-    // cluster you size it to state volume, not to the session default.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = joined.writeStream
-        .format("memory")
-        .queryName(queryName)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      // the conf must stay set until the stream-execution thread has read
-      // it (it is captured at micro-batch planning, which races start()'s
-      // return) — restore only after the finite run completes
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // checkpoint, so sizing it on the stream's own session is the
+    // real-world move too — on a cluster you size it to state volume, not
+    // to the session default.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     spark.table(queryName)
   }
 

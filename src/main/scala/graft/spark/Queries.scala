@@ -211,23 +211,27 @@ object Queries {
       // co-partitioned buckets directly — NO exchange before the join
       // (PlanSpec pins this). At 100 TB this is how a repeatedly-joined
       // fact pair amortizes its shuffle: pay the bucketed write once,
-      // join shuffle-free forever after. Bucketed tables live at a FIXED
-      // external location with overwrite semantics — per-run names and
-      // fresh temp dirs would leak a table copy into /tmp and an orphan
-      // catalog entry on every Verify/test/bench invocation.
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_tables"
+      // join shuffle-free forever after. Table names and location are
+      // scoped PER SESSION: re-invocations in one session overwrite in
+      // place (no accumulation), while two concurrent processes (sbt test
+      // and Verify) write disjoint names/paths instead of racing on one
+      // overwrite and reading a mix of each other's bucket files.
+      val sid = java.lang.Integer.toHexString(System.identityHashCode(spark))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$sid"
+      val liTable = s"graft_li_bucketed_$sid"
+      val ordTable = s"graft_ord_bucketed_$sid"
       t(spark, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$base/li").saveAsTable("graft_li_bucketed")
+        .option("path", s"$base/li").saveAsTable(liTable)
       t(spark, dir, "orders")
         .select("o_orderkey", "o_orderstatus")
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$base/ord").saveAsTable("graft_ord_bucketed")
-      spark.table("graft_li_bucketed")
-        .join(spark.table("graft_ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .option("path", s"$base/ord").saveAsTable(ordTable)
+      spark.table(liTable)
+        .join(spark.table(ordTable), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("line_items"),
           round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double").as("sum_qty"))
@@ -588,7 +592,12 @@ object Queries {
           }
         }
         .toDF("id", "embedding", "band0", "band1", "band2", "band3")
-        .cache()
+        // localCheckpoint, not cache: the signature table feeds 4 joins +
+        // the bucket-size audit, and checkpoint blocks are released by the
+        // ContextCleaner when the result is dropped — cache() entries pin
+        // executor storage until an unpersist nobody is positioned to call
+        // (the caller still holds the lazy plan when the query returns)
+        .localCheckpoint(true)
       val links = signLshBandPairs(allv)
       val dot = aggregate(zip_with(col("emb_a"), col("emb_b"), (a, x) => a * x),
         lit(0.0), (acc, x) => acc + x)
@@ -702,7 +711,15 @@ object Queries {
            |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   private val d10 = Q(
-    (spark, dir) => {
+    (spark0, dir) => {
+      // Planned under an ISOLATED child session (spark0.newSession shares
+      // the SparkContext but owns its SQLConf): the propagation rounds run
+      // with few shuffle partitions, and pinning that on the CALLER's
+      // session would leak into any query planned concurrently. On a
+      // cluster this is the same move — per-job sessions sized to each
+      // job's data, never mutating a shared session's conf.
+      val spark = spark0.newSession()
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       // Dedup cluster assignment: connected components over the LSH bucket
       // graph (docs sharing either minhash band key are linked through the
       // bucket's min-doc representative — star edges, so the edge count is
@@ -747,19 +764,17 @@ object Queries {
       // Each round MUST materialize: the path-halving self-join references
       // the round's frame twice, so a lazy chain doubles the plan tree per
       // round (2^rounds nodes — Catalyst never finishes). The rep graph is
-      // tiny, so the per-round cost is scheduler/shuffle overhead — run the
-      // rounds under few shuffle partitions (restored after; on a cluster
-      // you size these to the rep-graph volume, orders of magnitude below
-      // the corpus).
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      // tiny, so the per-round cost is scheduler/shuffle overhead — hence
+      // the child session's 4 shuffle partitions (on a cluster you size
+      // these to the rep-graph volume, orders of magnitude below the
+      // corpus).
       var changed = 1L
       var iter = 0
       def dbg(m: => String): Unit =
         if (sys.env.contains("GRAFT_D10_DEBUG"))
           System.err.println(s"[d10] $m t=${System.nanoTime() / 1000000}")
       dbg("start")
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+      locally {
         dbg(s"sig=${sig.count()}")
         dbg(s"withReps=${withReps.count()}")
         dbg(s"edges=${edges.count()}")
@@ -795,13 +810,22 @@ object Queries {
           iter += 1
           dbg(s"iter=$iter changed=$changed")
         }
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       require(changed == 0, s"label propagation did not converge in $iter iterations")
       dbg("loop done")
-      withReps
+      // materialize the (small) assignment, then drop every intermediate
+      // cache — a long-lived session would otherwise accumulate the
+      // signature/edge partitions in executor storage memory across
+      // invocations (at cluster scale this materialization is the write of
+      // the component table itself)
+      val out = withReps
         .join(labels, withReps("rep_band0") === labels("v"))
         .select(col("doc_id"), col("lbl").as("component"))
         .orderBy("doc_id")
+        .localCheckpoint(true)
+      sig.unpersist(false); withReps.unpersist(false)
+      edges.unpersist(false); labels.unpersist(false)
+      out
     },
     // DuckDB replays the components as a transitive closure via a
     // recursive CTE over the same star edges — min reachable label ==
@@ -2004,6 +2028,23 @@ object Queries {
            |  ON b.url = t.url AND b.page = t.page AND b.para = t.para
            |ORDER BY b.url, b.page, b.para""".stripMargin))
 
+  private val x25 = Q(
+    (spark, _) => {
+      // the native Catalyst extract_text Expression end-to-end through SQL
+      // (same kernel as x1, but entering via the codegen'd expression the
+      // session extension installs — ad-hoc `SELECT extract_text(html)`
+      // over a crawl table is the interactive surface a cluster user gets).
+      // textrow payloads are non-PDF non-HTML junk bytes whose extraction
+      // lives in the `text` fallback column, which a scalar over `html`
+      // cannot see — excluded here, exactly as in the oracle.
+      GraftExtensions.install(spark)
+      CorpusGen.inputView(corpus(spark)).createOrReplaceTempView("crawl_x25")
+      spark.sql("""SELECT url, extract_text(html) AS text FROM crawl_x25
+                  |WHERE url NOT LIKE '%textrow%' ORDER BY url""".stripMargin)
+    },
+    Some("""SELECT url, text FROM read_parquet('__AUX__/*.parquet')
+           |WHERE kind <> 'textrow' ORDER BY url""".stripMargin))
+
   private val c2 = Q(
     (spark, _) => {
       // Layout-aware chunking on region boundaries (the pretraining-chunker
@@ -2119,6 +2160,7 @@ object Queries {
     "x22_stream_join" -> x22,
     "x23_incremental" -> x23,
     "x24_page_regions" -> x24,
+    "x25_sql_extract" -> x25,
     "c1_curation_e2e" -> c1,
     "c2_region_chunks" -> c2)
 
