@@ -401,28 +401,113 @@ object Ccitt {
         }
       }
       if (rowOk && (cur.nonEmpty || a0 >= columns)) {
-        // emit the packed row: transitions alternate starting white->black
-        val rowBits = new Array[Byte](rowBytes)
-        if (!blackIs1) java.util.Arrays.fill(rowBits, 0xff.toByte) // white=1
-        var t = 0
-        while (t < cur.length) {
-          val from = cur(t)
-          val to = if (t + 1 < cur.length) cur(t + 1) else columns
-          if (t % 2 == 0) { // black span [from, to)
-            var x = from
-            while (x < to) {
-              if (blackIs1) rowBits(x >> 3) = (rowBits(x >> 3) | (1 << (7 - (x & 7)))).toByte
-              else rowBits(x >> 3) = (rowBits(x >> 3) & ~(1 << (7 - (x & 7)))).toByte
-              x += 1
-            }
-          }
-          t += 1
-        }
-        out ++= rowBits
+        out ++= packRow(cur, columns, rowBytes, blackIs1)
         rowCount += 1
         cur += columns
         cur += columns
         ref = cur.toArray
+      }
+    }
+    Right(out.toArray)
+  }
+
+  /** Emit one packed row from its transition list (alternating
+    * white->black starting white, cumulative positions); !blackIs1 keeps
+    * the white=1 convention the image exporter expects. */
+  private def packRow(cur: scala.collection.IndexedSeq[Int], columns: Int,
+      rowBytes: Int, blackIs1: Boolean): Array[Byte] = {
+    val rowBits = new Array[Byte](rowBytes)
+    if (!blackIs1) java.util.Arrays.fill(rowBits, 0xff.toByte) // white=1
+    var t = 0
+    while (t < cur.length) {
+      val from = cur(t)
+      val to = if (t + 1 < cur.length) cur(t + 1) else columns
+      if (t % 2 == 0) { // black span [from, to)
+        var x = from
+        while (x < to) {
+          if (blackIs1) rowBits(x >> 3) = (rowBits(x >> 3) | (1 << (7 - (x & 7)))).toByte
+          else rowBits(x >> 3) = (rowBits(x >> 3) & ~(1 << (7 - (x & 7)))).toByte
+          x += 1
+        }
+      }
+      t += 1
+    }
+    rowBits
+  }
+
+  /** Consume one EOL (11+ zeros then a 1) at the current position; when the
+    * next bits are NOT an EOL the position is restored and this returns
+    * false. Zero fill before the EOL is absorbed by the zero count. */
+  private def tryConsumeEol(br: BitReader): Boolean = {
+    val save = br.pos
+    var zeros = 0
+    var b = br.readBit()
+    while (b == 0) { zeros += 1; b = br.readBit() }
+    if (b == 1 && zeros >= 11) true
+    else { br.pos = save; false }
+  }
+
+  /** Decode a G3 1-D stream (T.4 MH, the /K >= 0 family): each row is a
+    * white-first alternation of run codes summing to /Columns, rows are
+    * separated by optional EOLs (fill-absorbing), and RTC (two consecutive
+    * EOLs with no data between) or clean EOF ends the image. /K > 0 mixed
+    * mode is accepted only while every row's EOL tag bit selects 1-D — a
+    * 2-D-coded row is refused rather than mis-decoded. `rows = 0` ->
+    * decode until RTC/EOD (same contract as decodeG4). */
+  def decodeG3(data: Array[Byte], columns: Int, rows: Int, k: Int,
+      blackIs1: Boolean, byteAlign: Boolean): Either[PdfError, Array[Byte]] = {
+    if (columns <= 0 || columns > (1 << 20))
+      return Left(PdfError.ParseError(s"CCITT: bad /Columns $columns"))
+    val rowBytes = (columns + 7) / 8
+    val maxRows = if (rows > 0) rows else Int.MaxValue
+    val out = new ArrayBuffer[Byte]
+    val br = new BitReader(data)
+    var rowCount = 0
+    var done = false
+    while (!done && rowCount < maxRows && !br.eof) {
+      if (byteAlign) br.alignByte()
+      // leading fill + EOL(s); two EOLs back to back = RTC, end of image
+      var eols = 0
+      var tagged1D = true
+      while (tagged1D && tryConsumeEol(br)) {
+        eols += 1
+        if (k > 0) {
+          // mixed-mode (T.4 2-D) tag bit follows every EOL: 1 = 1-D row
+          br.readBit() match {
+            case 1 => ()
+            case 0 => return Left(PdfError.UnsupportedFeature(
+              s"CCITT G3 /K $k 2-D-coded row (row $rowCount)"))
+            case _ => done = true; tagged1D = false
+          }
+        }
+      }
+      if (eols >= 2 || br.eof) done = true
+      if (!done) {
+        val cur = new ArrayBuffer[Int]
+        var total = 0
+        var white = true
+        var rowOk = true
+        while (rowOk && !done && total < columns) {
+          readRun(br, if (white) whiteDecode else blackDecode) match {
+            case -1 => // clean EOF mid-row: drop the partial row (G4 parity)
+              done = true
+              rowOk = false
+            case -2 =>
+              return Left(PdfError.ParseError(
+                s"CCITT G3: bad run code at bit ${br.pos} (row $rowCount)"))
+            case run =>
+              total += run
+              if (total > columns)
+                return Left(PdfError.ParseError(
+                  s"CCITT G3: row overrun $total > $columns (row $rowCount)"))
+              cur += total
+              white = !white
+          }
+        }
+        if (rowOk && total == columns) {
+          out ++= packRow(cur, columns, rowBytes, blackIs1)
+          rowCount += 1
+        }
       }
     }
     Right(out.toArray)
@@ -445,7 +530,7 @@ object Ccitt {
     }
   }
 
-  private def runCode(run0: Int, white: Boolean): String = {
+  private[graft] def runCode(run0: Int, white: Boolean): String = {
     val enc = if (white) whiteEncode else blackEncode
     val sb = new StringBuilder
     var run = run0
@@ -456,6 +541,28 @@ object Ccitt {
     }
     sb ++= enc(run)
     sb.toString
+  }
+
+  /** Encode a bitmap (true = black) as a G3 1-D stream: EOL before every
+    * row (the standard T.4 form), white-first run codes, RTC at the end. */
+  def encodeG3(bitmap: Array[Array[Boolean]], columns: Int): Array[Byte] = {
+    val bw = new BitWriter
+    for (row <- bitmap) {
+      bw.write("000000000001")
+      var x = 0
+      var white = true
+      while (x < columns) {
+        var end = x
+        val isBlack = !white
+        while (end < columns && row(end) == isBlack) end += 1
+        // a black-first row emits the mandatory zero-length white run
+        bw.write(runCode(end - x, white))
+        white = !white
+        x = end
+      }
+    }
+    bw.write("000000000001" * 2) // RTC (two EOLs suffice for the decoder contract)
+    bw.result()
   }
 
   /** Encode a bitmap (true = black) as a G4 stream with EOFB. */

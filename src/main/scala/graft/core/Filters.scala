@@ -65,15 +65,16 @@ object Filters {
     name match {
       case "/LZWDecode" => lzwDecode(s, parms.map(earlyChangeOf).getOrElse(1))
       case "/CCITTFaxDecode" =>
-        // Group 4 (/K < 0) only — G3 1-D/mixed stays UnsupportedFeature
+        // /K < 0 = Group 4 (T.6); /K >= 0 = Group 3 1-D (T.4 MH; /K > 0
+        // mixed streams decode while every row's tag selects 1-D — a
+        // 2-D-coded row is refused rather than mis-decoded)
         val k = parmInt(parms, "/K", 0)
-        if (k >= 0) Left(PdfError.UnsupportedFeature(
-          s"CCITTFaxDecode /K $k (only Group 4, /K < 0, is supported)"))
-        else Ccitt.decodeG4(s,
-          columns = parmInt(parms, "/Columns", 1728),
-          rows = parmInt(parms, "/Rows", 0),
-          blackIs1 = parmBool(parms, "/BlackIs1"),
-          byteAlign = parmBool(parms, "/EncodedByteAlign"))
+        val columns = parmInt(parms, "/Columns", 1728)
+        val rows = parmInt(parms, "/Rows", 0)
+        val blackIs1 = parmBool(parms, "/BlackIs1")
+        val byteAlign = parmBool(parms, "/EncodedByteAlign")
+        if (k < 0) Ccitt.decodeG4(s, columns, rows, blackIs1, byteAlign)
+        else Ccitt.decodeG3(s, columns, rows, k, blackIs1, byteAlign)
       case other => decodeOne(other, s)
     }
 

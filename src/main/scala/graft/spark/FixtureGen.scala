@@ -700,6 +700,29 @@ object FixtureGen {
     Doc("ccittimage", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
+  /** Page with a CCITT Group 3 1-D (/K 0) image XObject — real scanned
+    * corpora mix G3 and G4; exercises the T.4 MH decode path end to end
+    * through the same image exporter. */
+  def ccittImageG3(i: Long): Doc = {
+    val line = s"CCITT G3 image document $i"
+    val w = 40
+    val h = 12
+    val bitmap = Array.tabulate(h, w)((y, x) => ((x * 3 + y + i) % 7) < 3)
+    val enc = new String(graft.core.Ccitt.encodeG3(bitmap, w), ISO_8859_1)
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\nq 80 0 0 24 72 560 cm /Im1 Do Q\n"
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 5 0 R >> /XObject << /Im1 6 0 R >> >> /Contents 4 0 R >>",
+      contentObj(content, compress = false),
+      helvetica,
+      s"<< /Type /XObject /Subtype /Image /Width $w /Height $h /ColorSpace /DeviceGray " +
+        s"/BitsPerComponent 1 /Filter /CCITTFaxDecode " +
+        s"/DecodeParms << /K 0 /Columns $w /Rows $h >> /Length ${enc.length} >>\nstream\n$enc\nendstream"))
+    Doc("ccittimageg3", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
+  }
+
   /** Real media payloads for the image-decode surface (x17): JDK ImageIO
     * JPEG (lossy — only the DIMENSIONS are oracle-able construction facts)
     * and our minimal PNG (lossless — the exact pixel bytes are construction

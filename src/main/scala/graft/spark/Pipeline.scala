@@ -647,44 +647,46 @@ object Surfaces {
     import spark.implicits._
     input.select(col("url"), col("html"))
       .as[(String, Array[Byte])]
-      .mapPartitions { iter =>
-        iter.map { case (url, payload0) =>
-          val payload = if (payload0 == null) Array.emptyByteArray else payload0
-          val (fmt, img) = readImage(payload)
-          if (img == null) DecodedImage(url, fmt, ok = false, -1, -1, null, -1L)
-          else {
-            val w = img.getWidth
-            val h = img.getHeight
-            val raster = img.getRaster
-            val bands = raster.getNumBands
-            val bytes = new Array[Byte](w * h * bands)
-            var luma = 0L
-            var k = 0
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                var b = 0
-                var pix = 0
-                while (b < bands) {
-                  val v = raster.getSample(x, y, b)
-                  bytes(k) = v.toByte
-                  pix += v
-                  k += 1
-                  b += 1
-                }
-                luma += pix / bands
-                x += 1
-              }
-              y += 1
-            }
-            val md5 = if (fmt == "png") // lossless: pixels are a checkable fact
-              md5Hex(bytes)
-            else null
-            DecodedImage(url, fmt, ok = true, w, h, md5, luma * 1000L / math.max(w * h, 1))
+      .mapPartitions(_.map { case (url, payload) => decodeImageRow(url, payload) })
+  }
+
+  /** Row-local image decode (the per-row kernel of [[decodeImages]], kept
+    * callable so the fuzz campaign can hammer it without a session). */
+  private[graft] def decodeImageRow(url: String, payload0: Array[Byte]): DecodedImage = {
+    val payload = if (payload0 == null) Array.emptyByteArray else payload0
+    val (fmt, img) = readImage(payload)
+    if (img == null) DecodedImage(url, fmt, ok = false, -1, -1, null, -1L)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val bytes = new Array[Byte](w * h * bands)
+      var luma = 0L
+      var k = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          var pix = 0
+          while (b < bands) {
+            val v = raster.getSample(x, y, b)
+            bytes(k) = v.toByte
+            pix += v
+            k += 1
+            b += 1
           }
+          luma += pix / bands
+          x += 1
         }
+        y += 1
       }
+      val md5 = if (fmt == "png") // lossless: pixels are a checkable fact
+        md5Hex(bytes)
+      else null
+      DecodedImage(url, fmt, ok = true, w, h, md5, luma * 1000L / math.max(w * h, 1))
+    }
   }
 
   // ---------- multimodal image resize ----------
@@ -702,45 +704,47 @@ object Surfaces {
     require(maxDim > 0)
     input.select(col("url"), col("html"))
       .as[(String, Array[Byte])]
-      .mapPartitions { iter =>
-        iter.map { case (url, payload0) =>
-          val payload = if (payload0 == null) Array.emptyByteArray else payload0
-          val (fmt, img) = readImage(payload)
-          if (img == null) ResizedImage(url, fmt, ok = false, -1, -1, -1, -1, null)
-          else {
-            val w = img.getWidth
-            val h = img.getHeight
-            val maxSide = math.max(w, h)
-            val (ow, oh) =
-              if (maxSide <= maxDim) (w, h)
-              else (math.max(1, w * maxDim / maxSide), math.max(1, h * maxDim / maxSide))
-            val in = img.getRaster
-            val bands = in.getNumBands
-            val out = new Array[Byte](ow * oh * bands)
-            var k = 0
-            var y = 0
-            while (y < oh) {
-              // Long index math: x*w can pass Int.MaxValue for extreme-
-              // aspect images that are still under the 64 MP pixel cap
-              val iy = (y.toLong * h / oh).toInt
-              var x = 0
-              while (x < ow) {
-                val ix = (x.toLong * w / ow).toInt
-                var b = 0
-                while (b < bands) {
-                  out(k) = in.getSample(ix, iy, b).toByte
-                  k += 1
-                  b += 1
-                }
-                x += 1
-              }
-              y += 1
-            }
-            val md5 = md5Hex(out)
-            ResizedImage(url, fmt, ok = true, w, h, ow, oh, md5)
+      .mapPartitions(_.map { case (url, payload) => resizeImageRow(url, payload, maxDim) })
+  }
+
+  /** Row-local resize kernel of [[resizeImages]] (fuzz-callable). */
+  private[graft] def resizeImageRow(url: String, payload0: Array[Byte],
+      maxDim: Int): ResizedImage = {
+    val payload = if (payload0 == null) Array.emptyByteArray else payload0
+    val (fmt, img) = readImage(payload)
+    if (img == null) ResizedImage(url, fmt, ok = false, -1, -1, -1, -1, null)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val maxSide = math.max(w, h)
+      val (ow, oh) =
+        if (maxSide <= maxDim) (w, h)
+        else (math.max(1, w * maxDim / maxSide), math.max(1, h * maxDim / maxSide))
+      val in = img.getRaster
+      val bands = in.getNumBands
+      val out = new Array[Byte](ow * oh * bands)
+      var k = 0
+      var y = 0
+      while (y < oh) {
+        // Long index math: x*w can pass Int.MaxValue for extreme-
+        // aspect images that are still under the 64 MP pixel cap
+        val iy = (y.toLong * h / oh).toInt
+        var x = 0
+        while (x < ow) {
+          val ix = (x.toLong * w / ow).toInt
+          var b = 0
+          while (b < bands) {
+            out(k) = in.getSample(ix, iy, b).toByte
+            k += 1
+            b += 1
           }
+          x += 1
         }
+        y += 1
       }
+      val md5 = md5Hex(out)
+      ResizedImage(url, fmt, ok = true, w, h, ow, oh, md5)
+    }
   }
 
   // ---------- multimodal REAL audio decode (javax.sound.sampled) ----------
@@ -760,8 +764,12 @@ object Surfaces {
     import spark.implicits._
     input.select(col("url"), col("html"))
       .as[(String, Array[Byte])]
-      .mapPartitions { iter =>
-        iter.map { case (url, payload0) =>
+      .mapPartitions(_.map { case (url, payload) => decodeAudioRow(url, payload) })
+  }
+
+  /** Row-local audio decode kernel of [[decodeAudio]] (fuzz-callable). */
+  private[graft] def decodeAudioRow(url: String, payload0: Array[Byte]): DecodedAudio = {
+    locally {
           val payload = if (payload0 == null) Array.emptyByteArray else payload0
           val isRiff = payload.length >= 12 &&
             payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
@@ -775,8 +783,20 @@ object Surfaces {
                   new java.io.ByteArrayInputStream(payload))
                 try {
                   val af = in.getFormat
-                  val pcm = in.readAllBytes()
-                  Some((af, pcm))
+                  // BOUNDED manual read, never readAllBytes: an
+                  // AudioInputStream returns 0 (not -1) when asked for less
+                  // than one frame, so a crafted fmt chunk declaring a
+                  // frame size above the read buffer spins readAllBytes
+                  // forever (found by the fuzz campaign — a decode bomb
+                  // that would pin an executor core). Zero-byte read =
+                  // frame-size lie = corrupt; oversize output = bomb cap.
+                  val maxPcm = 64 << 20
+                  val buf = new java.io.ByteArrayOutputStream()
+                  val chunk = new Array[Byte](64 * 1024)
+                  var n = in.read(chunk)
+                  while (n > 0 && buf.size <= maxPcm) { buf.write(chunk, 0, n); n = in.read(chunk) }
+                  if (n == 0 || buf.size > maxPcm) None
+                  else Some((af, buf.toByteArray))
                 } finally in.close()
               } catch { case _: Throwable => None }
           decoded match {
@@ -803,8 +823,7 @@ object Surfaces {
               DecodedAudio(url, fmt, ok = true, af.getSampleRate.round, channels, bits,
                 nSamples, md5, rmsMilli)
           }
-        }
-      }
+    }
   }
 
   // ---------- multimodal REAL video frame decode (RIFF/AVI + MJPEG) ----------
@@ -873,23 +892,24 @@ object Surfaces {
     import spark.implicits._
     input.select(col("url"), col("html"))
       .as[(String, Array[Byte])]
-      .mapPartitions { iter =>
-        iter.flatMap { case (url, payload0) =>
-          val payload = if (payload0 == null) Array.emptyByteArray else payload0
-          demuxAvi(payload) match {
-            case None =>
-              Iterator.single(VideoFrame(url, -1, -1, -1, -1, null, -1, -1, decodeOk = false))
-            case Some((w, h, fps, frames)) =>
-              frames.iterator.zipWithIndex.map { case (fr, idx) =>
-                val md5 = md5Hex(fr)
-                val (_, img) = readImage(fr)
-                if (img == null) VideoFrame(url, idx, fps, w, h, md5, -1, -1, decodeOk = false)
-                else VideoFrame(url, idx, fps, w, h, md5, img.getWidth, img.getHeight,
-                  decodeOk = true)
-              }
-          }
+      .mapPartitions(_.flatMap { case (url, payload) => videoFramesRow(url, payload) })
+  }
+
+  /** Row-local demux+decode kernel of [[decodeVideoFrames]] (fuzz-callable). */
+  private[graft] def videoFramesRow(url: String, payload0: Array[Byte]): Iterator[VideoFrame] = {
+    val payload = if (payload0 == null) Array.emptyByteArray else payload0
+    demuxAvi(payload) match {
+      case None =>
+        Iterator.single(VideoFrame(url, -1, -1, -1, -1, null, -1, -1, decodeOk = false))
+      case Some((w, h, fps, frames)) =>
+        frames.iterator.zipWithIndex.map { case (fr, idx) =>
+          val md5 = md5Hex(fr)
+          val (_, img) = readImage(fr)
+          if (img == null) VideoFrame(url, idx, fps, w, h, md5, -1, -1, decodeOk = false)
+          else VideoFrame(url, idx, fps, w, h, md5, img.getWidth, img.getHeight,
+            decodeOk = true)
         }
-      }
+    }
   }
 
   // ---------- multimodal frame sampling (stub decode) ----------

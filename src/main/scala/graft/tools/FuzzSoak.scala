@@ -35,7 +35,8 @@ object FuzzSoak {
     val iterations = sys.env.getOrElse("FUZZ_ITERS", "4000").toInt
     val bases = (0L until 13L).map(graft.spark.FixtureGen.docFor).map(_.bytes) ++
       Seq(graft.spark.FixtureGen.book(1).bytes,
-        graft.spark.FixtureGen.ccittImage(1).bytes) ++ {
+        graft.spark.FixtureGen.ccittImage(1).bytes,
+        graft.spark.FixtureGen.ccittImageG3(1).bytes) ++ {
         val dir = java.nio.file.Paths.get("/root/reference/data/fixtures")
         if (java.nio.file.Files.isDirectory(dir)) {
           val st = java.nio.file.Files.list(dir)
@@ -44,6 +45,16 @@ object FuzzSoak {
           finally st.close()
         } else Seq.empty
       }
+    // media payloads for the x17-x20 decoder surfaces: authored JPEG/PNG/
+    // WAV/AVI plus raw junk — mutations exercise truncation, size-field
+    // lies, and chunk-length overflows against the same totality contract
+    // (ok=false / empty rows, never a throw)
+    val mediaBases: Seq[Array[Byte]] =
+      (0L until 4L).flatMap(i => Seq(
+        graft.spark.FixtureGen.mediaJpeg(i).bytes,
+        graft.spark.FixtureGen.mediaPng(i).bytes,
+        graft.spark.FixtureGen.mediaWav(i).bytes,
+        graft.spark.FixtureGen.mediaAvi(i).bytes))
     val failures = new AtomicLong()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     val done = new AtomicLong()
@@ -63,6 +74,15 @@ object FuzzSoak {
               Images.extractPageImages(d, 1)
             }
             Html.extractHtml(m)
+            // media decoders on a mutated media payload (and, every 4th
+            // iter, on the mutated PDF bytes — format confusion)
+            val mm =
+              if (k % 4 == 0) m
+              else mutate(mediaBases((t * 5 + k) % mediaBases.length), rnd)
+            graft.spark.Surfaces.decodeImageRow("fuzz", mm)
+            graft.spark.Surfaces.resizeImageRow("fuzz", mm, 16)
+            graft.spark.Surfaces.decodeAudioRow("fuzz", mm)
+            graft.spark.Surfaces.videoFramesRow("fuzz", mm).foreach(_ => ())
           } catch {
             case e: Throwable =>
               failures.incrementAndGet()

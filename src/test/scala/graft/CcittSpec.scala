@@ -96,6 +96,88 @@ class CcittSpec extends AnyFunSuite {
     assert(decoded >= 0) // totality is the assertion; no throw, no hang
   }
 
+  test("CCITT G3 1-D roundtrip: encode -> decode recovers the bitmap") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 0 until 20) {
+      val w = 1 + rnd.nextInt(90)
+      val h = 1 + rnd.nextInt(12)
+      val bitmap = Array.tabulate(h, w)((_, _) => rnd.nextBoolean())
+      val enc = Ccitt.encodeG3(bitmap, w)
+      val dec = Ccitt.decodeG3(enc, w, h, k = 0, blackIs1 = true, byteAlign = false)
+        .fold(e => fail(s"trial $trial: $e"), identity)
+      val rowBytes = (w + 7) / 8
+      assert(dec.length == rowBytes * h, s"trial $trial w=$w h=$h")
+      for (y <- 0 until h; x <- 0 until w) {
+        val bit = (dec(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+        assert((bit == 1) == bitmap(y)(x), s"trial $trial pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("CCITT G3 totality: truncation and bit flips never throw") {
+    val bitmap = Array.tabulate(10, 64)((y, x) => ((x + y) % 3) == 0)
+    val valid = Ccitt.encodeG3(bitmap, 64)
+    val rnd = new scala.util.Random(99)
+    for (n <- 0 until 600) {
+      val bytes =
+        if (n % 3 == 0) valid.take(rnd.nextInt(valid.length))
+        else if (n % 3 == 1) Array.fill[Byte](1 + rnd.nextInt(96))(rnd.nextInt(256).toByte)
+        else {
+          val m = valid.clone()
+          m(rnd.nextInt(m.length)) = (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+          m
+        }
+      Ccitt.decodeG3(bytes, 64, 10, k = 0, blackIs1 = false, byteAlign = false) match {
+        case Right(_) | Left(_) => () // totality is the assertion
+      }
+    }
+  }
+
+  test("CCITT G3 /K > 0: 1-D-tagged rows decode, a 2-D tag is refused") {
+    val bitmap = Array.tabulate(4, 16)((y, x) => (x + y) % 2 == 0)
+    // encodeG3 writes EOL before each row; in /K > 0 mixed mode each EOL is
+    // followed by a tag bit — rebuild the stream with tags by hand
+    def rowRuns(row: Array[Boolean]): String = {
+      val sb = new StringBuilder
+      var x = 0
+      var white = true
+      while (x < 16) {
+        var end = x
+        while (end < 16 && row(end) == !white) end += 1
+        sb ++= Ccitt.runCode(end - x, white)
+        white = !white
+        x = end
+      }
+      sb.toString
+    }
+    def bits(s: String): Array[Byte] =
+      s.grouped(8).map(g => Integer.parseInt(g.padTo(8, '0'), 2).toByte).toArray
+    val tagged1d = bits(bitmap.map(r => "000000000001" + "1" + rowRuns(r)).mkString)
+    val ok = Ccitt.decodeG3(tagged1d, 16, 4, k = 4, blackIs1 = true, byteAlign = false)
+    assert(ok.isRight && ok.toOption.get.length == 2 * 4)
+    val tagged2d = bits("000000000001" + "0" + rowRuns(bitmap(0)))
+    val refused = Ccitt.decodeG3(tagged2d, 16, 4, k = 4, blackIs1 = true, byteAlign = false)
+    assert(refused.isLeft, refused)
+  }
+
+  test("CCITT G3 image extracts end-to-end with correct dimensions") {
+    val d = graft.spark.FixtureGen.ccittImageG3(7)
+    val doc = DocStructure.openDocument(d.bytes, None).toOption.get
+    assert(Extract.taggedText(doc) == Right(d.expected))
+    val images = Images.extractPageImages(doc, 1).toOption.get
+    assert(images.length == 1)
+    val im = images.head
+    assert(im.format == "png", im.format)
+    val png = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(im.bytes))
+    assert(png.getWidth == 40 && png.getHeight == 12)
+    // spot-check pixels against the constructed bitmap: (3x+y+7)%7<3 = black
+    for ((x, y) <- Seq((0, 0), (1, 0), (5, 3), (39, 11))) {
+      val black = ((x * 3 + y + 7) % 7) < 3
+      val v = png.getRaster.getSample(x, y, 0)
+      assert((v == 0) == black, s"pixel ($x,$y): sample $v expected black=$black")
+    }
+  }
+
   test("CCITT G4 image extracts end-to-end with correct dimensions") {
     val d = graft.spark.FixtureGen.ccittImage(4)
     val doc = DocStructure.openDocument(d.bytes, None).toOption.get

@@ -372,6 +372,26 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fin.filter(_.getLong(0) == 2L).map(_.getLong(2)).toSeq == Seq(2L, 1L))
   }
 
+  test("audio decode: a frame-size lie (blockAlign 0) is rejected, never a spin") {
+    // AudioInputStream.read returns 0 (not -1) when the effective frame
+    // size is 0 or exceeds the read buffer; readAllBytes loops forever on
+    // those zero-byte reads (found by the media fuzz campaign). The
+    // bounded reader must yield ok=false instead.
+    for (patch <- Seq[(String, Array[Byte] => Unit)](
+        ("channels=0", w => { w(22) = 0; w(23) = 0 }),
+        ("channels=0xFFFF", w => { w(22) = -1; w(23) = -1 }),
+        ("bits=0", w => { w(34) = 0; w(35) = 0 }))) {
+      val w = graft.spark.FixtureGen.mediaWav(3).bytes.clone()
+      patch._2(w)
+      val r = graft.spark.Surfaces.decodeAudioRow("u", w)
+      assert(!r.ok, patch._1)
+    }
+    // and the untouched payload still decodes exactly
+    val good = graft.spark.FixtureGen.mediaWav(3)
+    val g = graft.spark.Surfaces.decodeAudioRow("u", good.bytes)
+    assert(g.ok && g.nSamples == good.nSamples)
+  }
+
   test("streaming dedup drops every at-least-once redelivery") {
     val dir = "/root/testdata/sf0.001"
     val events = spark.read.parquet(s"$dir/events.parquet")
