@@ -447,6 +447,17 @@ object Ccitt {
     else { br.pos = save; false }
   }
 
+  /** True when every bit from the current position to EOF is zero (pad
+    * fill); does not consume. Cheap on real data — the scan stops at the
+    * first 1 bit. */
+  private def remainderIsZeroFill(br: BitReader): Boolean = {
+    val save = br.pos
+    var b = br.readBit()
+    while (b == 0) b = br.readBit()
+    br.pos = save
+    b < 0
+  }
+
   /** Decode a G3 1-D stream (T.4 MH, the /K >= 0 family): each row is a
     * white-first alternation of run codes summing to /Columns, rows are
     * separated by optional EOLs (fill-absorbing), and RTC (two consecutive
@@ -481,7 +492,10 @@ object Ccitt {
           }
         }
       }
-      if (eols >= 2 || br.eof) done = true
+      // a stream with no RTC (/EndOfBlock false writers) may end in >=14
+      // zero pad bits: that is EOD, not a bad run code — without this an
+      // entirely-decoded no-/Rows image would be dropped over its padding
+      if (eols >= 2 || br.eof || remainderIsZeroFill(br)) done = true
       if (!done) {
         val cur = new ArrayBuffer[Int]
         var total = 0

@@ -498,6 +498,54 @@ object FixtureGen {
     Doc("encryptedaes", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
+  /** V4 encrypt dict that declares NO crypt filters (/CF //StmF //StrF all
+    * absent) and leaves streams as plaintext: ISO 32000-1 7.6.5's default
+    * for an absent /StmF//StrF is /Identity, so a conforming reader must
+    * pass the streams through undecrypted. Exercises the spec-default
+    * branch of Crypt.filterIsIdentity (strings in the dict itself are
+    * still not a factor — the fixture has none). Not in the corpus cycle. */
+  def encryptedNoCf(i: Long): Doc = {
+    val line = s"Identity-default document $i"
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\n"
+    def md5(x: Array[Byte]) = java.security.MessageDigest.getInstance("MD5").digest(x)
+    val pad = Array(
+      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+      0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+      0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+    def padPw(pw: Array[Byte]) = (pw ++ pad).take(32)
+    def xorKey(k: Array[Byte], m: Int) = k.map(b => (b ^ m).toByte)
+    val fileId = md5(b(s"nocf-corpus-id-$i"))
+    var oKey = md5(padPw(b("owner")))
+    for (_ <- 1 to 50) oKey = md5(oKey)
+    oKey = oKey.take(16)
+    var oValue = padPw(Array.emptyByteArray)
+    for (m <- 0 to 19) oValue = Crypt.rc4(xorKey(oKey, m), oValue)
+    val p = -3904
+    val pLe = Array((p & 0xff).toByte, ((p >> 8) & 0xff).toByte, ((p >> 16) & 0xff).toByte, ((p >>> 24) & 0xff).toByte)
+    var fileKey = md5(padPw(Array.emptyByteArray) ++ oValue ++ pLe ++ fileId)
+    for (_ <- 1 to 50) fileKey = md5(fileKey.take(16))
+    fileKey = fileKey.take(16)
+    var uValue = Crypt.rc4(fileKey, md5(pad ++ fileId))
+    for (m <- 1 to 19) uValue = Crypt.rc4(xorKey(fileKey, m), uValue)
+    uValue = uValue.take(16) ++ new Array[Byte](16)
+    def hex(xs: Array[Byte]) = {
+      val h = xs.map(x => f"${x & 0xff}%02x").mkString
+      if (h.length >= 2) h.substring(0, 2).toUpperCase + h.substring(2) else h
+    }
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      pageObj(2, 4, 5),
+      contentObj(content, compress = false), // PLAINTEXT stream
+      helvetica,
+      s"<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+        s"/O <${hex(oValue)}> /U <${hex(uValue)}> /P $p >>")
+    val pdf = classicPdf(objs,
+      trailerExtra = s" /Encrypt 6 0 R /ID [<${hex(fileId)}> <${hex(fileId)}>]")
+    Doc("encryptednocf", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
+  }
+
   /** Nested Form XObjects (Fm0 containing Fm1) for the form-export surface;
     * not part of the corpus cycle. */
   def formParent(i: Long): Doc = {

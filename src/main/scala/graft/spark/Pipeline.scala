@@ -281,6 +281,10 @@ object Pipeline {
     // explicitly unpersisted (repeat invocations in a long-lived session
     // would accumulate storage), while checkpoint blocks are dropped by the
     // ContextCleaner as soon as the returned Dataset is unreferenced.
+    // (Cluster caveat: localCheckpoint forfeits lineage recovery — under
+    // dynamic allocation / preemption a lost executor fails the job. The
+    // giant-plan table is tiny; a cluster run would read page counts from
+    // table metadata instead, as noted above.)
     val giantUrls = planned.filter(col("pages") > giantThresholdPages)
       // per-doc chunk size: pages/maxChunks, floored at half the giant
       // threshold so a barely-giant doc still amortizes its re-opens
@@ -769,60 +773,58 @@ object Surfaces {
 
   /** Row-local audio decode kernel of [[decodeAudio]] (fuzz-callable). */
   private[graft] def decodeAudioRow(url: String, payload0: Array[Byte]): DecodedAudio = {
-    locally {
-          val payload = if (payload0 == null) Array.emptyByteArray else payload0
-          val isRiff = payload.length >= 12 &&
-            payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
-            payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E'
-          val fmt = if (isRiff) "wav" else "binary"
-          val decoded =
-            if (!isRiff) None
-            else
-              try {
-                val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                  new java.io.ByteArrayInputStream(payload))
-                try {
-                  val af = in.getFormat
-                  // BOUNDED manual read, never readAllBytes: an
-                  // AudioInputStream returns 0 (not -1) when asked for less
-                  // than one frame, so a crafted fmt chunk declaring a
-                  // frame size above the read buffer spins readAllBytes
-                  // forever (found by the fuzz campaign — a decode bomb
-                  // that would pin an executor core). Zero-byte read =
-                  // frame-size lie = corrupt; oversize output = bomb cap.
-                  val maxPcm = 64 << 20
-                  val buf = new java.io.ByteArrayOutputStream()
-                  val chunk = new Array[Byte](64 * 1024)
-                  var n = in.read(chunk)
-                  while (n > 0 && buf.size <= maxPcm) { buf.write(chunk, 0, n); n = in.read(chunk) }
-                  if (n == 0 || buf.size > maxPcm) None
-                  else Some((af, buf.toByteArray))
-                } finally in.close()
-              } catch { case _: Throwable => None }
-          decoded match {
-            case None => DecodedAudio(url, fmt, ok = false, -1, -1, -1, -1, null, -1L)
-            case Some((af, pcm)) =>
-              val bits = af.getSampleSizeInBits
-              val channels = af.getChannels
-              val frameBytes = channels * bits / 8
-              val nSamples = if (frameBytes > 0) pcm.length / frameBytes else 0
-              val md5 = md5Hex(pcm)
-              // RMS over 16-bit LE samples (integer accumulation, exact)
-              var sumSq = 0L
-              var k = 0
-              while (bits == 16 && k + 1 < pcm.length) {
-                val v = ((pcm(k + 1) << 8) | (pcm(k) & 0xff)).toShort.toInt
-                sumSq += v.toLong * v
-                k += 2
-              }
-              val n = math.max(pcm.length / 2, 1)
-              // RMS is only computed for 16-bit PCM; -1 marks "not
-              // computed" so non-16-bit audio is never mistaken for silence
-              val rmsMilli =
-                if (bits == 16) (math.sqrt(sumSq.toDouble / n) * 1000).round else -1L
-              DecodedAudio(url, fmt, ok = true, af.getSampleRate.round, channels, bits,
-                nSamples, md5, rmsMilli)
-          }
+    val payload = if (payload0 == null) Array.emptyByteArray else payload0
+    val isRiff = payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E'
+    val fmt = if (isRiff) "wav" else "binary"
+    val decoded =
+      if (!isRiff) None
+      else
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val af = in.getFormat
+            // BOUNDED manual read, never readAllBytes: an
+            // AudioInputStream returns 0 (not -1) when asked for less
+            // than one frame, so a crafted fmt chunk declaring a
+            // frame size above the read buffer spins readAllBytes
+            // forever (found by the fuzz campaign — a decode bomb
+            // that would pin an executor core). Zero-byte read =
+            // frame-size lie = corrupt; oversize output = bomb cap.
+            val maxPcm = 64 << 20
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](64 * 1024)
+            var n = in.read(chunk)
+            while (n > 0 && buf.size <= maxPcm) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            if (n == 0 || buf.size > maxPcm) None
+            else Some((af, buf.toByteArray))
+          } finally in.close()
+        } catch { case _: Throwable => None }
+    decoded match {
+      case None => DecodedAudio(url, fmt, ok = false, -1, -1, -1, -1, null, -1L)
+      case Some((af, pcm)) =>
+        val bits = af.getSampleSizeInBits
+        val channels = af.getChannels
+        val frameBytes = channels * bits / 8
+        val nSamples = if (frameBytes > 0) pcm.length / frameBytes else 0
+        val md5 = md5Hex(pcm)
+        // RMS over 16-bit LE samples (integer accumulation, exact)
+        var sumSq = 0L
+        var k = 0
+        while (bits == 16 && k + 1 < pcm.length) {
+          val v = ((pcm(k + 1) << 8) | (pcm(k) & 0xff)).toShort.toInt
+          sumSq += v.toLong * v
+          k += 2
+        }
+        val n = math.max(pcm.length / 2, 1)
+        // RMS is only computed for 16-bit PCM; -1 marks "not
+        // computed" so non-16-bit audio is never mistaken for silence
+        val rmsMilli =
+          if (bits == 16) (math.sqrt(sumSq.toDouble / n) * 1000).round else -1L
+        DecodedAudio(url, fmt, ok = true, af.getSampleRate.round, channels, bits,
+          nSamples, md5, rmsMilli)
     }
   }
 

@@ -204,6 +204,22 @@ object Queries {
            |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  private val cleanupRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Delete a per-session bucketed-table dir when the JVM exits (normal
+    * exit covers test/Verify/bench runs; a kill -9 leaves at most one dir
+    * for the OS tmp reaper). Idempotent per path. */
+  private def registerBucketedCleanup(base: String): Unit =
+    if (cleanupRegistered.add(base))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }))
+
   private val q12 = Q(
     (spark, dir) => {
       // Bucketed co-located fact-fact join: both sides are written bucketed
@@ -220,6 +236,9 @@ object Queries {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$sid"
       val liTable = s"graft_li_bucketed_$sid"
       val ordTable = s"graft_ord_bucketed_$sid"
+      // per-session paths would otherwise leak one table copy into /tmp per
+      // JVM (the gates run many): this JVM deletes its own dir on exit
+      registerBucketedCleanup(base)
       t(spark, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
         .write.mode("overwrite")
@@ -503,13 +522,18 @@ object Queries {
     * bites, so the d7 oracle is unchanged.
     */
   private[graft] def signLshBandPairs(allv: DataFrame, cap: Long = 64L): DataFrame = {
-    // per-band oversize band keys; tiny by construction (≤ totalRows/cap
-    // keys can exceed the cap), so each is safe to broadcast
+    // per-band oversize band keys, tiny by construction (≤ totalRows/cap
+    // keys can exceed the cap); materialized ONCE (localCheckpoint) and
+    // reused by both the audit and the flag joins below
     val big = (0 until 4).map { j =>
-      allv.groupBy(col(s"band$j").as(s"a$j")).agg(count(lit(1)).as("n"))
+      allv.groupBy(col(s"band$j")).agg(count(lit(1)).as("n"))
         .filter(col("n") > cap)
+        .localCheckpoint(true)
     }
-    // no silent caps: one aggregate action reports what was dropped
+    // no silent caps: one aggregate action reports what was dropped (a
+    // pair oversize in SEVERAL bands is counted once per band here; the
+    // recovery below means only pairs oversize in EVERY shared band are
+    // truly lost)
     val drop = big.map(_.agg(
         coalesce(count(lit(1)), lit(0L)).as("buckets"),
         coalesce(sum(col("n")), lit(0L)).as("rows"),
@@ -520,20 +544,33 @@ object Queries {
       System.err.println(
         s"[signLshBandPairs] dropped ${drop.getLong(0)} oversize bucket(s) " +
           s"(cap=$cap): ${drop.getLong(1)} rows, ${drop.getLong(2)} " +
-          "would-be pairs routed out of LSH pairing")
-    val lhs = allv.select(col("id").as("id_a") +: col("embedding").as("emb_a") +:
-      (0 until 4).map(j => col(s"band$j").as(s"a$j")): _*)
-    val rhs = allv.select(col("id").as("id_b") +: col("embedding").as("emb_b") +:
+          "would-be pairs (per-band count) routed out of LSH pairing")
+    // flag every row with whether its band-j bucket is oversize: band j's
+    // pairing skips dropped buckets, and the first-band-wins exclusion for
+    // an earlier band i applies only when band i actually RAN that bucket
+    // (a_i =!= c_i OR dropped_i) — otherwise a pair sharing an oversize
+    // band-i bucket but a healthy band-j bucket would be lost in EVERY
+    // band instead of recovered by band j
+    val flagged = (0 until 4).foldLeft(allv) { (df, j) =>
+      df.join(broadcast(big(j).select(col(s"band$j"), lit(true).as(s"drop$j"))),
+          Seq(s"band$j"), "left")
+        .withColumn(s"drop$j", coalesce(col(s"drop$j"), lit(false)))
+    }
+    val lhs = flagged.select(col("id").as("id_a") +: col("embedding").as("emb_a") +:
+      ((0 until 4).map(j => col(s"band$j").as(s"a$j")) ++
+        (0 until 4).map(j => col(s"drop$j").as(s"da$j"))): _*)
+    val rhs = flagged.select(col("id").as("id_b") +: col("embedding").as("emb_b") +:
       (0 until 4).map(j => col(s"band$j").as(s"c$j")): _*)
     (0 until 4).map { j =>
       val cond = (0 until j).foldLeft(
         col(s"a$j") === col(s"c$j") && col("id_a") < col("id_b")) {
-        (c, i) => c && col(s"a$i") =!= col(s"c$i")
+        (c, i) => c && (col(s"a$i") =!= col(s"c$i") || col(s"da$i"))
       }
-      // excluding the key from ONE side suffices: the equi-join on a$j===c$j
-      // can then never form a pair inside that bucket
-      val safeLhs = lhs.join(broadcast(big(j).select(s"a$j")), Seq(s"a$j"), "left_anti")
-      safeLhs.join(rhs, cond).select("id_a", "id_b", "emb_a", "emb_b")
+      // filtering ONE side suffices: the equi-join on a$j===c$j can then
+      // never form a pair inside a dropped bucket (when a_j === c_j, the
+      // lhs row's flag describes the shared bucket)
+      lhs.filter(!col(s"da$j")).join(rhs, cond)
+        .select("id_a", "id_b", "emb_a", "emb_b")
     }.reduce(_.unionByName(_))
   }
 
@@ -596,7 +633,13 @@ object Queries {
         // the bucket-size audit, and checkpoint blocks are released by the
         // ContextCleaner when the result is dropped — cache() entries pin
         // executor storage until an unpersist nobody is positioned to call
-        // (the caller still holds the lazy plan when the query returns)
+        // (the caller still holds the lazy plan when the query returns).
+        // Trade-off, stated honestly: localCheckpoint truncates lineage,
+        // so losing an executor (dynamic allocation, preemption) fails the
+        // job instead of recomputing — right for these single-JVM gates; a
+        // cluster pipeline materializes the signature table to storage
+        // (the move every LSH pipeline makes anyway) and gets both
+        // recovery and reuse.
         .localCheckpoint(true)
       val links = signLshBandPairs(allv)
       val dot = aggregate(zip_with(col("emb_a"), col("emb_b"), (a, x) => a * x),

@@ -441,6 +441,18 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("V4 dict with no /CF: absent /StmF defaults to Identity (ISO 32000-1 7.6.5)") {
+    // a conforming writer that omits /CF //StmF //StrF intends Identity:
+    // the plaintext streams must pass through, not be "decrypted" into
+    // garbage. Real encrypting writers declare /CF, so the leniency branch
+    // (absent /StmF but /CF present => encrypted) stays: previous test
+    // pins that encryptedAes (with /CF) still treats streams as encrypted.
+    val d = graft.spark.FixtureGen.encryptedNoCf(6)
+    val doc = DocStructure.openDocument(d.bytes, None).toOption.get
+    assert(doc.security.exists(s => !s.stmEncrypted && !s.strEncrypted))
+    assert(Extract.taggedText(doc) == Right(d.expected))
+  }
+
   test("AES-256 R6 fixture decrypts and extracts (empty user password)") {
     val d = graft.spark.FixtureGen.encryptedAes256(9)
     val doc = DocStructure.openDocument(d.bytes, None).toOption.get

@@ -137,17 +137,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val degen = (1L to 200L).map(i => (i, Array.fill(4)(0.0f), 7L, 7L, 7L, 7L))
     val healthy = Seq(
       (2001L, Array.fill(4)(1.0f), 1L, 21L, 31L, 41L),
-      (2002L, Array.fill(4)(1.0f), 1L, 22L, 32L, 42L))
+      (2002L, Array.fill(4)(1.0f), 1L, 22L, 32L, 42L),
+      // a pair INSIDE the oversize band0 bucket that also shares a healthy
+      // 2-row band1 bucket: the cap must not lose it — band1 recovers it
+      (301L, Array.fill(4)(2.0f), 7L, 55L, 61L, 71L),
+      (302L, Array.fill(4)(2.0f), 7L, 55L, 62L, 72L))
     val allv = (degen ++ healthy).toDF(
       "id", "embedding", "band0", "band1", "band2", "band3")
-    // cap 64: the 200-row bucket (19,900 would-be pairs) is excluded from
-    // pairing in every band; only the healthy pair survives
-    val capped = Queries.signLshBandPairs(allv, cap = 64L).collect()
-    assert(capped.length == 1, capped.mkString(","))
-    assert(capped.head.getLong(0) == 2001L && capped.head.getLong(1) == 2002L)
-    // cap above the bucket size: behavior is the uncapped all-pairs-within-
-    // bucket semantics (200*199/2 degenerate pairs + the healthy one)
-    assert(Queries.signLshBandPairs(allv, cap = 300L).count() == 19901L)
+    // cap 64: the 202-row band0 bucket is excluded from pairing; the
+    // healthy band0 pair survives and the oversize-bucket pair is
+    // recovered through its healthy band1 bucket
+    val capped = Queries.signLshBandPairs(allv, cap = 64L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(capped.toSeq == Seq((301L, 302L), (2001L, 2002L)), capped.mkString(","))
+    // cap above the bucket size: uncapped all-pairs-within-bucket semantics
+    // (202*201/2 band0 pairs + the healthy band0 pair)
+    assert(Queries.signLshBandPairs(allv, cap = 300L).count() == 20302L)
   }
 
   test("anti-join resume broadcasts the done set when small") {
