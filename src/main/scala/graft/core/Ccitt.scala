@@ -344,71 +344,87 @@ object Ccitt {
     var done = false
     while (!done && rowCount < maxRows && !br.eof) {
       if (byteAlign) br.alignByte()
-      val cur = new ArrayBuffer[Int]
-      var a0 = -1
-      var white = true
-      var rowOk = true
-      var rowDone = false
-      var steps = 0
-      while (!rowDone) {
-        steps += 1
-        if (steps > 2 * columns + 16) // malformed stream stalling a0: stay total
-          return Left(PdfError.ParseError(s"CCITT G4: no row progress (row $rowCount)"))
-        // b1: first ref transition > a0 with the same "to-color" parity as
-        // the current color (even index = white->black, odd = black->white)
-        var i = if (white) 0 else 1
-        while (i < ref.length && ref(i) <= a0) i += 2
-        // a0 = -1 start: any transition >= 0 qualifies (handled by <= -1)
-        val b1 = if (i < ref.length) ref(i) else columns
-        val b2 = if (i + 1 < ref.length) ref(i + 1) else columns
-        readMode(br) match {
-          case ModeP =>
-            a0 = b2 // color unchanged, no transition recorded
-            if (a0 >= columns) rowDone = true
-          case ModeH =>
-            val a0p = math.max(a0, 0)
-            val r1 = readRun(br, if (white) whiteDecode else blackDecode)
-            val r2 = if (r1 >= 0) readRun(br, if (white) blackDecode else whiteDecode) else r1
-            // -2 = a bit pattern outside the run tables: CORRUPTION, a hard
-            // parse error like a bad mode code (a silent short image would
-            // misreport a damaged scan as success); -1 = clean EOF, keep
-            // the truncation semantics
-            if (r1 == -2 || r2 == -2)
-              return Left(PdfError.ParseError(
-                s"CCITT G4: bad run code at bit ${br.pos} (row $rowCount)"))
-            if (r1 < 0 || r2 < 0) { rowOk = false; rowDone = true; done = true }
-            else {
-              val a1 = math.min(a0p + r1, columns)
-              val a2 = math.min(a1 + r2, columns)
-              cur += a1
-              cur += a2
-              a0 = a2
-              if (a0 >= columns) rowDone = true
-            }
-          case m if m >= ModeVL3 && m <= ModeVR3 => // vertical -3..3
-            val a1 = math.min(math.max(b1 + m, 0), columns)
-            cur += a1
-            a0 = a1
-            white = !white
-            if (a0 >= columns) rowDone = true
-          case ModeEol | ModeEof =>
-            rowOk = cur.nonEmpty
-            rowDone = true
-            done = true
-          case _ =>
-            return Left(PdfError.ParseError(
-              s"CCITT G4: bad mode code at bit ${br.pos} (row $rowCount)"))
-        }
-      }
-      if (rowOk && (cur.nonEmpty || a0 >= columns)) {
-        out ++= packRow(cur, columns, rowBytes, blackIs1)
-        rowCount += 1
-        cur += columns
-        cur += columns
-        ref = cur.toArray
+      decodeRow2D(br, ref, columns, rowCount, "G4") match {
+        case Left(e) => return Left(e)
+        case Right((cur, term)) =>
+          if (term != RowComplete) done = true
+          // a complete row is always emitted (an all-white P-mode row has
+          // no transitions); an EOL/EOF-mode-terminated partial row is
+          // emitted only when it recorded transitions; a run-code EOF
+          // drops the partial row (pinned G4 semantics)
+          if (term == RowComplete || (term == RowMarker && cur.nonEmpty)) {
+            out ++= packRow(cur, columns, rowBytes, blackIs1)
+            rowCount += 1
+            cur += columns
+            cur += columns
+            ref = cur.toArray
+          }
       }
     }
     Right(out.toArray)
+  }
+
+  private val RowComplete = 0 // a0 reached /Columns
+  private val RowRunEof = 1 // clean EOF inside an H-mode run pair
+  private val RowMarker = 2 // EOL (or EOF from the mode reader) hit
+
+  /** Decode ONE 2-D-coded row (shared by T.6 G4 and T.4 G3 /K > 0 rows)
+    * against the reference line's transition array. Returns the row's
+    * transitions plus how it ended; corruption (bad mode/run code, stalled
+    * a0) is a hard Left. */
+  private def decodeRow2D(br: BitReader, ref: Array[Int], columns: Int,
+      rowCount: Int, label: String): Either[PdfError, (ArrayBuffer[Int], Int)] = {
+    val cur = new ArrayBuffer[Int]
+    var a0 = -1
+    var white = true
+    var steps = 0
+    while (true) {
+      steps += 1
+      if (steps > 2 * columns + 16) // malformed stream stalling a0: stay total
+        return Left(PdfError.ParseError(s"CCITT $label: no row progress (row $rowCount)"))
+      // b1: first ref transition > a0 with the same "to-color" parity as
+      // the current color (even index = white->black, odd = black->white)
+      var i = if (white) 0 else 1
+      while (i < ref.length && ref(i) <= a0) i += 2
+      // a0 = -1 start: any transition >= 0 qualifies (handled by <= -1)
+      val b1 = if (i < ref.length) ref(i) else columns
+      val b2 = if (i + 1 < ref.length) ref(i + 1) else columns
+      readMode(br) match {
+        case ModeP =>
+          a0 = b2 // color unchanged, no transition recorded
+          if (a0 >= columns) return Right((cur, RowComplete))
+        case ModeH =>
+          val a0p = math.max(a0, 0)
+          val r1 = readRun(br, if (white) whiteDecode else blackDecode)
+          val r2 = if (r1 >= 0) readRun(br, if (white) blackDecode else whiteDecode) else r1
+          // -2 = a bit pattern outside the run tables: CORRUPTION, a hard
+          // parse error like a bad mode code (a silent short image would
+          // misreport a damaged scan as success); -1 = clean EOF, keep
+          // the truncation semantics
+          if (r1 == -2 || r2 == -2)
+            return Left(PdfError.ParseError(
+              s"CCITT $label: bad run code at bit ${br.pos} (row $rowCount)"))
+          if (r1 < 0 || r2 < 0) return Right((cur, RowRunEof))
+          val a1 = math.min(a0p + r1, columns)
+          val a2 = math.min(a1 + r2, columns)
+          cur += a1
+          cur += a2
+          a0 = a2
+          if (a0 >= columns) return Right((cur, RowComplete))
+        case m if m >= ModeVL3 && m <= ModeVR3 => // vertical -3..3
+          val a1 = math.min(math.max(b1 + m, 0), columns)
+          cur += a1
+          a0 = a1
+          white = !white
+          if (a0 >= columns) return Right((cur, RowComplete))
+        case ModeEol | ModeEof =>
+          return Right((cur, RowMarker))
+        case _ =>
+          return Left(PdfError.ParseError(
+            s"CCITT $label: bad mode code at bit ${br.pos} (row $rowCount)"))
+      }
+    }
+    Left(PdfError.ParseError("unreachable"))
   }
 
   /** Emit one packed row from its transition list (alternating
@@ -458,13 +474,15 @@ object Ccitt {
     b < 0
   }
 
-  /** Decode a G3 1-D stream (T.4 MH, the /K >= 0 family): each row is a
-    * white-first alternation of run codes summing to /Columns, rows are
-    * separated by optional EOLs (fill-absorbing), and RTC (two consecutive
-    * EOLs with no data between) or clean EOF ends the image. /K > 0 mixed
-    * mode is accepted only while every row's EOL tag bit selects 1-D — a
-    * 2-D-coded row is refused rather than mis-decoded. `rows = 0` ->
-    * decode until RTC/EOD (same contract as decodeG4). */
+  /** Decode a G3 stream (T.4, the /K >= 0 family). /K = 0: every row is
+    * 1-D MH (a white-first alternation of run codes summing to /Columns).
+    * /K > 0: mixed mode — each EOL carries a tag bit selecting 1-D (1) or
+    * 2-D (0) for the following row; 2-D rows use the same vertical/
+    * horizontal/pass codes as G4 against the previous decoded row. Rows
+    * are separated by optional EOLs (fill-absorbing); RTC (two consecutive
+    * EOLs with no data between), trailing zero fill, or clean EOF ends the
+    * image. `rows = 0` -> decode until RTC/EOD (same contract as
+    * decodeG4). */
   def decodeG3(data: Array[Byte], columns: Int, rows: Int, k: Int,
       blackIs1: Boolean, byteAlign: Boolean): Either[PdfError, Array[Byte]] = {
     if (columns <= 0 || columns > (1 << 20))
@@ -473,30 +491,48 @@ object Ccitt {
     val maxRows = if (rows > 0) rows else Int.MaxValue
     val out = new ArrayBuffer[Byte]
     val br = new BitReader(data)
+    var ref = Array(columns, columns) // imaginary all-white line above row 0
     var rowCount = 0
     var done = false
     while (!done && rowCount < maxRows && !br.eof) {
       if (byteAlign) br.alignByte()
       // leading fill + EOL(s); two EOLs back to back = RTC, end of image
       var eols = 0
-      var tagged1D = true
-      while (tagged1D && tryConsumeEol(br)) {
+      var tag1D = true // /K = 0 rows are always 1-D
+      var stop = false
+      while (!stop && tryConsumeEol(br)) {
         eols += 1
         if (k > 0) {
           // mixed-mode (T.4 2-D) tag bit follows every EOL: 1 = 1-D row
           br.readBit() match {
-            case 1 => ()
-            case 0 => return Left(PdfError.UnsupportedFeature(
-              s"CCITT G3 /K $k 2-D-coded row (row $rowCount)"))
-            case _ => done = true; tagged1D = false
+            case 1 => tag1D = true
+            case 0 => tag1D = false
+            case _ => done = true; stop = true
           }
         }
+        if (eols >= 2) { done = true; stop = true } // RTC
       }
       // a stream with no RTC (/EndOfBlock false writers) may end in >=14
       // zero pad bits: that is EOD, not a bad run code — without this an
       // entirely-decoded no-/Rows image would be dropped over its padding
       if (eols >= 2 || br.eof || remainderIsZeroFill(br)) done = true
-      if (!done) {
+      if (!done && !tag1D) {
+        // 2-D-coded row against the previous decoded row
+        decodeRow2D(br, ref, columns, rowCount, "G3") match {
+          case Left(e) => return Left(e)
+          case Right((cur, RowComplete)) =>
+            out ++= packRow(cur, columns, rowBytes, blackIs1)
+            rowCount += 1
+            cur += columns
+            cur += columns
+            ref = cur.toArray
+          case Right((_, RowRunEof)) => done = true // drop the partial row
+          case Right((_, _)) =>
+            // an EOL inside a fixed-/Columns 2-D row is a short row
+            return Left(PdfError.ParseError(
+              s"CCITT G3: premature EOL in 2-D row (row $rowCount)"))
+        }
+      } else if (!done) {
         val cur = new ArrayBuffer[Int]
         var total = 0
         var white = true
@@ -521,6 +557,10 @@ object Ccitt {
         if (rowOk && total == columns) {
           out ++= packRow(cur, columns, rowBytes, blackIs1)
           rowCount += 1
+          // this row is the next row's 2-D reference line
+          cur += columns
+          cur += columns
+          ref = cur.toArray
         }
       }
     }
@@ -563,19 +603,96 @@ object Ccitt {
     val bw = new BitWriter
     for (row <- bitmap) {
       bw.write("000000000001")
-      var x = 0
-      var white = true
-      while (x < columns) {
-        var end = x
-        val isBlack = !white
-        while (end < columns && row(end) == isBlack) end += 1
-        // a black-first row emits the mandatory zero-length white run
-        bw.write(runCode(end - x, white))
-        white = !white
-        x = end
-      }
+      encode1DRow(bw, row, columns)
     }
     bw.write("000000000001" * 2) // RTC (two EOLs suffice for the decoder contract)
+    bw.result()
+  }
+
+  /** White->black transition positions of one bitmap row. */
+  private def transitionsOf(row: Array[Boolean], columns: Int): Array[Int] = {
+    val cur = new ArrayBuffer[Int]
+    var x = 0
+    var c = false
+    while (x < columns) {
+      if (row(x) != c) { cur += x; c = row(x) }
+      x += 1
+    }
+    cur.toArray
+  }
+
+  /** Emit one 2-D-coded row (vertical/horizontal/pass modes) against the
+    * reference line — shared by the G4 and mixed-G3 encoders. */
+  private def encode2DRow(bw: BitWriter, curArr: Array[Int], ref: Array[Int],
+      columns: Int): Unit = {
+    var a0 = -1
+    var white = true
+    var ci = 0 // next transition index in curArr
+    while (a0 < columns) {
+      val a1 = if (ci < curArr.length) curArr(ci) else columns
+      var i = if (white) 0 else 1
+      while (i < ref.length && ref(i) <= a0) i += 2
+      val b1 = if (i < ref.length) ref(i) else columns
+      val b2 = if (i + 1 < ref.length) ref(i + 1) else columns
+      if (b2 < a1) {
+        bw.write("0001") // pass
+        a0 = b2
+      } else if (math.abs(a1 - b1) <= 3) {
+        bw.write(a1 - b1 match {
+          case 0 => "1"
+          case 1 => "011"
+          case 2 => "000011"
+          case 3 => "0000011"
+          case -1 => "010"
+          case -2 => "000010"
+          case -3 => "0000010"
+        })
+        a0 = a1
+        white = !white
+        ci += 1
+      } else {
+        val a2 = if (ci + 1 < curArr.length) curArr(ci + 1) else columns
+        bw.write("001")
+        bw.write(runCode(a1 - math.max(a0, 0), white))
+        bw.write(runCode(a2 - a1, !white))
+        a0 = a2
+        ci += 2
+      }
+    }
+  }
+
+  /** Emit one 1-D MH row (white-first runs) — shared by the G3 encoders. */
+  private def encode1DRow(bw: BitWriter, row: Array[Boolean], columns: Int): Unit = {
+    var x = 0
+    var white = true
+    while (x < columns) {
+      var end = x
+      val isBlack = !white
+      while (end < columns && row(end) == isBlack) end += 1
+      // a black-first row emits the mandatory zero-length white run
+      bw.write(runCode(end - x, white))
+      white = !white
+      x = end
+    }
+  }
+
+  /** Encode a bitmap (true = black) as a /K > 0 mixed G3 stream: EOL + tag
+    * bit before every row; row 0 and every k-th row are 1-D, the rest 2-D
+    * against the previous row (the standard K-factor structure). */
+  def encodeG3Mixed(bitmap: Array[Array[Boolean]], columns: Int, k: Int): Array[Byte] = {
+    require(k > 0)
+    val bw = new BitWriter
+    var ref = Array(columns, columns)
+    for ((row, idx) <- bitmap.zipWithIndex) {
+      val oneD = idx % k == 0
+      bw.write("000000000001")
+      bw.write(if (oneD) "1" else "0")
+      val curArr = transitionsOf(row, columns)
+      if (oneD) encode1DRow(bw, row, columns)
+      else encode2DRow(bw, curArr, ref, columns)
+      ref = curArr ++ Array(columns, columns)
+    }
+    bw.write("0000000000011" * 2) // RTC: two EOL+tag groups
     bw.result()
   }
 
@@ -584,48 +701,8 @@ object Ccitt {
     val bw = new BitWriter
     var ref = Array(columns, columns)
     for (row <- bitmap) {
-      val cur = new ArrayBuffer[Int]
-      var x = 0
-      var c = false
-      while (x < columns) {
-        if (row(x) != c) { cur += x; c = row(x) }
-        x += 1
-      }
-      val curArr = cur.toArray
-      var a0 = -1
-      var white = true
-      var ci = 0 // next transition index in curArr
-      while (a0 < columns) {
-        val a1 = if (ci < curArr.length) curArr(ci) else columns
-        var i = if (white) 0 else 1
-        while (i < ref.length && ref(i) <= a0) i += 2
-        val b1 = if (i < ref.length) ref(i) else columns
-        val b2 = if (i + 1 < ref.length) ref(i + 1) else columns
-        if (b2 < a1) {
-          bw.write("0001") // pass
-          a0 = b2
-        } else if (math.abs(a1 - b1) <= 3) {
-          bw.write(a1 - b1 match {
-            case 0 => "1"
-            case 1 => "011"
-            case 2 => "000011"
-            case 3 => "0000011"
-            case -1 => "010"
-            case -2 => "000010"
-            case -3 => "0000010"
-          })
-          a0 = a1
-          white = !white
-          ci += 1
-        } else {
-          val a2 = if (ci + 1 < curArr.length) curArr(ci + 1) else columns
-          bw.write("001")
-          bw.write(runCode(a1 - math.max(a0, 0), white))
-          bw.write(runCode(a2 - a1, !white))
-          a0 = a2
-          ci += 2
-        }
-      }
+      val curArr = transitionsOf(row, columns)
+      encode2DRow(bw, curArr, ref, columns)
       ref = curArr ++ Array(columns, columns)
     }
     bw.write("000000000001000000000001") // EOFB

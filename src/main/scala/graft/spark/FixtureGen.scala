@@ -751,12 +751,14 @@ object FixtureGen {
   /** Page with a CCITT Group 3 1-D (/K 0) image XObject — real scanned
     * corpora mix G3 and G4; exercises the T.4 MH decode path end to end
     * through the same image exporter. */
-  def ccittImageG3(i: Long): Doc = {
+  def ccittImageG3(i: Long, k: Int = 0): Doc = {
     val line = s"CCITT G3 image document $i"
     val w = 40
     val h = 12
     val bitmap = Array.tabulate(h, w)((y, x) => ((x * 3 + y + i) % 7) < 3)
-    val enc = new String(graft.core.Ccitt.encodeG3(bitmap, w), ISO_8859_1)
+    val enc = new String(
+      if (k > 0) graft.core.Ccitt.encodeG3Mixed(bitmap, w, k)
+      else graft.core.Ccitt.encodeG3(bitmap, w), ISO_8859_1)
     val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\nq 80 0 0 24 72 560 cm /Im1 Do Q\n"
     val pdf = classicPdf(Seq(
       "<< /Type /Catalog /Pages 2 0 R >>",
@@ -767,7 +769,7 @@ object FixtureGen {
       helvetica,
       s"<< /Type /XObject /Subtype /Image /Width $w /Height $h /ColorSpace /DeviceGray " +
         s"/BitsPerComponent 1 /Filter /CCITTFaxDecode " +
-        s"/DecodeParms << /K 0 /Columns $w /Rows $h >> /Length ${enc.length} >>\nstream\n$enc\nendstream"))
+        s"/DecodeParms << /K $k /Columns $w /Rows $h >> /Length ${enc.length} >>\nstream\n$enc\nendstream"))
     Doc("ccittimageg3", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 

@@ -133,48 +133,46 @@ class CcittSpec extends AnyFunSuite {
     }
   }
 
-  test("CCITT G3 /K > 0: 1-D-tagged rows decode, a 2-D tag is refused") {
-    val bitmap = Array.tabulate(4, 16)((y, x) => (x + y) % 2 == 0)
-    // encodeG3 writes EOL before each row; in /K > 0 mixed mode each EOL is
-    // followed by a tag bit — rebuild the stream with tags by hand
-    def rowRuns(row: Array[Boolean]): String = {
-      val sb = new StringBuilder
-      var x = 0
-      var white = true
-      while (x < 16) {
-        var end = x
-        while (end < 16 && row(end) == !white) end += 1
-        sb ++= Ccitt.runCode(end - x, white)
-        white = !white
-        x = end
+  test("CCITT G3 /K > 0 mixed roundtrip: 1-D anchor rows + 2-D delta rows") {
+    val rnd = new scala.util.Random(123)
+    for (trial <- 0 until 12) {
+      val w = 8 + rnd.nextInt(80)
+      val h = 2 + rnd.nextInt(10)
+      val kFactor = 1 + rnd.nextInt(4)
+      // correlated rows (the shape 2-D coding exists for) with random noise
+      val first = Array.tabulate(w)(_ => rnd.nextBoolean())
+      val bitmap = Array.iterate(first, h)(prev =>
+        prev.map(b => if (rnd.nextInt(8) == 0) !b else b))
+      val enc = Ccitt.encodeG3Mixed(bitmap, w, kFactor)
+      val dec = Ccitt.decodeG3(enc, w, h, k = kFactor, blackIs1 = true, byteAlign = false)
+        .fold(e => fail(s"trial $trial: $e"), identity)
+      val rowBytes = (w + 7) / 8
+      assert(dec.length == rowBytes * h, s"trial $trial w=$w h=$h k=$kFactor")
+      for (y <- 0 until h; x <- 0 until w) {
+        val bit = (dec(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+        assert((bit == 1) == bitmap(y)(x), s"trial $trial k=$kFactor pixel ($x,$y)")
       }
-      sb.toString
     }
-    def bits(s: String): Array[Byte] =
-      s.grouped(8).map(g => Integer.parseInt(g.padTo(8, '0'), 2).toByte).toArray
-    val tagged1d = bits(bitmap.map(r => "000000000001" + "1" + rowRuns(r)).mkString)
-    val ok = Ccitt.decodeG3(tagged1d, 16, 4, k = 4, blackIs1 = true, byteAlign = false)
-    assert(ok.isRight && ok.toOption.get.length == 2 * 4)
-    val tagged2d = bits("000000000001" + "0" + rowRuns(bitmap(0)))
-    val refused = Ccitt.decodeG3(tagged2d, 16, 4, k = 4, blackIs1 = true, byteAlign = false)
-    assert(refused.isLeft, refused)
   }
 
   test("CCITT G3 image extracts end-to-end with correct dimensions") {
-    val d = graft.spark.FixtureGen.ccittImageG3(7)
-    val doc = DocStructure.openDocument(d.bytes, None).toOption.get
-    assert(Extract.taggedText(doc) == Right(d.expected))
-    val images = Images.extractPageImages(doc, 1).toOption.get
-    assert(images.length == 1)
-    val im = images.head
-    assert(im.format == "png", im.format)
-    val png = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(im.bytes))
-    assert(png.getWidth == 40 && png.getHeight == 12)
-    // spot-check pixels against the constructed bitmap: (3x+y+7)%7<3 = black
-    for ((x, y) <- Seq((0, 0), (1, 0), (5, 3), (39, 11))) {
-      val black = ((x * 3 + y + 7) % 7) < 3
-      val v = png.getRaster.getSample(x, y, 0)
-      assert((v == 0) == black, s"pixel ($x,$y): sample $v expected black=$black")
+    // /K 0 (pure 1-D) and /K 2 (mixed 1-D/2-D) through the full PDF path
+    for (k <- Seq(0, 2)) {
+      val d = graft.spark.FixtureGen.ccittImageG3(7, k)
+      val doc = DocStructure.openDocument(d.bytes, None).toOption.get
+      assert(Extract.taggedText(doc) == Right(d.expected))
+      val images = Images.extractPageImages(doc, 1).toOption.get
+      assert(images.length == 1, s"k=$k")
+      val im = images.head
+      assert(im.format == "png", s"k=$k ${im.format}")
+      val png = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(im.bytes))
+      assert(png.getWidth == 40 && png.getHeight == 12, s"k=$k")
+      // spot-check pixels against the constructed bitmap: (3x+y+7)%7<3 = black
+      for ((x, y) <- Seq((0, 0), (1, 0), (5, 3), (39, 11))) {
+        val black = ((x * 3 + y + 7) % 7) < 3
+        val v = png.getRaster.getSample(x, y, 0)
+        assert((v == 0) == black, s"k=$k pixel ($x,$y): sample $v expected black=$black")
+      }
     }
   }
 

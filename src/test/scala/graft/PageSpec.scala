@@ -65,6 +65,24 @@ class PageSpec extends AnyFunSuite {
     assert(pagesChecked >= 15, s"only $pagesChecked pages checked")
   }
 
+  test("page API: count, ref resolution, glyphs/lines/paragraphs/regions") {
+    val d = graft.spark.FixtureGen.multipage(2)
+    val doc = DocStructure.openDocument(d.bytes, None).toOption.get
+    assert(Page.pageCount(doc) == Right(4))
+    // out-of-range page numbers mirror the reference's error wording
+    assert(Page.pageRefAt(doc, 0).isLeft && Page.pageRefAt(doc, 5).isLeft)
+    val ref2 = Page.pageRefAt(doc, 2).toOption.get
+    assert(Page.pageGlyphs(doc, ref2).toOption.get.length == 3) // header, body, number
+    assert(Page.pageLines(doc, ref2, Layout.defaultOptions).toOption.get.length == 3)
+    val paras = Page.pageParagraphs(doc, ref2, Layout.defaultOptions).toOption.get
+    assert(paras.length == 3 && paras(2) == "2", paras)
+    // pageRegionsAt resolves the page number from the ref (Page.hs:119-124)
+    val regions = Page.pageRegionsAt(doc, ref2, Layout.defaultOptions).toOption.get
+    assert(regions.map(_.page) == List(2, 2, 2))
+    assert(regions.map(_.text) == paras)
+    assert(Page.pageRegionsAt(doc, ref = -99, Layout.defaultOptions).isLeft)
+  }
+
   test("paragraphs.pdf: three regions in top-down reading order") {
     assume(java.nio.file.Files.isDirectory(fixturesDir))
     val bytes = java.nio.file.Files.readAllBytes(fixturesDir.resolve("paragraphs.pdf"))

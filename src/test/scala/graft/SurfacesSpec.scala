@@ -372,6 +372,26 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fin.filter(_.getLong(0) == 2L).map(_.getLong(2)).toSeq == Seq(2L, 1L))
   }
 
+  test("sessions run identically on the RocksDB state store (cluster config)") {
+    // BENCH/BASELINE.md documents RocksDBStateStoreProvider as the cluster
+    // deployment's state backend; prove the config actually works in this
+    // build: same session set as the default HDFS-backed store. A child
+    // session carries the conf so the suite's other streams are untouched.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = "/root/testdata/sf0.001"
+    val rocks = graft.spark.Streaming.finalizedSessions(
+      graft.spark.Streaming.userSessions(ss, s"$dir/events.parquet", "t_sess_rocks"))
+      .orderBy("user_id", "first_ts").collect()
+    val base = graft.spark.Streaming.finalizedSessions(
+      graft.spark.Streaming.userSessions(spark, s"$dir/events.parquet", "t_sess_hdfs"))
+      .orderBy("user_id", "first_ts").collect()
+    assert(rocks.length == base.length && rocks.sameElements(base),
+      s"rocks=${rocks.length} base=${base.length}")
+    assert(rocks.nonEmpty)
+  }
+
   test("audio decode: a frame-size lie (blockAlign 0) is rejected, never a spin") {
     // AudioInputStream.read returns 0 (not -1) when the effective frame
     // size is 0 or exceeds the read buffer; readAllBytes loops forever on
