@@ -155,6 +155,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Queries.signLshBandPairs(allv, cap = 300L).count() == 20302L)
   }
 
+  test("region extraction is shuffle-free up to the output sort (x24)") {
+    val plan = planOf("x24_page_regions")
+    // pruned scan -> mapPartitions kernel -> sort: exactly one exchange
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n${plan.take(3000)}")
+  }
+
+  test("region chunking reuses the url partitioning for its rollup (c2)") {
+    val plan = planOf("c2_region_chunks")
+    // window shuffles on url; the (url, chunk) groupBy must NOT add a
+    // second shuffle (url partitioning co-locates every group); then the
+    // output sort — 2 exchanges total
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("anti-join resume broadcasts the done set when small") {
     val corpus = CorpusGen.corpus(spark, rows = 20, partitions = 2)
     val input = CorpusGen.inputView(corpus)
