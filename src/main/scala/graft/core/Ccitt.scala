@@ -352,7 +352,8 @@ object Ccitt {
           // no transitions); an EOL/EOF-mode-terminated partial row is
           // emitted only when it recorded transitions; a run-code EOF
           // drops the partial row (pinned G4 semantics)
-          if (term == RowComplete || (term == RowMarker && cur.nonEmpty)) {
+          if (term == RowComplete ||
+              ((term == RowMarkerEol || term == RowMarkerEof) && cur.nonEmpty)) {
             out ++= packRow(cur, columns, rowBytes, blackIs1)
             rowCount += 1
             cur += columns
@@ -366,7 +367,8 @@ object Ccitt {
 
   private val RowComplete = 0 // a0 reached /Columns
   private val RowRunEof = 1 // clean EOF inside an H-mode run pair
-  private val RowMarker = 2 // EOL (or EOF from the mode reader) hit
+  private val RowMarkerEol = 2 // an EOL code hit inside the row
+  private val RowMarkerEof = 3 // clean EOF from the mode reader
 
   /** Decode ONE 2-D-coded row (shared by T.6 G4 and T.4 G3 /K > 0 rows)
     * against the reference line's transition array. Returns the row's
@@ -417,8 +419,8 @@ object Ccitt {
           a0 = a1
           white = !white
           if (a0 >= columns) return Right((cur, RowComplete))
-        case ModeEol | ModeEof =>
-          return Right((cur, RowMarker))
+        case ModeEol => return Right((cur, RowMarkerEol))
+        case ModeEof => return Right((cur, RowMarkerEof))
         case _ =>
           return Left(PdfError.ParseError(
             s"CCITT $label: bad mode code at bit ${br.pos} (row $rowCount)"))
@@ -527,6 +529,10 @@ object Ccitt {
             cur += columns
             ref = cur.toArray
           case Right((_, RowRunEof)) => done = true // drop the partial row
+          case Right((_, RowMarkerEof)) =>
+            // clean EOF mid-row: drop the partial row, keep the decoded
+            // prefix (same truncation semantics as the 1-D branch)
+            done = true
           case Right((_, _)) =>
             // an EOL inside a fixed-/Columns 2-D row is a short row
             return Left(PdfError.ParseError(

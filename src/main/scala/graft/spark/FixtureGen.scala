@@ -438,6 +438,44 @@ object FixtureGen {
     Doc("jpegimage", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
+  /** Standard-security padding constant (ISO 32000-1 Table 21 / Algorithm 2). */
+  private val pwPad = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  /** Standard-security /O, /U and 128-bit file key for an EMPTY user
+    * password and owner password "owner" at R3/R4 (Algorithm 3's 51 md5 +
+    * 20 RC4 rounds for /O, Algorithm 2's 51-round file key, Algorithm 5's
+    * /U) — the one copy both V4 fixture writers derive from. */
+  private def stdR4SecurityValues(fileId: Array[Byte], p: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+    def md5(x: Array[Byte]) = java.security.MessageDigest.getInstance("MD5").digest(x)
+    def padPw(pw: Array[Byte]) = (pw ++ pwPad).take(32)
+    def xorKey(k: Array[Byte], m: Int) = k.map(b => (b ^ m).toByte)
+    var oKey = md5(padPw(b("owner")))
+    for (_ <- 1 to 50) oKey = md5(oKey)
+    oKey = oKey.take(16)
+    var oValue = padPw(Array.emptyByteArray)
+    for (m <- 0 to 19) oValue = Crypt.rc4(xorKey(oKey, m), oValue)
+    val pLe = Array((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >>> 24) & 0xff).toByte)
+    var fileKey = md5(padPw(Array.emptyByteArray) ++ oValue ++ pLe ++ fileId)
+    for (_ <- 1 to 50) fileKey = md5(fileKey.take(16))
+    fileKey = fileKey.take(16)
+    var uValue = Crypt.rc4(fileKey, md5(pwPad ++ fileId))
+    for (m <- 1 to 19) uValue = Crypt.rc4(xorKey(fileKey, m), uValue)
+    uValue = uValue.take(16) ++ new Array[Byte](16)
+    (oValue, uValue, fileKey)
+  }
+
+  /** Case-mixed hex: first byte uppercased so a value starting FE FF is
+    * never parsed as a UTF-16BE marker (see encryptedRc4's comment). */
+  private def hexUp(xs: Array[Byte]): String = {
+    val h = xs.map(x => f"${x & 0xff}%02x").mkString
+    if (h.length >= 2) h.substring(0, 2).toUpperCase + h.substring(2) else h
+  }
+
   /** AES-128 (V4/R4, /CFM /AESV2) encrypted document, empty user password.
     * The writer mirrors Algorithms 2/3/4/5 so the engine's decrypt path is
     * exercised end-to-end. */
@@ -445,30 +483,9 @@ object FixtureGen {
     val line = s"AES encrypted document $i"
     val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\n"
     def md5(x: Array[Byte]) = java.security.MessageDigest.getInstance("MD5").digest(x)
-    val pad = Array(
-      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
-      0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
-      0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
-      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
-    def padPw(pw: Array[Byte]) = (pw ++ pad).take(32)
-    def xorKey(k: Array[Byte], m: Int) = k.map(b => (b ^ m).toByte)
     val fileId = md5(b(s"aes-corpus-id-$i"))
-    // Algorithm 3: O from the owner password (R4: 51 md5 rounds, 20 RC4 rounds)
-    var oKey = md5(padPw(b("owner")))
-    for (_ <- 1 to 50) oKey = md5(oKey)
-    oKey = oKey.take(16)
-    var oValue = padPw(Array.emptyByteArray)
-    for (m <- 0 to 19) oValue = Crypt.rc4(xorKey(oKey, m), oValue)
-    // Algorithm 2 (AES form): 51 md5 rounds
     val p = -3904
-    val pLe = Array((p & 0xff).toByte, ((p >> 8) & 0xff).toByte, ((p >> 16) & 0xff).toByte, ((p >>> 24) & 0xff).toByte)
-    var fileKey = md5(padPw(Array.emptyByteArray) ++ oValue ++ pLe ++ fileId)
-    for (_ <- 1 to 50) fileKey = md5(fileKey.take(16))
-    fileKey = fileKey.take(16)
-    // Algorithm 5: U (first 16 bytes checked for R >= 3)
-    var uValue = Crypt.rc4(fileKey, md5(pad ++ fileId))
-    for (m <- 1 to 19) uValue = Crypt.rc4(xorKey(fileKey, m), uValue)
-    uValue = uValue.take(16) ++ new Array[Byte](16)
+    val (oValue, uValue, fileKey) = stdR4SecurityValues(fileId, p)
     val sec = Security(revision = 4, version = 4, key = fileKey, keyLength = 16, aes = true)
     // AES-CBC encrypt the content stream with object 4's key
     val objKey = Crypt.objectKey(sec, 4, 0)
@@ -479,10 +496,6 @@ object FixtureGen {
       new javax.crypto.spec.IvParameterSpec(iv))
     val encContent = iv ++ cipher.doFinal(b(content))
     val encContentStr = new String(encContent, ISO_8859_1)
-    def hex(xs: Array[Byte]) = {
-      val h = xs.map(x => f"${x & 0xff}%02x").mkString
-      if (h.length >= 2) h.substring(0, 2).toUpperCase + h.substring(2) else h
-    }
     val objs = Seq(
       "<< /Type /Catalog /Pages 2 0 R >>",
       "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -492,9 +505,9 @@ object FixtureGen {
       s"<< /Filter /Standard /V 4 /R 4 /Length 128 " +
         s"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
         s"/StmF /StdCF /StrF /StdCF " +
-        s"/O <${hex(oValue)}> /U <${hex(uValue)}> /P $p >>")
+        s"/O <${hexUp(oValue)}> /U <${hexUp(uValue)}> /P $p >>")
     val pdf = classicPdf(objs,
-      trailerExtra = s" /Encrypt 6 0 R /ID [<${hex(fileId)}> <${hex(fileId)}>]")
+      trailerExtra = s" /Encrypt 6 0 R /ID [<${hexUp(fileId)}> <${hexUp(fileId)}>]")
     Doc("encryptedaes", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
@@ -508,31 +521,9 @@ object FixtureGen {
     val line = s"Identity-default document $i"
     val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\n"
     def md5(x: Array[Byte]) = java.security.MessageDigest.getInstance("MD5").digest(x)
-    val pad = Array(
-      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
-      0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
-      0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
-      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
-    def padPw(pw: Array[Byte]) = (pw ++ pad).take(32)
-    def xorKey(k: Array[Byte], m: Int) = k.map(b => (b ^ m).toByte)
     val fileId = md5(b(s"nocf-corpus-id-$i"))
-    var oKey = md5(padPw(b("owner")))
-    for (_ <- 1 to 50) oKey = md5(oKey)
-    oKey = oKey.take(16)
-    var oValue = padPw(Array.emptyByteArray)
-    for (m <- 0 to 19) oValue = Crypt.rc4(xorKey(oKey, m), oValue)
     val p = -3904
-    val pLe = Array((p & 0xff).toByte, ((p >> 8) & 0xff).toByte, ((p >> 16) & 0xff).toByte, ((p >>> 24) & 0xff).toByte)
-    var fileKey = md5(padPw(Array.emptyByteArray) ++ oValue ++ pLe ++ fileId)
-    for (_ <- 1 to 50) fileKey = md5(fileKey.take(16))
-    fileKey = fileKey.take(16)
-    var uValue = Crypt.rc4(fileKey, md5(pad ++ fileId))
-    for (m <- 1 to 19) uValue = Crypt.rc4(xorKey(fileKey, m), uValue)
-    uValue = uValue.take(16) ++ new Array[Byte](16)
-    def hex(xs: Array[Byte]) = {
-      val h = xs.map(x => f"${x & 0xff}%02x").mkString
-      if (h.length >= 2) h.substring(0, 2).toUpperCase + h.substring(2) else h
-    }
+    val (oValue, uValue, _) = stdR4SecurityValues(fileId, p)
     val objs = Seq(
       "<< /Type /Catalog /Pages 2 0 R >>",
       "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -540,9 +531,9 @@ object FixtureGen {
       contentObj(content, compress = false), // PLAINTEXT stream
       helvetica,
       s"<< /Filter /Standard /V 4 /R 4 /Length 128 " +
-        s"/O <${hex(oValue)}> /U <${hex(uValue)}> /P $p >>")
+        s"/O <${hexUp(oValue)}> /U <${hexUp(uValue)}> /P $p >>")
     val pdf = classicPdf(objs,
-      trailerExtra = s" /Encrypt 6 0 R /ID [<${hex(fileId)}> <${hex(fileId)}>]")
+      trailerExtra = s" /Encrypt 6 0 R /ID [<${hexUp(fileId)}> <${hexUp(fileId)}>]")
     Doc("encryptednocf", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 

@@ -114,21 +114,43 @@ class CcittSpec extends AnyFunSuite {
     }
   }
 
-  test("CCITT G3 totality: truncation and bit flips never throw") {
+  test("CCITT G3 totality: truncation and bit flips never throw (1-D and mixed)") {
     val bitmap = Array.tabulate(10, 64)((y, x) => ((x + y) % 3) == 0)
-    val valid = Ccitt.encodeG3(bitmap, 64)
     val rnd = new scala.util.Random(99)
-    for (n <- 0 until 600) {
-      val bytes =
-        if (n % 3 == 0) valid.take(rnd.nextInt(valid.length))
-        else if (n % 3 == 1) Array.fill[Byte](1 + rnd.nextInt(96))(rnd.nextInt(256).toByte)
-        else {
-          val m = valid.clone()
-          m(rnd.nextInt(m.length)) = (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
-          m
+    // k = 0 exercises the pure 1-D path; k 1..4 exercise the mixed 2-D
+    // branch (decodeRow2D through G3), including its error paths
+    for (kf <- 0 to 4) {
+      val valid =
+        if (kf == 0) Ccitt.encodeG3(bitmap, 64)
+        else Ccitt.encodeG3Mixed(bitmap, 64, kf)
+      for (n <- 0 until 600) {
+        val bytes =
+          if (n % 3 == 0) valid.take(rnd.nextInt(valid.length))
+          else if (n % 3 == 1) Array.fill[Byte](1 + rnd.nextInt(96))(rnd.nextInt(256).toByte)
+          else {
+            val m = valid.clone()
+            m(rnd.nextInt(m.length)) = (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+            m
+          }
+        Ccitt.decodeG3(bytes, 64, 10, k = kf, blackIs1 = false, byteAlign = false) match {
+          case Right(_) | Left(_) => () // totality is the assertion
         }
-      Ccitt.decodeG3(bytes, 64, 10, k = 0, blackIs1 = false, byteAlign = false) match {
-        case Right(_) | Left(_) => () // totality is the assertion
+      }
+    }
+  }
+
+  test("CCITT G3 2-D truncation keeps the decoded prefix (clean EOF, not an error)") {
+    val bitmap = Array.tabulate(6, 32)((y, x) => ((x + 2 * y) % 5) < 2)
+    val full = Ccitt.encodeG3Mixed(bitmap, 32, 3)
+    // walk truncation points: every result must be Right (EOF is clean),
+    // never Left, and row counts must be a prefix of the full image
+    val rowBytes = 4
+    for (cut <- 1 until full.length) {
+      val dec = Ccitt.decodeG3(full.take(cut), 32, 0, k = 3,
+        blackIs1 = true, byteAlign = false)
+      dec match {
+        case Right(rows) => assert(rows.length % rowBytes == 0 && rows.length <= 6 * rowBytes)
+        case Left(e) => fail(s"cut=$cut: truncation must be clean EOF, got $e")
       }
     }
   }
