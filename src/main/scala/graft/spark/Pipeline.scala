@@ -413,27 +413,41 @@ object Pipeline {
   final case class RegionRow(url: String, page: Int, para: Int,
       x0: Double, y0: Double, x1: Double, y1: Double, text: String)
 
-  /** Per-page paragraph regions for every PDF row (pageRegions over each
-    * page; same shuffle-free mapPartitions shape as extractPages — the
-    * layout pass runs ONCE per page and yields all its regions). */
+  /** Per-page paragraph regions for EVERY corpus row (same shuffle-free
+    * mapPartitions shape as extractPages — the layout pass runs ONCE per
+    * page and yields all its regions). PDF rows carry real bounding
+    * boxes; HTML and text-fallback rows have no geometry, but the chunking
+    * surface still needs their paragraph boundaries — they emit page-1
+    * regions with a zero bbox, paragraphs split on the same blank-line
+    * convention the extractors emit. */
   def extractRegions(spark: SparkSession, input: DataFrame): Dataset[RegionRow] = {
     import spark.implicits._
-    input.select(col("url"), col("html"))
-      .as[(String, Array[Byte])]
+    input.select(col("url"), col("html"), col("text"))
+      .as[(String, Array[Byte], String)]
       .mapPartitions { iter =>
-        iter.flatMap { case (url, html) =>
+        iter.flatMap { case (url, html, textCol) =>
           val payload = if (html == null) Array.emptyByteArray else html
-          if (!Html.looksLikePdf(payload)) Iterator.empty
-          else DocStructure.openDocument(payload, None) match {
-            case Right(doc) =>
-              DocStructure.pageRefs(doc).getOrElse(Nil).iterator.zipWithIndex.flatMap {
-                case (ref, idx) =>
-                  val items = Interp.interpretPageItems(doc, ref).getOrElse(Nil)
-                  graft.core.Page.pageRegions(idx + 1, Layout.defaultOptions, items)
-                    .iterator.map(r => RegionRow(url, r.page, r.paragraph,
-                      r.bbox.x0, r.bbox.y0, r.bbox.x1, r.bbox.y1, r.text))
-              }
-            case Left(_) => Iterator.empty
+          if (Html.looksLikePdf(payload))
+            DocStructure.openDocument(payload, None) match {
+              case Right(doc) =>
+                DocStructure.pageRefs(doc).getOrElse(Nil).iterator.zipWithIndex.flatMap {
+                  case (ref, idx) =>
+                    val items = Interp.interpretPageItems(doc, ref).getOrElse(Nil)
+                    graft.core.Page.pageRegions(idx + 1, Layout.defaultOptions, items)
+                      .iterator.map(r => RegionRow(url, r.page, r.paragraph,
+                        r.bbox.x0, r.bbox.y0, r.bbox.x1, r.bbox.y1, r.text))
+                }
+              case Left(_) => Iterator.empty
+            }
+          else {
+            val text =
+              if (Html.looksLikeHtml(payload)) Html.extractHtml(payload)
+              else if (textCol != null) textCol
+              else null
+            if (text == null) Iterator.empty
+            else text.stripSuffix("\n").split("\n\n", -1).iterator.zipWithIndex.map {
+              case (para, j) => RegionRow(url, 1, j + 1, 0, 0, 0, 0, para)
+            }
           }
         }
       }

@@ -2065,11 +2065,22 @@ object Queries {
            |      string_split(rtrim(page_texts[i], chr(10)), chr(10)||chr(10)) AS paras
            |    FROM exp, LATERAL (SELECT unnest(range(1, len(page_texts)+1)) AS i)
            |  ), LATERAL (SELECT unnest(range(1, len(paras)+1)) AS j)
+           |), non_pdf AS (
+           |  SELECT url, CAST(1 AS INT) AS page, CAST(j AS INT) AS para,
+           |    0.0 AS x0, 0.0 AS y0, 0.0 AS x1, 0.0 AS y1, paras[j] AS text
+           |  FROM (
+           |    SELECT url, string_split(rtrim(text, chr(10)), chr(10)||chr(10)) AS paras
+           |    FROM read_parquet('__AUX__/*.parquet') WHERE kind IN ('html', 'textrow')
+           |  ), LATERAL (SELECT unnest(range(1, len(paras)+1)) AS j)
            |)
-           |SELECT b.url, b.page, b.para, b.x0, b.y0, b.x1, b.y1, t.text
-           |FROM boxes b JOIN texts t
-           |  ON b.url = t.url AND b.page = t.page AND b.para = t.para
-           |ORDER BY b.url, b.page, b.para""".stripMargin))
+           |SELECT * FROM (
+           |  SELECT b.url, b.page, b.para, b.x0, b.y0, b.x1, b.y1, t.text
+           |  FROM boxes b JOIN texts t
+           |    ON b.url = t.url AND b.page = t.page AND b.para = t.para
+           |  UNION ALL
+           |  SELECT url, page, para, x0, y0, x1, y1, text FROM non_pdf
+           |)
+           |ORDER BY url, page, para""".stripMargin))
 
   private val x25 = Q(
     (spark, _) => {
@@ -2125,6 +2136,13 @@ object Queries {
            |    SELECT url, i,
            |      string_split(rtrim(page_texts[i], chr(10)), chr(10)||chr(10)) AS paras
            |    FROM exp, LATERAL (SELECT unnest(range(1, len(page_texts)+1)) AS i)
+           |  ), LATERAL (SELECT unnest(range(1, len(paras)+1)) AS j)
+           |  UNION ALL
+           |  SELECT url, CAST(1 AS INT) AS page, CAST(j AS INT) AS para,
+           |         paras[j] AS text
+           |  FROM (
+           |    SELECT url, string_split(rtrim(text, chr(10)), chr(10)||chr(10)) AS paras
+           |    FROM read_parquet('__AUX__/*.parquet') WHERE kind IN ('html', 'textrow')
            |  ), LATERAL (SELECT unnest(range(1, len(paras)+1)) AS j)
            |), cums AS (
            |  SELECT url, page, para, text,
