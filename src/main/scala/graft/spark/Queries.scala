@@ -2158,6 +2158,86 @@ object Queries {
            |  string_agg(text, chr(10)||chr(10) ORDER BY page, para) AS text
            |FROM cums GROUP BY url, chunk ORDER BY url, chunk""".stripMargin))
 
+  private val c3 = Q(
+    (spark, _) => {
+      // TRUE greedy token-budget chunking (the exact pretraining chunk
+      // rule, vs c2's window-expressible cumulative-offset approximation):
+      // a chunk closes when adding the next paragraph would cross the
+      // budget. The reset makes it sequential per document — shuffle on
+      // url, then per-doc state bounded by the paragraph count, the honest
+      // 100 TB shape (groupByKey on the chunk key, never a driver loop).
+      val budget = 8
+      val sp2 = spark
+      import sp2.implicits._
+      val c = corpus(spark)
+      Pipeline.extractRegions(spark, CorpusGen.inputView(c)).toDF()
+        .withColumn("tok", size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
+        .select(col("url"), col("page"), col("para"), col("tok"), col("text"))
+        .as[(String, Int, Int, Int, String)]
+        .groupByKey(_._1)
+        .flatMapGroups { (url, it) =>
+          val ps = it.toArray.sortBy(r => (r._2, r._3))
+          val out = scala.collection.mutable.ListBuffer[(String, Int, Int, Long, String)]()
+          var chunk = 0
+          var acc = 0L
+          var paras = 0
+          val text = new StringBuilder
+          def close(): Unit = if (paras > 0) {
+            out += ((url, chunk, paras, acc, text.toString))
+            chunk += 1; acc = 0L; paras = 0; text.clear()
+          }
+          for ((_, _, _, tok, t) <- ps) {
+            if (acc > 0 && acc + tok > budget) close()
+            if (paras > 0) text ++= "\n\n"
+            text ++= t
+            acc += tok
+            paras += 1
+          }
+          close()
+          out.iterator
+        }
+        .toDF("url", "chunk", "paras", "tokens", "text")
+        .orderBy("url", "chunk")
+    },
+    // DuckDB replays the greedy reset with a recursive CTE walking each
+    // document's paragraphs in (page, para) order — per-step state is
+    // (chunk, acc), identical arithmetic to the Spark fold
+    Some("""WITH RECURSIVE exp AS (
+           |  SELECT url, page_texts FROM read_parquet('__AUX__/*.parquet')
+           |  WHERE len(regions) > 0
+           |), texts AS (
+           |  SELECT url, CAST(i AS INT) AS page, CAST(j AS INT) AS para,
+           |         paras[j] AS text
+           |  FROM (
+           |    SELECT url, i,
+           |      string_split(rtrim(page_texts[i], chr(10)), chr(10)||chr(10)) AS paras
+           |    FROM exp, LATERAL (SELECT unnest(range(1, len(page_texts)+1)) AS i)
+           |  ), LATERAL (SELECT unnest(range(1, len(paras)+1)) AS j)
+           |  UNION ALL
+           |  SELECT url, CAST(1 AS INT) AS page, CAST(j AS INT) AS para,
+           |         paras[j] AS text
+           |  FROM (
+           |    SELECT url, string_split(rtrim(text, chr(10)), chr(10)||chr(10)) AS paras
+           |    FROM read_parquet('__AUX__/*.parquet') WHERE kind IN ('html', 'textrow')
+           |  ), LATERAL (SELECT unnest(range(1, len(paras)+1)) AS j)
+           |), toks AS (
+           |  SELECT url, text, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok,
+           |    row_number() OVER (PARTITION BY url ORDER BY page, para) AS rn
+           |  FROM texts
+           |), walk AS (
+           |  SELECT url, rn, tok, 0 AS chunk, tok AS acc FROM toks WHERE rn = 1
+           |  UNION ALL
+           |  SELECT t.url, t.rn, t.tok,
+           |    CASE WHEN w.acc > 0 AND w.acc + t.tok > 8 THEN w.chunk + 1 ELSE w.chunk END,
+           |    CASE WHEN w.acc > 0 AND w.acc + t.tok > 8 THEN t.tok ELSE w.acc + t.tok END
+           |  FROM walk w JOIN toks t ON t.url = w.url AND t.rn = w.rn + 1
+           |)
+           |SELECT w.url, w.chunk, CAST(count(*) AS INT) AS paras,
+           |  CAST(sum(w.tok) AS BIGINT) AS tokens,
+           |  string_agg(t.text, chr(10)||chr(10) ORDER BY w.rn) AS text
+           |FROM walk w JOIN toks t ON t.url = w.url AND t.rn = w.rn
+           |GROUP BY w.url, w.chunk ORDER BY w.url, w.chunk""".stripMargin))
+
   // ---------- registry ----------
 
   val all: Map[String, Q] = Map(
@@ -2223,7 +2303,8 @@ object Queries {
     "x24_page_regions" -> x24,
     "x25_sql_extract" -> x25,
     "c1_curation_e2e" -> c1,
-    "c2_region_chunks" -> c2)
+    "c2_region_chunks" -> c2,
+    "c3_greedy_chunks" -> c3)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, v) => k -> v.fn }

@@ -172,6 +172,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("greedy chunking shuffles once on url plus the output sort (c3)") {
+    val plan = planOf("c3_greedy_chunks")
+    // extraction (shuffle-free) -> groupByKey(url) -> per-doc fold -> sort
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("anti-join resume broadcasts the done set when small") {
     val corpus = CorpusGen.corpus(spark, rows = 20, partitions = 2)
     val input = CorpusGen.inputView(corpus)
