@@ -445,8 +445,15 @@ object Pipeline {
               else if (textCol != null) textCol
               else null
             if (text == null) Iterator.empty
-            else text.stripSuffix("\n").split("\n\n", -1).iterator.zipWithIndex.map {
-              case (para, j) => RegionRow(url, 1, j + 1, 0, 0, 0, 0, para)
+            else {
+              // strip ALL trailing newlines (the rtrim convention the PDF
+              // branch and the oracles use — stripSuffix would diverge on
+              // content ending in a blank line)
+              var e = text.length
+              while (e > 0 && text.charAt(e - 1) == '\n') e -= 1
+              text.substring(0, e).split("\n\n", -1).iterator.zipWithIndex.map {
+                case (para, j) => RegionRow(url, 1, j + 1, 0, 0, 0, 0, para)
+              }
             }
           }
         }

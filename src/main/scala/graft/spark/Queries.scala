@@ -2099,6 +2099,10 @@ object Queries {
     Some("""SELECT url, text FROM read_parquet('__AUX__/*.parquet')
            |WHERE kind <> 'textrow' ORDER BY url""".stripMargin))
 
+  /** Token budget shared by the chunking queries' Spark folds AND their
+    * oracle SQL (interpolated) — one constant, no silent drift. */
+  private val ChunkBudget = 8
+
   private val c2 = Q(
     (spark, _) => {
       // Layout-aware chunking on region boundaries (the pretraining-chunker
@@ -2107,7 +2111,7 @@ object Queries {
       // crosses the 8-token budget — every chunk boundary is a paragraph
       // boundary, assignment is a pure window function (no per-doc
       // recursion, so the plan is one shuffle on url + the rollup).
-      val budget = 8
+      val budget = ChunkBudget
       val c = corpus(spark)
       val toks = Pipeline.extractRegions(spark, CorpusGen.inputView(c)).toDF()
         .withColumn("tok", size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
@@ -2126,7 +2130,7 @@ object Queries {
     },
     // DuckDB rebuilds the paragraphs from the generator page_texts ground
     // truth (same split as x24) and replays the identical window math
-    Some("""WITH exp AS (
+    Some(s"""WITH exp AS (
            |  SELECT url, page_texts FROM read_parquet('__AUX__/*.parquet')
            |  WHERE len(regions) > 0
            |), texts AS (
@@ -2146,13 +2150,13 @@ object Queries {
            |  ), LATERAL (SELECT unnest(range(1, len(paras)+1)) AS j)
            |), cums AS (
            |  SELECT url, page, para, text,
-           |    len(regexp_extract_all(text, '\S+')) AS tok,
-           |    sum(len(regexp_extract_all(text, '\S+'))) OVER (
+           |    len(regexp_extract_all(text, '\\S+')) AS tok,
+           |    sum(len(regexp_extract_all(text, '\\S+'))) OVER (
            |      PARTITION BY url ORDER BY page, para
            |      ROWS UNBOUNDED PRECEDING) AS cum
            |  FROM texts
            |)
-           |SELECT url, CAST((cum - tok) // 8 AS INT) AS chunk,
+           |SELECT url, CAST((cum - tok) // $ChunkBudget AS INT) AS chunk,
            |  CAST(count(*) AS INT) AS paras,
            |  CAST(sum(tok) AS BIGINT) AS tokens,
            |  string_agg(text, chr(10)||chr(10) ORDER BY page, para) AS text
@@ -2166,7 +2170,7 @@ object Queries {
       // budget. The reset makes it sequential per document — shuffle on
       // url, then per-doc state bounded by the paragraph count, the honest
       // 100 TB shape (groupByKey on the chunk key, never a driver loop).
-      val budget = 8
+      val budget = ChunkBudget
       val sp2 = spark
       import sp2.implicits._
       val c = corpus(spark)
@@ -2202,7 +2206,7 @@ object Queries {
     // DuckDB replays the greedy reset with a recursive CTE walking each
     // document's paragraphs in (page, para) order — per-step state is
     // (chunk, acc), identical arithmetic to the Spark fold
-    Some("""WITH RECURSIVE exp AS (
+    Some(s"""WITH RECURSIVE exp AS (
            |  SELECT url, page_texts FROM read_parquet('__AUX__/*.parquet')
            |  WHERE len(regions) > 0
            |), texts AS (
@@ -2221,15 +2225,15 @@ object Queries {
            |    FROM read_parquet('__AUX__/*.parquet') WHERE kind IN ('html', 'textrow')
            |  ), LATERAL (SELECT unnest(range(1, len(paras)+1)) AS j)
            |), toks AS (
-           |  SELECT url, text, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok,
+           |  SELECT url, text, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
            |    row_number() OVER (PARTITION BY url ORDER BY page, para) AS rn
            |  FROM texts
            |), walk AS (
            |  SELECT url, rn, tok, 0 AS chunk, tok AS acc FROM toks WHERE rn = 1
            |  UNION ALL
            |  SELECT t.url, t.rn, t.tok,
-           |    CASE WHEN w.acc > 0 AND w.acc + t.tok > 8 THEN w.chunk + 1 ELSE w.chunk END,
-           |    CASE WHEN w.acc > 0 AND w.acc + t.tok > 8 THEN t.tok ELSE w.acc + t.tok END
+           |    CASE WHEN w.acc > 0 AND w.acc + t.tok > $ChunkBudget THEN w.chunk + 1 ELSE w.chunk END,
+           |    CASE WHEN w.acc > 0 AND w.acc + t.tok > $ChunkBudget THEN t.tok ELSE w.acc + t.tok END
            |  FROM walk w JOIN toks t ON t.url = w.url AND t.rn = w.rn + 1
            |)
            |SELECT w.url, w.chunk, CAST(count(*) AS INT) AS paras,

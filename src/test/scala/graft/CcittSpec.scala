@@ -142,14 +142,19 @@ class CcittSpec extends AnyFunSuite {
   test("CCITT G3 2-D truncation keeps the decoded prefix (clean EOF, not an error)") {
     val bitmap = Array.tabulate(6, 32)((y, x) => ((x + 2 * y) % 5) < 2)
     val full = Ccitt.encodeG3Mixed(bitmap, 32, 3)
+    val whole = Ccitt.decodeG3(full, 32, 0, k = 3, blackIs1 = true,
+      byteAlign = false).toOption.get
     // walk truncation points: every result must be Right (EOF is clean),
-    // never Left, and row counts must be a prefix of the full image
-    val rowBytes = 4
+    // never Left, and the decoded rows must be the BYTE PREFIX of the full
+    // decode (truncation may only drop trailing rows, never corrupt one)
     for (cut <- 1 until full.length) {
       val dec = Ccitt.decodeG3(full.take(cut), 32, 0, k = 3,
         blackIs1 = true, byteAlign = false)
       dec match {
-        case Right(rows) => assert(rows.length % rowBytes == 0 && rows.length <= 6 * rowBytes)
+        case Right(rows) =>
+          assert(rows.length <= whole.length, s"cut=$cut")
+          assert(java.util.Arrays.equals(rows, whole.take(rows.length)),
+            s"cut=$cut: truncated decode is not a prefix of the full decode")
         case Left(e) => fail(s"cut=$cut: truncation must be clean EOF, got $e")
       }
     }
