@@ -109,9 +109,13 @@ object Filters {
       case "/LZWDecode" => lzwDecode(s, earlyChange)
       case "/RunLengthDecode" => runLengthDecode(s)
       case "/ASCIIHexDecode" => Right(asciiHex(s))
+      // MMR-coded generic regions only (= T.6, the Ccitt kernel);
+      // arithmetic coding stays UnsupportedFeature inside Jbig2
+      case "/JBIG2Decode" => Jbig2.decodeEmbedded(s)
       case other => Left(PdfError.UnsupportedFeature(
         s"unsupported stream filter $other (supported: /FlateDecode /DCTDecode " +
-          "/ASCII85Decode /ASCIIHexDecode /LZWDecode /RunLengthDecode /CCITTFaxDecode[G4])"))
+          "/ASCII85Decode /ASCIIHexDecode /LZWDecode /RunLengthDecode " +
+          "/CCITTFaxDecode /JBIG2Decode[MMR])"))
     }
 
   /** LZW (TIFF/PDF variant, ISO 32000-1 7.4.4): 9-bit codes growing to 12,

@@ -511,6 +511,28 @@ object FixtureGen {
     Doc("encryptedaes", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
+  /** Page with a JBIG2 (MMR generic region) image XObject — the
+    * /JBIG2Decode path over the shared T.6 kernel. Not in the corpus
+    * cycle. */
+  def jbig2Image(i: Long): Doc = {
+    val line = s"JBIG2 image document $i"
+    val w = 48
+    val h = 10
+    val bitmap = Array.tabulate(h, w)((y, x) => ((x + 2 * y + i) % 6) < 3)
+    val enc = new String(graft.core.Jbig2.encodeEmbedded(bitmap, w), ISO_8859_1)
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\nq 96 0 0 20 72 560 cm /Im1 Do Q\n"
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 5 0 R >> /XObject << /Im1 6 0 R >> >> /Contents 4 0 R >>",
+      contentObj(content, compress = false),
+      helvetica,
+      s"<< /Type /XObject /Subtype /Image /Width $w /Height $h /ColorSpace /DeviceGray " +
+        s"/BitsPerComponent 1 /Filter /JBIG2Decode /Length ${enc.length} >>\nstream\n$enc\nendstream"))
+    Doc("jbig2image", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
+  }
+
   /** V4 encrypt dict that declares NO crypt filters (/CF //StmF //StrF all
     * absent) and leaves streams as plaintext: ISO 32000-1 7.6.5's default
     * for an absent /StmF//StrF is /Identity, so a conforming reader must

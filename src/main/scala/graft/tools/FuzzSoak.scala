@@ -36,7 +36,9 @@ object FuzzSoak {
     val bases = (0L until 13L).map(graft.spark.FixtureGen.docFor).map(_.bytes) ++
       Seq(graft.spark.FixtureGen.book(1).bytes,
         graft.spark.FixtureGen.ccittImage(1).bytes,
-        graft.spark.FixtureGen.ccittImageG3(1).bytes) ++ {
+        graft.spark.FixtureGen.ccittImageG3(1).bytes,
+        graft.spark.FixtureGen.ccittImageG3(1, k = 2).bytes,
+        graft.spark.FixtureGen.jbig2Image(1).bytes) ++ {
         val dir = java.nio.file.Paths.get("/root/reference/data/fixtures")
         if (java.nio.file.Files.isDirectory(dir)) {
           val st = java.nio.file.Files.list(dir)
