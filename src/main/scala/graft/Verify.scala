@@ -66,6 +66,13 @@ object Verify {
           col("fps"), col("n_frames"), col("frame_md5s"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$auxDir/aux_video")
+      // Scanned-image ground truth: bitmap dimensions + decoded-pixel md5
+      // are construction facts for the fax/JBIG2 decode surface (x26).
+      graft.spark.CorpusGen.scannedCorpus(spark, rows = 60, partitions = 4)
+        .select(col("url"), col("kind"), col("width"), col("height"),
+          col("pixel_md5"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$auxDir/aux_scanned")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -91,10 +98,12 @@ object Verify {
     val auxMediaPath = new java.io.File(auxDir, "aux_media").getAbsolutePath
     val auxAudioPath = new java.io.File(auxDir, "aux_audio").getAbsolutePath
     val auxVideoPath = new java.io.File(auxDir, "aux_video").getAbsolutePath
+    val auxScanPath = new java.io.File(auxDir, "aux_scanned").getAbsolutePath
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUXDIFF__", auxDiffPath)
         .replace("__AUXMEDIA__", auxMediaPath).replace("__AUXAUDIO__", auxAudioPath)
         .replace("__AUXVIDEO__", auxVideoPath)
+        .replace("__AUXSCAN__", auxScanPath)
         .replace("__AUX__", auxPath))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -179,6 +179,46 @@ object CorpusGen {
     }).toDF()
   }
 
+  /** Scanned-PDF corpus for the fax/JBIG2 image-decode surfaces: each row
+    * is a one-page PDF whose image XObject is CCITT G4 / G3 1-D / G3 mixed
+    * 2-D / JBIG2-MMR over a construction-fact bitmap — expected dimensions
+    * and the md5 of the decoded 8-bit gray pixels (black=0, white=255, the
+    * kernel's 1-bit PNG export convention) are carried alongside for
+    * external oracling. */
+  final case class ScanRow(
+      url: String,
+      warc_ts: Timestamp,
+      html: Array[Byte],
+      text: String,
+      lang: String,
+      kind: String,
+      width: Int,
+      height: Int,
+      pixel_md5: String)
+
+  def scannedCorpus(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, rows, 1, partitions).as[Long].mapPartitions(_.map { i =>
+      val (kind, d, bitmap) = (i % 4) match {
+        case 0 => ("scan_g4", FixtureGen.ccittImage(i), FixtureGen.ccittBitmap(i))
+        case 1 => ("scan_g3", FixtureGen.ccittImageG3(i), FixtureGen.ccittG3Bitmap(i))
+        case 2 => ("scan_g3_2d", FixtureGen.ccittImageG3(i, k = 2), FixtureGen.ccittG3Bitmap(i))
+        case _ => ("scan_jbig2", FixtureGen.jbig2Image(i), FixtureGen.jbig2Bitmap(i))
+      }
+      val gray = bitmap.flatten.map(black => if (black) 0.toByte else 0xff.toByte)
+      ScanRow(
+        url = s"https://media.test/$kind/$i",
+        warc_ts = new Timestamp(epochMs + i * 1000L),
+        html = d.bytes,
+        text = null,
+        lang = "en",
+        kind = kind,
+        width = bitmap.head.length,
+        height = bitmap.length,
+        pixel_md5 = Surfaces.md5Hex(gray))
+    }).toDF()
+  }
+
   /** Audio corpus for the real WAV/PCM decode surface: 2 of 3 rows carry an
     * authored RIFF/PCM payload (header fields + exact sample bytes are
     * construction facts), the third a non-audio binary. */

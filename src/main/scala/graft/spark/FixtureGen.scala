@@ -518,7 +518,7 @@ object FixtureGen {
     val line = s"JBIG2 image document $i"
     val w = 48
     val h = 10
-    val bitmap = Array.tabulate(h, w)((y, x) => ((x + 2 * y + i) % 6) < 3)
+    val bitmap = jbig2Bitmap(i)
     val enc = new String(graft.core.Jbig2.encodeEmbedded(bitmap, w), ISO_8859_1)
     val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\nq 96 0 0 20 72 560 cm /Im1 Do Q\n"
     val pdf = classicPdf(Seq(
@@ -741,11 +741,21 @@ object FixtureGen {
     * decode + 1-bit PNG export path. Not in `kinds` (the 15-kind corpus mix
     * is pinned by the scaling history); used by CcittSpec and available as
     * a standalone builder. The bitmap is a deterministic diagonal pattern. */
+  /** Construction bitmaps for the scanned-image fixtures — shared by the
+    * PDF builders below and the scanned-corpus oracle facts (one formula,
+    * no drift). */
+  def ccittBitmap(i: Long): Array[Array[Boolean]] =
+    Array.tabulate(16, 48)((y, x) => ((x + y + i) % 5) < 2)
+  def ccittG3Bitmap(i: Long): Array[Array[Boolean]] =
+    Array.tabulate(12, 40)((y, x) => ((x * 3 + y + i) % 7) < 3)
+  def jbig2Bitmap(i: Long): Array[Array[Boolean]] =
+    Array.tabulate(10, 48)((y, x) => ((x + 2 * y + i) % 6) < 3)
+
   def ccittImage(i: Long): Doc = {
     val line = s"CCITT image document $i"
     val w = 48
     val h = 16
-    val bitmap = Array.tabulate(h, w)((y, x) => ((x + y + i) % 5) < 2)
+    val bitmap = ccittBitmap(i)
     val enc = new String(graft.core.Ccitt.encodeG4(bitmap, w), ISO_8859_1)
     val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\nq 96 0 0 32 72 560 cm /Im1 Do Q\n"
     val pdf = classicPdf(Seq(
@@ -768,7 +778,7 @@ object FixtureGen {
     val line = s"CCITT G3 image document $i"
     val w = 40
     val h = 12
-    val bitmap = Array.tabulate(h, w)((y, x) => ((x * 3 + y + i) % 7) < 3)
+    val bitmap = ccittG3Bitmap(i)
     val enc = new String(
       if (k > 0) graft.core.Ccitt.encodeG3Mixed(bitmap, w, k)
       else graft.core.Ccitt.encodeG3(bitmap, w), ISO_8859_1)

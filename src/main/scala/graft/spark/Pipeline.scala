@@ -714,6 +714,35 @@ object Surfaces {
     }
   }
 
+  final case class ScannedImage(url: String, ok: Boolean,
+      width: Int, height: Int, pixelMd5: String)
+
+  /** Fax/JBIG2 image facts (x26): extract page-1 images from each scanned
+    * PDF row, re-decode the exported lossless PNG and emit dimensions +
+    * decoded-pixel md5 — externally oracled against the generator's
+    * bitmap construction facts. Same shuffle-free shape as the other
+    * decode surfaces; failures are ok=false rows, never throws. */
+  def scannedImageFacts(spark: SparkSession, input: DataFrame): Dataset[ScannedImage] = {
+    import spark.implicits._
+    input.select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, payload0) =>
+        val payload = if (payload0 == null) Array.emptyByteArray else payload0
+        val png =
+          try DocStructure.openDocument(payload, None).toOption
+            .flatMap(doc => Images.extractPageImages(doc, 1).toOption)
+            .flatMap(_.headOption)
+            .map(_.bytes)
+          catch { case _: Throwable => None }
+        png match {
+          case Some(bytes) =>
+            val d = decodeImageRow(url, bytes)
+            ScannedImage(url, d.ok, d.width, d.height, d.pixelMd5)
+          case None => ScannedImage(url, ok = false, -1, -1, null)
+        }
+      })
+  }
+
   // ---------- multimodal image resize ----------
 
   final case class ResizedImage(url: String, format: String, ok: Boolean,

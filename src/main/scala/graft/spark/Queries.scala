@@ -2103,6 +2103,24 @@ object Queries {
     * oracle SQL (interpolated) — one constant, no silent drift. */
   private val ChunkBudget = 8
 
+  private val x26 = Q(
+    (spark, _) => {
+      // scanned-image decode facts: CCITT G4 / G3 1-D / G3 mixed 2-D /
+      // JBIG2-MMR image XObjects extracted from one-page PDFs, re-decoded
+      // from the lossless PNG export, and oracled against the generator's
+      // BITMAP construction facts (dimensions + decoded-pixel md5) — the
+      // fax-decode surface under the driver's hard external signal, not
+      // just unit tests
+      val c = CorpusGen.scannedCorpus(spark, rows = 60, partitions = 4)
+      Surfaces.scannedImageFacts(spark,
+        c.select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang")))
+        .toDF()
+        .orderBy("url")
+    },
+    Some("""SELECT url, CAST(TRUE AS BOOLEAN) AS ok, width, height,
+           |  pixel_md5 AS "pixelMd5"
+           |FROM read_parquet('__AUXSCAN__/*.parquet') ORDER BY url""".stripMargin))
+
   private val c2 = Q(
     (spark, _) => {
       // Layout-aware chunking on region boundaries (the pretraining-chunker
@@ -2306,6 +2324,7 @@ object Queries {
     "x23_incremental" -> x23,
     "x24_page_regions" -> x24,
     "x25_sql_extract" -> x25,
+    "x26_scanned_images" -> x26,
     "c1_curation_e2e" -> c1,
     "c2_region_chunks" -> c2,
     "c3_greedy_chunks" -> c3)
