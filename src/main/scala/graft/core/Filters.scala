@@ -313,6 +313,28 @@ object Filters {
         case 2 =>
           var k = 0
           while (k < rowLen) { row(k) = (((row(k) & 0xff) + (prev(k) & 0xff)) & 0xff).toByte; k += 1 }
+        case 3 => // Average: raw + floor((left + up) / 2)
+          var k = 0
+          while (k < rowLen) {
+            val left = if (k > 0) row(k - 1) & 0xff else 0
+            val up = prev(k) & 0xff
+            row(k) = (((row(k) & 0xff) + ((left + up) >> 1)) & 0xff).toByte
+            k += 1
+          }
+        case 4 => // Paeth (RFC 2083 6.6): nearest of left/up/up-left to a+b-c
+          var k = 0
+          while (k < rowLen) {
+            val a = if (k > 0) row(k - 1) & 0xff else 0
+            val b = prev(k) & 0xff
+            val c = if (k > 0) prev(k - 1) & 0xff else 0
+            val p = a + b - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            row(k) = (((row(k) & 0xff) + pred) & 0xff).toByte
+            k += 1
+          }
         case other =>
           return Left(PdfError.UnsupportedFeature(s"unsupported PNG predictor $other"))
       }

@@ -319,6 +319,40 @@ class KernelSpec extends AnyFunSuite {
     assert(out.toList == List[Byte](1, 2, 3, 2, 3, 4))
   }
 
+  test("PNG Average and Paeth predictors (roundtrip vs a reference encoder)") {
+    // encode rows with each filter type's textbook definition, decode back
+    val rnd = new scala.util.Random(11)
+    val cols = 5
+    val rows = 8
+    val plain = Array.fill[Byte](rows * cols)(rnd.nextInt(256).toByte)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val enc = new scala.collection.mutable.ArrayBuffer[Byte]
+    for (y <- 0 until rows) {
+      val filt = y % 5 // cycle through all five filter types
+      enc += filt.toByte
+      for (x <- 0 until cols) {
+        val cur = plain(y * cols + x) & 0xff
+        val left = if (x > 0) plain(y * cols + x - 1) & 0xff else 0
+        val up = if (y > 0) plain((y - 1) * cols + x) & 0xff else 0
+        val upLeft = if (x > 0 && y > 0) plain((y - 1) * cols + x - 1) & 0xff else 0
+        val raw = filt match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, upLeft)
+        }
+        enc += (raw & 0xff).toByte
+      }
+    }
+    val out = Filters.decodePngPredictors(enc.toArray, cols).toOption.get
+    assert(out.toList == plain.toList)
+  }
+
   test("LZW decode: hand-packed 9-bit code vector") {
     // codes 256(Clear) 65 66 258 258 257(EOD) packed big-endian at 9 bits
     // decode to "ABABAB" (entry 258 = "AB" created by the decoder)
