@@ -83,6 +83,28 @@ class PageSpec extends AnyFunSuite {
     assert(Page.pageRegionsAt(doc, ref = -99, Layout.defaultOptions).isLeft)
   }
 
+  test("property: far-apart single lines each become a region matching the glyph box") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 25) {
+      val n = 1 + rnd.nextInt(3)
+      // baselines 250pt apart (far above any leading threshold, all on
+      // the page): one paragraph per line, top-down order
+      val glyphs = (0 until n).map { k =>
+        val x = 50 + rnd.nextInt(300)
+        val y = 700 - k * 250.0 - rnd.nextInt(40)
+        val w = 10 + rnd.nextInt(80)
+        val size = 8 + rnd.nextInt(10)
+        ItemGlyph(Glyph(s"line$k", x, y, w, size, "/F1", 0, None))
+      }.toList
+      val rs = Page.pageRegions(1, Layout.defaultOptions, glyphs)
+      assert(rs.length == n, rs)
+      for ((r, g) <- rs.zip(glyphs.map(_.g))) {
+        assert(r.bbox == Rect(g.x, g.y - g.size, g.x + g.width, g.y), s"$r vs $g")
+        assert(r.text == g.text)
+      }
+    }
+  }
+
   test("paragraphs.pdf: three regions in top-down reading order") {
     assume(java.nio.file.Files.isDirectory(fixturesDir))
     val bytes = java.nio.file.Files.readAllBytes(fixturesDir.resolve("paragraphs.pdf"))

@@ -392,6 +392,27 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rocks.nonEmpty)
   }
 
+  test("greedy chunking invariants: budget respected, concatenation lossless") {
+    val out = graft.spark.Queries.queries("c3_greedy_chunks")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // every chunk fits the budget unless it is a single oversize paragraph
+    for (r <- out)
+      assert(r.getLong(3) <= 8 || r.getInt(2) == 1, r)
+    // concatenating each url's chunks in order reproduces the exact
+    // paragraph stream the region extractor emits — chunking never drops,
+    // duplicates or reorders content
+    val byUrl = out.groupBy(_.getString(0)).map { case (u, rs) =>
+      u -> rs.sortBy(_.getInt(1)).map(_.getString(4)).mkString("\n\n")
+    }
+    val c = CorpusGen.corpus(spark, rows = 180, partitions = 8)
+    val regions = Pipeline.extractRegions(spark, CorpusGen.inputView(c)).collect()
+    val expect = regions.groupBy(_.url).map { case (u, rs) =>
+      u -> rs.sortBy(r => (r.page, r.para)).map(_.text).mkString("\n\n")
+    }
+    assert(byUrl == expect)
+  }
+
   test("audio decode: a frame-size lie (blockAlign 0) is rejected, never a spin") {
     // AudioInputStream.read returns 0 (not -1) when the effective frame
     // size is 0 or exceeds the read buffer; readAllBytes loops forever on
