@@ -69,24 +69,52 @@ object Bench {
     val ex = extractionBench(spark, benchDocs, cpus * 4, tmp)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     results("extract_corpus") = ex.secs
+    // best of 2 reps per query: this host's vCPU allocation is bursty
+    // (CLAUDE.md protocol, same as ScalingBench) — a single-shot timing
+    // has manufactured phantom 7x regressions in past rounds. A query
+    // that throws is recorded loudly (err map + nonzero exit), never as
+    // a fast success.
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      results(name) = (System.nanoTime() - t0) / 1e9
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 2 && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (secs < best) best = secs
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        rep += 1
+      }
+      results(name) = if (errors.contains(name)) -1.0 else best
     }
     def fmt(v: Double): String = f"$v%.3f"
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.values.sum
+    val errJson =
+      if (errors.isEmpty) ""
+      else ",\"errors\":" + errors.map { case (k, v) => "\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
     println(
       "{\"metric\":\"total\",\"value\":" + fmt(total) + ",\"unit\":\"sec\"" +
-        ",\"queries\":" + qs +
+        ",\"queries\":" + qs + errJson +
         ",\"sf\":\"" + sfDir + "\",\"cpus\":" + cpus +
         ",\"extraction\":{\"docs\":" + ex.docs +
         ",\"secs\":" + fmt(ex.secs) +
         ",\"docs_per_sec\":" + f"${ex.docsPerSec}%.1f" +
         ",\"match_rate\":" + ex.matchRate + "}}")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -85,16 +85,17 @@ object Crypt {
 
   /** Crypt-filter selection at V>=4: an EXPLICIT /Identity disables
     * decryption for that surface. An ABSENT /StmF//StrF defaults to
-    * /Identity per ISO 32000-1 7.6.5 — but ONLY when /CF is also absent
-    * (no named crypt filters declared anywhere): a spec-conforming writer
-    * that omits /StmF intends Identity, while a real encrypting writer
-    * declares /CF and names a filter; when /CF exists, treating an absent
-    * /StmF as encrypted matches common-reader leniency and keeps
-    * pre-V4-style dicts working. */
-  private def filterIsIdentity(d: TreeMap[String, PObj], key: String): Boolean =
+    * /Identity per ISO 32000-1 7.6.5 — but ONLY at V=4 and ONLY when /CF
+    * is also absent (no named crypt filters declared anywhere): the
+    * leniency rationale is pre-V4-style dicts that never declared crypt
+    * filters, which cannot apply to V5 (AES-256 exists only in the
+    * crypt-filter model, so a V5 dict omitting /CF is malformed — keep
+    * attempting decryption rather than passing ciphertext through). */
+  private def filterIsIdentity(d: TreeMap[String, PObj], key: String,
+      allowAbsentDefault: Boolean = true): Boolean =
     d.get(key) match {
       case Some(PName("/Identity")) => true
-      case None => !d.contains("/CF") // spec default when no filters declared
+      case None => allowAbsentDefault && !d.contains("/CF") // V4 spec default when no filters declared
       case _ => false
     }
 
@@ -162,8 +163,8 @@ object Crypt {
         else None
       }
     } yield Security(r, 5, key, 32, aes = true,
-      strEncrypted = !filterIsIdentity(encDict, "/StrF"),
-      stmEncrypted = !filterIsIdentity(encDict, "/StmF"))
+      strEncrypted = !filterIsIdentity(encDict, "/StrF", allowAbsentDefault = false),
+      stmEncrypted = !filterIsIdentity(encDict, "/StmF", allowAbsentDefault = false))
   }
 
   private def usesAes(d: TreeMap[String, PObj]): Boolean =

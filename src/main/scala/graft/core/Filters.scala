@@ -93,7 +93,16 @@ object Filters {
     case Some(p) => p.get("/Predictor") match {
       case Some(PNum(v)) if Util.hsTruncate(v) >= 12 =>
         p.get("/Columns") match {
-          case Some(PNum(c)) => decodePngPredictors(bs, Util.hsTruncate(c))
+          case Some(PNum(c)) =>
+            val colors = p.get("/Colors") match {
+              case Some(PNum(n)) => Util.hsTruncate(n)
+              case _ => 1
+            }
+            val bpc = p.get("/BitsPerComponent") match {
+              case Some(PNum(n)) => Util.hsTruncate(n)
+              case _ => 8
+            }
+            decodePngPredictors(bs, Util.hsTruncate(c), colors, bpc)
           case _ => Right(bs)
         }
       case _ => Right(bs)
@@ -294,29 +303,44 @@ object Filters {
     out.toArray
   }
 
-  def decodePngPredictors(bs: Array[Byte], columns: Int): Either[PdfError, Array[Byte]] = {
-    if (columns <= 0) return Right(Array.emptyByteArray)
+  /** PNG row predictors (RFC 2083 §6) as used by PDF DecodeParms. The
+    * "left" neighbor is the sample one whole pixel back: bpp =
+    * ceil(Colors*BitsPerComponent/8) bytes (1 for sub-byte depths), and a
+    * row holds ceil(Columns*Colors*BitsPerComponent/8) bytes — for xref
+    * streams (Colors=1, bpc=8) this degenerates to the historical
+    * stride=Columns, left=row(k-1) behavior. */
+  def decodePngPredictors(bs: Array[Byte], columns: Int, colors: Int = 1,
+      bpc: Int = 8): Either[PdfError, Array[Byte]] = {
+    if (columns <= 0 || colors <= 0 || bpc <= 0) return Right(Array.emptyByteArray)
+    val bpp = math.max(1, (colors * bpc + 7) / 8)
+    val rowBytes = (columns.toLong * colors * bpc + 7) / 8
+    if (rowBytes > Int.MaxValue - 8)
+      return Left(PdfError.UnsupportedFeature(s"PNG predictor row too wide ($rowBytes bytes)"))
+    val stride = rowBytes.toInt
     val out = new ArrayBuffer[Byte]
-    var prev = new Array[Byte](columns)
+    var prev = new Array[Byte](stride)
     var pos = 0
     while (pos < bs.length) {
       val filt = bs(pos) & 0xff
-      val rowLen = math.min(columns, bs.length - pos - 1)
+      val rowLen = math.min(stride, bs.length - pos - 1)
       val row = new Array[Byte](rowLen)
       System.arraycopy(bs, pos + 1, row, 0, rowLen)
       filt match {
         case 0 => ()
         case 1 =>
           var k = 0
-          var p = 0
-          while (k < rowLen) { p = ((row(k) & 0xff) + p) & 0xff; row(k) = p.toByte; k += 1 }
+          while (k < rowLen) {
+            val left = if (k >= bpp) row(k - bpp) & 0xff else 0
+            row(k) = (((row(k) & 0xff) + left) & 0xff).toByte
+            k += 1
+          }
         case 2 =>
           var k = 0
           while (k < rowLen) { row(k) = (((row(k) & 0xff) + (prev(k) & 0xff)) & 0xff).toByte; k += 1 }
         case 3 => // Average: raw + floor((left + up) / 2)
           var k = 0
           while (k < rowLen) {
-            val left = if (k > 0) row(k - 1) & 0xff else 0
+            val left = if (k >= bpp) row(k - bpp) & 0xff else 0
             val up = prev(k) & 0xff
             row(k) = (((row(k) & 0xff) + ((left + up) >> 1)) & 0xff).toByte
             k += 1
@@ -324,9 +348,9 @@ object Filters {
         case 4 => // Paeth (RFC 2083 6.6): nearest of left/up/up-left to a+b-c
           var k = 0
           while (k < rowLen) {
-            val a = if (k > 0) row(k - 1) & 0xff else 0
+            val a = if (k >= bpp) row(k - bpp) & 0xff else 0
             val b = prev(k) & 0xff
-            val c = if (k > 0) prev(k - 1) & 0xff else 0
+            val c = if (k >= bpp) prev(k - bpp) & 0xff else 0
             val p = a + b - c
             val pa = math.abs(p - a)
             val pb = math.abs(p - b)
@@ -339,8 +363,8 @@ object Filters {
           return Left(PdfError.UnsupportedFeature(s"unsupported PNG predictor $other"))
       }
       out ++= row
-      prev = if (rowLen == columns) row else row ++ new Array[Byte](columns - rowLen)
-      pos += 1 + columns
+      prev = if (rowLen == stride) row else row ++ new Array[Byte](stride - rowLen)
+      pos += 1 + stride
     }
     Right(out.toArray)
   }

@@ -533,6 +533,29 @@ object FixtureGen {
     Doc("jbig2image", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
+  /** Page with an MQ arithmetic-coded JBIG2 generic-region image XObject
+    * (T.88 Annex E) — the dominant real-world scanned-PDF encoding.
+    * Template and TPGDON vary with the caller. Not in the corpus cycle. */
+  def jbig2ImageArith(i: Long, template: Int, tpgdon: Boolean): Doc = {
+    val line = s"JBIG2 arith image document $i"
+    val w = 48
+    val h = 10
+    val bitmap = jbig2Bitmap(i)
+    val enc = new String(
+      graft.core.Jbig2.encodeEmbeddedArith(bitmap, w, template, tpgdon), ISO_8859_1)
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\nq 96 0 0 20 72 560 cm /Im1 Do Q\n"
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 5 0 R >> /XObject << /Im1 6 0 R >> >> /Contents 4 0 R >>",
+      contentObj(content, compress = false),
+      helvetica,
+      s"<< /Type /XObject /Subtype /Image /Width $w /Height $h /ColorSpace /DeviceGray " +
+        s"/BitsPerComponent 1 /Filter /JBIG2Decode /Length ${enc.length} >>\nstream\n$enc\nendstream"))
+    Doc("jbig2imagearith", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
+  }
+
   /** V4 encrypt dict that declares NO crypt filters (/CF //StmF //StrF all
     * absent) and leaves streams as plaintext: ISO 32000-1 7.6.5's default
     * for an absent /StmF//StrF is /Identity, so a conforming reader must

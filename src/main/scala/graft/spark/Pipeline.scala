@@ -345,6 +345,23 @@ object Pipeline {
     extractMode(spark, rest, "geom").unionByName(giantDocs)
   }
 
+  /** Attach decode counters (docs, ok, decode failures, chars, kernel
+    * time) to an extraction Dataset as an observe() metric: the counters
+    * ride the CALLER's own action — no extra job — and land in the SQL
+    * metrics stream (QueryExecutionListener / event log) that a cluster's
+    * ops pipeline exports, instead of a driver log line. Read them after
+    * any action on the returned Dataset via `obs.get`. */
+  def observeExtraction(ds: Dataset[ExtractedDoc]): (Dataset[ExtractedDoc], org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = ds.observe(obs,
+      count(lit(1)).as("docs"),
+      coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)).as("ok_docs"),
+      coalesce(sum(when(!col("ok"), 1L).otherwise(0L)), lit(0L)).as("decode_failures"),
+      coalesce(sum(col("chars")), lit(0L)).as("chars"),
+      coalesce(sum(col("kernelMicros")), lit(0L)).as("kernel_micros"))
+    (observed, obs)
+  }
+
   /** Per-partition lineage rows (append these to the metrics table). */
   def partitionMetrics(spark: SparkSession, ds: Dataset[ExtractedDoc]): Dataset[PartitionMetrics] = {
     import spark.implicits._

@@ -231,8 +231,11 @@ object Queries {
       // scoped PER SESSION: re-invocations in one session overwrite in
       // place (no accumulation), while two concurrent processes (sbt test
       // and Verify) write disjoint names/paths instead of racing on one
-      // overwrite and reading a mix of each other's bucket files.
-      val sid = java.lang.Integer.toHexString(System.identityHashCode(spark))
+      // overwrite and reading a mix of each other's bucket files. The PID
+      // is part of the suffix because identityHashCode is only unique
+      // within one JVM — cross-process disjointness needs it.
+      val sid = ProcessHandle.current().pid().toString + "_" +
+        java.lang.Integer.toHexString(System.identityHashCode(spark))
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$sid"
       val liTable = s"graft_li_bucketed_$sid"
       val ordTable = s"graft_ord_bucketed_$sid"
@@ -521,6 +524,25 @@ object Queries {
     * healthy corpus 65k band keys give buckets of ~1 and the cap never
     * bites, so the d7 oracle is unchanged.
     */
+  /** Per-band oversize-bucket audit rows — the x6-style metrics surface
+    * for the LSH cap: (band, dropped_buckets, dropped_rows, dropped_pairs),
+    * one row per band, zeros on a healthy corpus. Appendable to the same
+    * metrics table as Pipeline.partitionMetrics. */
+  private[graft] def signLshDropAudit(allv: DataFrame, cap: Long): DataFrame =
+    signLshDropAudit((0 until 4).map { j =>
+      allv.groupBy(col(s"band$j")).agg(count(lit(1)).as("n")).filter(col("n") > cap)
+    })
+
+  private def signLshDropAudit(big: Seq[DataFrame]): DataFrame =
+    big.zipWithIndex.map { case (df, j) =>
+      df.agg(
+        coalesce(count(lit(1)), lit(0L)).as("dropped_buckets"),
+        coalesce(sum(col("n")), lit(0L)).as("dropped_rows"),
+        coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")), lit(0L)).as("dropped_pairs"))
+        .select(lit(j).as("band"), col("dropped_buckets"),
+          col("dropped_rows"), col("dropped_pairs"))
+    }.reduce(_.unionByName(_))
+
   private[graft] def signLshBandPairs(allv: DataFrame, cap: Long = 64L): DataFrame = {
     // per-band oversize band keys, tiny by construction (≤ totalRows/cap
     // keys can exceed the cap); materialized ONCE (localCheckpoint) and
@@ -530,20 +552,24 @@ object Queries {
         .filter(col("n") > cap)
         .localCheckpoint(true)
     }
-    // no silent caps: one aggregate action reports what was dropped (a
-    // pair oversize in SEVERAL bands is counted once per band here; the
-    // recovery below means only pairs oversize in EVERY shared band are
-    // truly lost)
-    val drop = big.map(_.agg(
-        coalesce(count(lit(1)), lit(0L)).as("buckets"),
-        coalesce(sum(col("n")), lit(0L)).as("rows"),
-        coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")), lit(0L)).as("pairs")))
-      .reduce(_.unionByName(_))
-      .agg(sum("buckets"), sum("rows"), sum("pairs")).first()
-    if (drop.getLong(0) > 0)
+    // no silent caps: the drop audit rides an observe() on the one audit
+    // action, so the counters land in the SQL metrics stream (QueryExecution
+    // listeners / event log — what a cluster's ops pipeline exports) as
+    // metrics rows, not a driver log line. A pair oversize in SEVERAL bands
+    // is counted once per band here; the recovery below means only pairs
+    // oversize in EVERY shared band are truly lost.
+    val obs = org.apache.spark.sql.Observation()
+    signLshDropAudit(big)
+      .observe(obs,
+        coalesce(sum(col("dropped_buckets")), lit(0L)).as("dropped_buckets"),
+        coalesce(sum(col("dropped_rows")), lit(0L)).as("dropped_rows"),
+        coalesce(sum(col("dropped_pairs")), lit(0L)).as("dropped_pairs"))
+      .collect() // the audit action the observation rides (4 tiny rows)
+    val dropped = obs.get
+    if (dropped("dropped_buckets").asInstanceOf[Long] > 0)
       System.err.println(
-        s"[signLshBandPairs] dropped ${drop.getLong(0)} oversize bucket(s) " +
-          s"(cap=$cap): ${drop.getLong(1)} rows, ${drop.getLong(2)} " +
+        s"[signLshBandPairs] dropped ${dropped("dropped_buckets")} oversize bucket(s) " +
+          s"(cap=$cap): ${dropped("dropped_rows")} rows, ${dropped("dropped_pairs")} " +
           "would-be pairs (per-band count) routed out of LSH pairing")
     // flag every row with whether its band-j bucket is oversize: band j's
     // pairing skips dropped buckets, and the first-band-wins exclusion for

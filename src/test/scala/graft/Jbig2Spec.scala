@@ -27,27 +27,90 @@ class Jbig2Spec extends AnyFunSuite {
     }
   }
 
-  test("arithmetic-coded generic region (MMR=0) is refused, not mis-decoded") {
+  test("MQ arithmetic generic region roundtrips for all 4 templates") {
+    val rnd = new scala.util.Random(53)
+    for (template <- 0 to 3; trial <- 0 until 4) {
+      val w = 8 + rnd.nextInt(72)
+      val h = 1 + rnd.nextInt(14)
+      // mix of structured and noisy content: noise stresses LPS paths,
+      // structure stresses long MPS runs and renormalization
+      val bitmap = Array.tabulate(h, w)((y, x) =>
+        if (trial % 2 == 0) rnd.nextBoolean() else ((x / 3 + y) % 4) < 2)
+      val enc = Jbig2.encodeEmbeddedArith(bitmap, w, template)
+      val dec = Jbig2.decodeEmbedded(enc)
+        .fold(e => fail(s"template $template trial $trial: $e"), identity)
+      val rowBytes = (w + 7) / 8
+      assert(dec.length == rowBytes * h, s"template $template trial $trial")
+      for (y <- 0 until h; x <- 0 until w) {
+        val bit = (dec(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+        assert((bit == 0) == bitmap(y)(x),
+          s"template $template trial $trial pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("TPGDON typical-prediction rows roundtrip (repeated and changing rows)") {
+    val rnd = new scala.util.Random(59)
+    for (template <- 0 to 3) {
+      val w = 40
+      // blocks of repeated rows exercise the LTP toggle in both directions
+      val distinct = Array.tabulate(5, w)((_, _) => rnd.nextBoolean())
+      val bitmap = Array.tabulate(20)(y => distinct(y / 4).clone())
+      val enc = Jbig2.encodeEmbeddedArith(bitmap, w, template, tpgdon = true)
+      val plain = Jbig2.encodeEmbeddedArith(bitmap, w, template)
+      assert(enc.length < plain.length,
+        s"template $template: TPGDON should compress repeated rows")
+      val dec = Jbig2.decodeEmbedded(enc)
+        .fold(e => fail(s"template $template: $e"), identity)
+      val rowBytes = (w + 7) / 8
+      for (y <- 0 until 20; x <- 0 until w) {
+        val bit = (dec(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+        assert((bit == 0) == bitmap(y)(x), s"template $template pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("MQ state table matches ITU-T T.88 Table E.1 spot values") {
+    // pins the transcribed table against independently-published rows
+    // (first/last/switch rows of the standard's Table E.1)
+    assert(Mq.QeTable(0) == 0x5601 && Mq.Nmps(0) == 1 && Mq.Nlps(0) == 1 && Mq.Switch(0) == 1)
+    assert(Mq.QeTable(6) == 0x5601 && Mq.Nmps(6) == 7 && Mq.Nlps(6) == 6 && Mq.Switch(6) == 1)
+    assert(Mq.QeTable(14) == 0x5601 && Mq.Nmps(14) == 15 && Mq.Nlps(14) == 14 && Mq.Switch(14) == 1)
+    assert(Mq.QeTable(45) == 0x0001 && Mq.Nmps(45) == 45 && Mq.Nlps(45) == 43 && Mq.Switch(45) == 0)
+    assert(Mq.QeTable(46) == 0x5601 && Mq.Nmps(46) == 46 && Mq.Nlps(46) == 46 && Mq.Switch(46) == 0)
+    assert(Mq.QeTable.length == 47 && Mq.Nmps.length == 47 && Mq.Nlps.length == 47)
+  }
+
+  test("multi-region and offset streams are refused, not partially decoded") {
     val bitmap = Array.tabulate(4, 16)((y, x) => (x + y) % 2 == 0)
-    val enc = Jbig2.encodeEmbedded(bitmap, 16)
-    // flip the MMR bit in the generic-region flags byte, which sits
-    // immediately before the T.6 payload at the end of the stream
-    val mmrLen = Ccitt.encodeG4(bitmap, 16).length
-    val genFlagsOff = enc.length - mmrLen - 1
-    assert((enc(genFlagsOff) & 1) == 1, "fixture layout changed")
-    val m = enc.clone()
-    m(genFlagsOff) = 0x00.toByte
+    val one = Jbig2.encodeEmbedded(bitmap, 16)
+    // two generic regions: duplicate the region segment (drop page info
+    // from the copy — segments are self-delimiting)
+    val pageLen = 11 + 19 // header + page-info body
+    val region = one.drop(pageLen)
+    Jbig2.decodeEmbedded(one ++ region) match {
+      case Left(PdfError.UnsupportedFeature(msg)) => assert(msg.contains("generic regions"))
+      case other => fail(s"expected refusal of 2 regions, got $other")
+    }
+    // offset region: patch x=2 into the region segment info
+    val m = one.clone()
+    val regInfo = pageLen + 11 // region body starts after its own header
+    assert(m(regInfo + 11) == 0, "fixture layout changed")
+    m(regInfo + 11) = 2 // x offset low byte
     Jbig2.decodeEmbedded(m) match {
-      case Left(PdfError.UnsupportedFeature(msg)) => assert(msg.contains("arithmetic"))
-      case other => fail(s"expected UnsupportedFeature, got $other")
+      case Left(PdfError.UnsupportedFeature(msg)) => assert(msg.contains("offset"))
+      case other => fail(s"expected refusal of offset region, got $other")
     }
   }
 
   test("malformed JBIG2 streams return Left, never throw or hang") {
-    val valid = Jbig2.encodeEmbedded(
-      Array.tabulate(6, 40)((y, x) => ((x + y) % 3) == 0), 40)
+    val bm = Array.tabulate(6, 40)((y, x) => ((x + y) % 3) == 0)
+    val bases = Seq(Jbig2.encodeEmbedded(bm, 40),
+      Jbig2.encodeEmbeddedArith(bm, 40, 0),
+      Jbig2.encodeEmbeddedArith(bm, 40, 3, tpgdon = true))
     val rnd = new scala.util.Random(47)
-    for (n <- 0 until 600) {
+    for (n <- 0 until 900) {
+      val valid = bases(n % bases.length)
       val bytes =
         if (n % 3 == 0) valid.take(rnd.nextInt(valid.length))
         else if (n % 3 == 1) Array.fill[Byte](1 + rnd.nextInt(96))(rnd.nextInt(256).toByte)

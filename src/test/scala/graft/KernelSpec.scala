@@ -432,6 +432,57 @@ class KernelSpec extends AnyFunSuite {
       == List[Byte](1, 2, 3, 2, 3, 4))
   }
 
+  test("PNG predictors honor /Colors and /BitsPerComponent (bpp-wide left)") {
+    import PObj._
+    import scala.collection.immutable.TreeMap
+    // independent reference filter: encode raw rows with each predictor
+    // using plain arithmetic, stride = ceil(cols*colors*bpc/8), left one
+    // whole pixel (bpp bytes) back
+    def encodeRows(raw: Array[Byte], stride: Int, bpp: Int, filt: Int): Array[Byte] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Byte]
+      var r = 0
+      while (r * stride < raw.length) {
+        out += filt.toByte
+        for (k <- 0 until stride) {
+          val cur = raw(r * stride + k) & 0xff
+          val left = if (k >= bpp) raw(r * stride + k - bpp) & 0xff else 0
+          val up = if (r > 0) raw((r - 1) * stride + k) & 0xff else 0
+          val ul = if (r > 0 && k >= bpp) raw((r - 1) * stride + k - bpp) & 0xff else 0
+          val pred = filt match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) >> 1
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          out += ((cur - pred) & 0xff).toByte
+        }
+        r += 1
+      }
+      out.toArray
+    }
+    val rnd = new scala.util.Random(61)
+    // RGB8 (bpp 3), Gray16 (bpp 2), RGB16 (bpp 6), and sub-byte Gray4
+    // (bpp clamps to 1, stride = ceil(cols*4/8))
+    for ((colors, bpc, cols) <- Seq((3, 8, 5), (1, 16, 4), (3, 16, 3), (1, 4, 10));
+         filt <- 0 to 4) {
+      val stride = (cols * colors * bpc + 7) / 8
+      val bpp = math.max(1, (colors * bpc + 7) / 8)
+      val raw = Array.fill[Byte](stride * 4)(rnd.nextInt(256).toByte)
+      val enc = encodeRows(raw, stride, bpp, filt)
+      val dict = TreeMap[String, PObj](
+        "/Filter" -> PName("/FlateDecode"),
+        "/DecodeParms" -> PDict(TreeMap(
+          "/Predictor" -> PNum(15), "/Columns" -> PNum(cols),
+          "/Colors" -> PNum(colors), "/BitsPerComponent" -> PNum(bpc))))
+      assert(Filters.decodeStreamBytes(dict, Filters.deflate(enc)).toOption.get.toList
+        == raw.toList, s"colors=$colors bpc=$bpc filt=$filt")
+    }
+  }
+
   test("Algorithm 2.B known-answer vectors (externally derived)") {
     // Pins hash2B against vectors computed by an INDEPENDENT spec-written
     // implementation (python `cryptography`/OpenSSL, tools provenance in
@@ -485,6 +536,26 @@ class KernelSpec extends AnyFunSuite {
     val doc = DocStructure.openDocument(d.bytes, None).toOption.get
     assert(doc.security.exists(s => !s.stmEncrypted && !s.strEncrypted))
     assert(Extract.taggedText(doc) == Right(d.expected))
+  }
+
+  test("V5 dict with no /CF: absent /StmF stays ENCRYPTED (no Identity leniency)") {
+    // The V4 absent-/StmF => Identity default exists for pre-V4-style dicts
+    // that never declared crypt filters; AES-256 exists only inside the
+    // crypt-filter model, so a V5 dict omitting /CF is malformed — passing
+    // ciphertext through as "plaintext" would emit garbage text rows.
+    // Attempt AES-256 decryption instead.
+    val d = graft.spark.FixtureGen.encryptedAes256(3)
+    val doc = DocStructure.openDocument(d.bytes, None).toOption.get
+    val encRef = doc.trailer.get("/Encrypt") match {
+      case Some(PObj.PRef(n)) => n
+      case other => fail(s"no /Encrypt ref: $other")
+    }
+    val enc = Lexer.collectPdfObjs(d.bytes).find(_._1 == encRef)
+      .flatMap { case (n, body) =>
+        DocStructure.findDict(Lexer.parsePdfObj(None, n, body)) }.get
+    val stripped = enc - "/CF" - "/StmF" - "/StrF"
+    val sec = Crypt.securityFromEncryptDict(stripped, doc.trailer, None).get
+    assert(sec.version == 5 && sec.stmEncrypted && sec.strEncrypted)
   }
 
   test("AES-256 R6 fixture decrypts and extracts (empty user password)") {

@@ -80,6 +80,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.getLong(2) == 0)
   }
 
+  test("observed decode counters ride the caller's action (observe metrics)") {
+    val s = spark
+    import s.implicits._
+    // 2 good docs + 2 decode failures: the observation must report them
+    // without any extra job beyond the caller's own action
+    val rows = Seq(
+      ("u1", "<html><p>alpha beta</p></html>".getBytes, null: String),
+      ("u2", "%PDF-1.5 garbage".getBytes, null: String),
+      ("u3", Array.fill(64)(0x7f.toByte), null: String),
+      ("u4", "<html><p>gamma</p></html>".getBytes, null: String))
+    val (observed, obs) = Pipeline.observeExtraction(
+      Pipeline.extract(spark, rows.toDF("url", "html", "text")))
+    val collected = observed.collect()
+    val m = obs.get
+    assert(m("docs") == 4L, m)
+    assert(m("ok_docs") == 2L, m)
+    assert(m("decode_failures") == 2L, m)
+    assert(m("chars") == collected.map(_.chars.toLong).sum, m)
+    assert(m("kernel_micros").asInstanceOf[Long] > 0L, m)
+  }
+
   test("malformed payloads become error rows, not task failures") {
     val s = spark
     import s.implicits._

@@ -153,6 +153,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cap above the bucket size: uncapped all-pairs-within-bucket semantics
     // (202*201/2 band0 pairs + the healthy band0 pair)
     assert(Queries.signLshBandPairs(allv, cap = 300L).count() == 20302L)
+    // the drop counters fire as METRICS ROWS (the x6-style audit surface),
+    // not just a stderr line: the degenerate rows collide in every band —
+    // band0's bucket holds 202 rows (degen 200 + the 301/302 pair share
+    // band0=7), bands 1-3 hold the 200 degen rows each
+    val audit = Queries.signLshDropAudit(allv, cap = 64L)
+      .orderBy("band").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(audit(0) == ((0, 1L, 202L, 202L * 201L / 2)), audit.mkString(","))
+    assert(audit.drop(1).toSeq == (1 to 3).map(j => (j, 1L, 200L, 200L * 199L / 2)),
+      audit.mkString(","))
   }
 
   test("region extraction is shuffle-free up to the output sort (x24)") {
