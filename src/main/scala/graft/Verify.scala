@@ -32,6 +32,14 @@ object Verify {
           col("title"), col("regions"), col("html").as("payload"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$auxDir/aux_expected")
+      // Long-document ground truth for the realistic-budget chunking
+      // surface (c4/c5): construction-fact page_texts/regions of the
+      // 24-row longCorpus.
+      graft.spark.CorpusGen.longCorpus(spark, rows = 24, partitions = 4)
+        .select(col("url"), col("kind"), col("expected").as("text"),
+          col("page_texts"), col("regions"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$auxDir/aux_long")
       // Diff ground truth: per-url page paragraph texts of the 33-row corpus
       // and its variant (both constructed) joined side by side, so DuckDB
       // can reproduce the paragraph-diff output without running the kernel.
@@ -99,11 +107,13 @@ object Verify {
     val auxAudioPath = new java.io.File(auxDir, "aux_audio").getAbsolutePath
     val auxVideoPath = new java.io.File(auxDir, "aux_video").getAbsolutePath
     val auxScanPath = new java.io.File(auxDir, "aux_scanned").getAbsolutePath
+    val auxLongPath = new java.io.File(auxDir, "aux_long").getAbsolutePath
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUXDIFF__", auxDiffPath)
         .replace("__AUXMEDIA__", auxMediaPath).replace("__AUXAUDIO__", auxAudioPath)
         .replace("__AUXVIDEO__", auxVideoPath)
         .replace("__AUXSCAN__", auxScanPath)
+        .replace("__AUXLONG__", auxLongPath)
         .replace("__AUX__", auxPath))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -86,6 +86,32 @@ object CorpusGen {
     }).toDF()
   }
 
+  /** Long many-paragraph documents (FixtureGen.longDoc) for the
+    * realistic-budget chunking surface: same CorpusRow shape, every row a
+    * 6-page/48-paragraph PDF with construction-fact page_texts/regions. */
+  def longCorpus(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, rows, 1, partitions).as[Long].mapPartitions(_.map { i =>
+      val d = FixtureGen.longDoc(i)
+      CorpusRow(
+        url = s"https://corpus.test/${d.kind}/$i",
+        warc_ts = new Timestamp(epochMs + i * 1000L),
+        html = d.bytes,
+        text = null,
+        lang = d.lang,
+        expected = d.expected,
+        kind = d.kind,
+        pages = d.pages,
+        expected_geom = d.expectedGeom,
+        expected_legacy = d.expectedLegacy,
+        toc_entries = d.tocEntries,
+        toc_text = d.tocText,
+        page_texts = d.pageTexts,
+        title = d.title,
+        regions = d.regions)
+    }).toDF()
+  }
+
   /** Input-shape view (drops the ground-truth columns). */
   def inputView(corpus: DataFrame): DataFrame =
     corpus.select("url", "warc_ts", "html", "text", "lang")

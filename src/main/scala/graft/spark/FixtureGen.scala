@@ -394,6 +394,54 @@ object FixtureGen {
     Doc("book", classicPdf(objs), expected.toString + "\n", "en", pages = nPages)
   }
 
+  /** Long many-paragraph document for the realistic-budget chunking
+    * surface (c4/c5): 6 pages x 8 single-show paragraphs whose token
+    * counts vary 9-48, so a 256-token budget crosses mid-page at
+    * irregular offsets (the window/fold logic away from c2/c3's
+    * boundary-every-paragraph regime). Every paragraph is unique text —
+    * no repeated header/footer, so no cross-page strip interplay — and
+    * pageTexts/regions are pure construction facts like multipage's. */
+  def longDoc(i: Long): Doc = {
+    val nPages = 6
+    val parasPerPage = 8
+    def words(pg: Int, p: Int): Seq[String] = {
+      val extra = (p * 7 + pg * 3 + i) % 40
+      // terminal "done!" matters: the cross-page paragraph-join rule keeps
+      // a page's last paragraph separate only when it ends a sentence
+      // (continuation text is space-joined across the boundary)
+      Seq(s"Long", s"document", s"$i", s"page", s"$pg", s"paragraph", s"$p",
+        "filler", "tokens:") ++ (0 until extra.toInt).map(k => s"w${(k + p + pg) % 97}") :+
+        "done!"
+    }
+    val paraY = (p: Int) => 740 - p * 36
+    val pageStreams = (1 to nPages).map { pg =>
+      (0 until parasPerPage).map { p =>
+        s"BT /F1 12 Tf 72 ${paraY(p)} Td (${words(pg, p).mkString(" ")}) Tj ET\n"
+      }.mkString
+    }
+    val paraTexts = (1 to nPages).map(pg =>
+      (0 until parasPerPage).map(p => words(pg, p).mkString(" ")))
+    val firstPage = 3
+    val firstContent = firstPage + nPages
+    val fontObj = firstContent + nPages
+    val kids = (0 until nPages).map(k => s"${firstPage + k} 0 R").mkString(" ")
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      s"<< /Type /Pages /Kids [$kids] /Count $nPages >>") ++
+      (0 until nPages).map(k => pageObj(2, firstContent + k, fontObj)) ++
+      pageStreams.map(contentObj(_, compress = true)) :+
+      helvetica
+    Doc("longdoc", classicPdf(objs),
+      paraTexts.flatten.mkString("\n\n") + "\n", "en", pages = nPages,
+      expectedLegacyOrNull = legacyOf(paraTexts.flatten: _*),
+      pageTextsOrNull = paraTexts.map(_.mkString("\n\n") + "\n"),
+      // one single-show 12 pt paragraph each at (72, 740-36p): Helvetica
+      // with no /Widths -> advance 0 -> x1 == x0; y spans [y-12, y]
+      regionsOrNull = (1 to nPages).flatMap(pg =>
+        (0 until parasPerPage).map(p =>
+          s"$pg|${p + 1}|72.0|${paraY(p) - 12}.0|72.0|${paraY(p)}.0")))
+  }
+
   /** Document with an /Outlines tree (toc query surface): two chapters,
     * one nested section. */
   def outlined(i: Long): Doc = {

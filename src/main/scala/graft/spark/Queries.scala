@@ -2125,6 +2125,20 @@ object Queries {
     Some("""SELECT url, text FROM read_parquet('__AUX__/*.parquet')
            |WHERE kind <> 'textrow' ORDER BY url""".stripMargin))
 
+  private val x27 = Q(
+    (spark, _) => {
+      // the 2-arg extract_text(html, mode) form: mode selects the
+      // stream-order legacy extractor through the SAME codegen'd
+      // expression — the SQL route now matches Pipeline.extractMode's
+      // surface (x8 proves the mapPartitions route; this proves SQL)
+      GraftExtensions.install(spark)
+      CorpusGen.inputView(corpus(spark)).createOrReplaceTempView("crawl_x27")
+      spark.sql("""SELECT url, extract_text(html, 'legacy') AS text FROM crawl_x27
+                  |WHERE url NOT LIKE '%textrow%' ORDER BY url""".stripMargin)
+    },
+    Some("""SELECT url, text_legacy AS text FROM read_parquet('__AUX__/*.parquet')
+           |WHERE kind <> 'textrow' ORDER BY url""".stripMargin))
+
   /** Token budget shared by the chunking queries' Spark folds AND their
     * oracle SQL (interpolated) — one constant, no silent drift. */
   private val ChunkBudget = 8
@@ -2147,35 +2161,38 @@ object Queries {
            |  pixel_md5 AS "pixelMd5"
            |FROM read_parquet('__AUXSCAN__/*.parquet') ORDER BY url""".stripMargin))
 
+  /** Layout-aware chunking on region boundaries (the pretraining-chunker
+    * shape pageRegions exists for): paragraphs accumulate in reading
+    * order and a chunk break falls where the cumulative token offset
+    * crosses the token budget — every chunk boundary is a paragraph
+    * boundary, assignment is a pure window function (no per-doc
+    * recursion, so the plan is one shuffle on url + the rollup). */
+  private def regionChunkQuery(spark: SparkSession, input: DataFrame, budget: Int): DataFrame = {
+    val toks = Pipeline.extractRegions(spark, input).toDF()
+      .withColumn("tok", size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
+    val w = Window.partitionBy("url").orderBy("page", "para")
+    toks.withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("chunk", floor((col("cum") - col("tok")) / budget).cast("int"))
+      .groupBy(col("url"), col("chunk"))
+      .agg(count(lit(1)).cast("int").as("paras"),
+        sum(col("tok")).cast("long").as("tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("page"), col("para"), col("text")))),
+            x => x.getField("text")),
+          "\n\n").as("text"))
+      .orderBy("url", "chunk")
+  }
+
   private val c2 = Q(
-    (spark, _) => {
-      // Layout-aware chunking on region boundaries (the pretraining-chunker
-      // shape pageRegions exists for): paragraphs accumulate in reading
-      // order and a chunk break falls where the cumulative token offset
-      // crosses the 8-token budget — every chunk boundary is a paragraph
-      // boundary, assignment is a pure window function (no per-doc
-      // recursion, so the plan is one shuffle on url + the rollup).
-      val budget = ChunkBudget
-      val c = corpus(spark)
-      val toks = Pipeline.extractRegions(spark, CorpusGen.inputView(c)).toDF()
-        .withColumn("tok", size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
-      val w = Window.partitionBy("url").orderBy("page", "para")
-      toks.withColumn("cum", sum(col("tok")).over(w))
-        .withColumn("chunk", floor((col("cum") - col("tok")) / budget).cast("int"))
-        .groupBy(col("url"), col("chunk"))
-        .agg(count(lit(1)).cast("int").as("paras"),
-          sum(col("tok")).cast("long").as("tokens"),
-          array_join(
-            transform(
-              sort_array(collect_list(struct(col("page"), col("para"), col("text")))),
-              x => x.getField("text")),
-            "\n\n").as("text"))
-        .orderBy("url", "chunk")
-    },
+    (spark, _) => regionChunkQuery(spark, CorpusGen.inputView(corpus(spark)), ChunkBudget),
     // DuckDB rebuilds the paragraphs from the generator page_texts ground
     // truth (same split as x24) and replays the identical window math
-    Some(s"""WITH exp AS (
-           |  SELECT url, page_texts FROM read_parquet('__AUX__/*.parquet')
+    Some(regionChunkOracle(ChunkBudget, "__AUX__")))
+
+  private def regionChunkOracle(budget: Int, aux: String): String =
+    s"""WITH exp AS (
+           |  SELECT url, page_texts FROM read_parquet('$aux/*.parquet')
            |  WHERE len(regions) > 0
            |), texts AS (
            |  SELECT url, CAST(i AS INT) AS page, CAST(j AS INT) AS para,
@@ -2190,7 +2207,7 @@ object Queries {
            |         paras[j] AS text
            |  FROM (
            |    SELECT url, string_split(rtrim(text, chr(10)), chr(10)||chr(10)) AS paras
-           |    FROM read_parquet('__AUX__/*.parquet') WHERE kind IN ('html', 'textrow')
+           |    FROM read_parquet('$aux/*.parquet') WHERE kind IN ('html', 'textrow')
            |  ), LATERAL (SELECT unnest(range(1, len(paras)+1)) AS j)
            |), cums AS (
            |  SELECT url, page, para, text,
@@ -2200,25 +2217,23 @@ object Queries {
            |      ROWS UNBOUNDED PRECEDING) AS cum
            |  FROM texts
            |)
-           |SELECT url, CAST((cum - tok) // $ChunkBudget AS INT) AS chunk,
+           |SELECT url, CAST((cum - tok) // $budget AS INT) AS chunk,
            |  CAST(count(*) AS INT) AS paras,
            |  CAST(sum(tok) AS BIGINT) AS tokens,
            |  string_agg(text, chr(10)||chr(10) ORDER BY page, para) AS text
-           |FROM cums GROUP BY url, chunk ORDER BY url, chunk""".stripMargin))
+           |FROM cums GROUP BY url, chunk ORDER BY url, chunk""".stripMargin
 
-  private val c3 = Q(
-    (spark, _) => {
-      // TRUE greedy token-budget chunking (the exact pretraining chunk
-      // rule, vs c2's window-expressible cumulative-offset approximation):
-      // a chunk closes when adding the next paragraph would cross the
-      // budget. The reset makes it sequential per document — shuffle on
-      // url, then per-doc state bounded by the paragraph count, the honest
-      // 100 TB shape (groupByKey on the chunk key, never a driver loop).
-      val budget = ChunkBudget
+  /** TRUE greedy token-budget chunking (the exact pretraining chunk
+    * rule, vs regionChunkQuery's window-expressible cumulative-offset
+    * approximation): a chunk closes when adding the next paragraph would
+    * cross the budget. The reset makes it sequential per document —
+    * shuffle on url, then per-doc state bounded by the paragraph count,
+    * the honest 100 TB shape (groupByKey on the chunk key, never a
+    * driver loop). */
+  private def greedyChunkQuery(spark: SparkSession, input: DataFrame, budget: Int): DataFrame = {
       val sp2 = spark
       import sp2.implicits._
-      val c = corpus(spark)
-      Pipeline.extractRegions(spark, CorpusGen.inputView(c)).toDF()
+      Pipeline.extractRegions(spark, input).toDF()
         .withColumn("tok", size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
         .select(col("url"), col("page"), col("para"), col("tok"), col("text"))
         .as[(String, Int, Int, Int, String)]
@@ -2246,12 +2261,18 @@ object Queries {
         }
         .toDF("url", "chunk", "paras", "tokens", "text")
         .orderBy("url", "chunk")
-    },
+  }
+
+  private val c3 = Q(
+    (spark, _) => greedyChunkQuery(spark, CorpusGen.inputView(corpus(spark)), ChunkBudget),
     // DuckDB replays the greedy reset with a recursive CTE walking each
     // document's paragraphs in (page, para) order — per-step state is
     // (chunk, acc), identical arithmetic to the Spark fold
-    Some(s"""WITH RECURSIVE exp AS (
-           |  SELECT url, page_texts FROM read_parquet('__AUX__/*.parquet')
+    Some(greedyChunkOracle(ChunkBudget, "__AUX__")))
+
+  private def greedyChunkOracle(budget: Int, aux: String): String =
+    s"""WITH RECURSIVE exp AS (
+           |  SELECT url, page_texts FROM read_parquet('$aux/*.parquet')
            |  WHERE len(regions) > 0
            |), texts AS (
            |  SELECT url, CAST(i AS INT) AS page, CAST(j AS INT) AS para,
@@ -2266,7 +2287,7 @@ object Queries {
            |         paras[j] AS text
            |  FROM (
            |    SELECT url, string_split(rtrim(text, chr(10)), chr(10)||chr(10)) AS paras
-           |    FROM read_parquet('__AUX__/*.parquet') WHERE kind IN ('html', 'textrow')
+           |    FROM read_parquet('$aux/*.parquet') WHERE kind IN ('html', 'textrow')
            |  ), LATERAL (SELECT unnest(range(1, len(paras)+1)) AS j)
            |), toks AS (
            |  SELECT url, text, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
@@ -2276,15 +2297,33 @@ object Queries {
            |  SELECT url, rn, tok, 0 AS chunk, tok AS acc FROM toks WHERE rn = 1
            |  UNION ALL
            |  SELECT t.url, t.rn, t.tok,
-           |    CASE WHEN w.acc > 0 AND w.acc + t.tok > $ChunkBudget THEN w.chunk + 1 ELSE w.chunk END,
-           |    CASE WHEN w.acc > 0 AND w.acc + t.tok > $ChunkBudget THEN t.tok ELSE w.acc + t.tok END
+           |    CASE WHEN w.acc > 0 AND w.acc + t.tok > $budget THEN w.chunk + 1 ELSE w.chunk END,
+           |    CASE WHEN w.acc > 0 AND w.acc + t.tok > $budget THEN t.tok ELSE w.acc + t.tok END
            |  FROM walk w JOIN toks t ON t.url = w.url AND t.rn = w.rn + 1
            |)
            |SELECT w.url, w.chunk, CAST(count(*) AS INT) AS paras,
            |  CAST(sum(w.tok) AS BIGINT) AS tokens,
            |  string_agg(t.text, chr(10)||chr(10) ORDER BY w.rn) AS text
            |FROM walk w JOIN toks t ON t.url = w.url AND t.rn = w.rn
-           |GROUP BY w.url, w.chunk ORDER BY w.url, w.chunk""".stripMargin))
+           |GROUP BY w.url, w.chunk ORDER BY w.url, w.chunk""".stripMargin
+
+  /** Realistic-budget chunking configurations (verdict item: evidence the
+    * window/fold logic away from the boundary-every-paragraph regime):
+    * same operators as c2/c3 at a 256-token budget over 24 six-page
+    * 48-paragraph documents whose paragraph token counts vary 10-49, so
+    * chunks span 5-20 paragraphs and budget crossings land mid-page. */
+  private val LongChunkBudget = 256
+
+  private def longInput(spark: SparkSession): DataFrame =
+    CorpusGen.inputView(CorpusGen.longCorpus(spark, rows = 24, partitions = 4))
+
+  private val c4 = Q(
+    (spark, _) => regionChunkQuery(spark, longInput(spark), LongChunkBudget),
+    Some(regionChunkOracle(LongChunkBudget, "__AUXLONG__")))
+
+  private val c5 = Q(
+    (spark, _) => greedyChunkQuery(spark, longInput(spark), LongChunkBudget),
+    Some(greedyChunkOracle(LongChunkBudget, "__AUXLONG__")))
 
   // ---------- registry ----------
 
@@ -2351,9 +2390,12 @@ object Queries {
     "x24_page_regions" -> x24,
     "x25_sql_extract" -> x25,
     "x26_scanned_images" -> x26,
+    "x27_sql_extract_legacy" -> x27,
     "c1_curation_e2e" -> c1,
     "c2_region_chunks" -> c2,
-    "c3_greedy_chunks" -> c3)
+    "c3_greedy_chunks" -> c3,
+    "c4_region_chunks_256" -> c4,
+    "c5_greedy_chunks_256" -> c5)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, v) => k -> v.fn }

@@ -83,6 +83,28 @@ class PageSpec extends AnyFunSuite {
     assert(Page.pageRegionsAt(doc, ref = -99, Layout.defaultOptions).isLeft)
   }
 
+  test("longDoc construction facts match the kernel page-for-page (c4/c5 ground truth)") {
+    for (i <- Seq(0L, 3L, 11L)) {
+      val d = graft.spark.FixtureGen.longDoc(i)
+      val doc = DocStructure.openDocument(d.bytes, None).toOption.get
+      assert(Page.pageCount(doc) == Right(6))
+      val refs = DocStructure.pageRefs(doc).getOrElse(Nil)
+      for ((ref, idx) <- refs.zipWithIndex) {
+        val items = Interp.interpretPageItems(doc, ref).getOrElse(Nil)
+        val regions = Page.pageRegions(idx + 1, Layout.defaultOptions, items)
+        // 8 paragraphs per page, texts and bboxes exactly as constructed
+        val constructed = d.regions.filter(_.startsWith(s"${idx + 1}|"))
+        assert(regions.map(r =>
+          f"${r.page}|${r.paragraph}|${r.bbox.x0}%.1f|${r.bbox.y0}%.1f|${r.bbox.x1}%.1f|${r.bbox.y1}%.1f")
+          == constructed, s"doc $i page ${idx + 1}")
+        assert(Layout.formatParagraphs(regions.map(_.text)) == d.pageTexts(idx),
+          s"doc $i page ${idx + 1}")
+      }
+      // doc-level extraction agrees with the construction expectation
+      assert(Extract.taggedText(doc) == Right(d.expected), s"doc $i")
+    }
+  }
+
   test("property: far-apart single lines each become a region matching the glyph box") {
     val rnd = new scala.util.Random(7)
     for (_ <- 0 until 25) {
