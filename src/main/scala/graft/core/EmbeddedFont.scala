@@ -2,10 +2,14 @@ package graft.core
 
 import scala.collection.immutable.TreeMap
 
-/** Embedded font-program parsing: OpenType `cmap` table (formats 4 and 12;
-  * 14 skipped) and Type1 /Encoding scrape. Reached only when a font has
-  * neither /ToUnicode nor a usable /Encoding (reference OpenType.hs,
-  * Type1.hs). CFF (FontFile3) charset/encoding is not parsed yet. */
+/** Embedded font-program parsing: OpenType `cmap` table (formats 4, 12
+  * and 14) and Type1 /Encoding scrape. Reached only when a font has
+  * neither /ToUnicode nor a usable /Encoding (reference OpenType.hs;
+  * format 14 is beyond parity — the reference skips it,
+  * OpenType.hs:73-120 — but CJK corpora carry Ideographic Variation
+  * Sequences, and a variant glyph is reachable ONLY through the UVS
+  * subtable, so skipping it drops those glyphs' text entirely). Type1
+  * per Type1.hs. CFF (FontFile3) charset/encoding is not parsed yet. */
 object EmbeddedFont {
 
   @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
@@ -45,14 +49,19 @@ object EmbeddedFont {
       var out = Map.empty[Int, String]
       def add(gid: Int, code: Int): Unit =
         if (!out.contains(gid)) out = out.updated(gid, CharMaps.safeChr(code))
-      var r = 0
-      while (r < numRecords) {
+      def addStr(gid: Int, s: String): Unit =
+        if (!out.contains(gid)) out = out.updated(gid, s)
+      // two passes: base formats (4/12) first so a gid reachable through
+      // the standard cmap keeps its plain mapping, THEN format 14 — a
+      // variation-selector gid exists only in the UVS subtable, while
+      // default-UVS ranges reuse base-cmap gids (first-wins keeps those)
+      for (pass <- 0 to 1; r <- 0 until numRecords) {
         val rec = base + 4 + r * 8
         val offset = u32(font, rec + 4)
         if (offset >= 0 && base + offset + 2 <= font.length) {
           val sub = base + offset.toInt
-          u16(font, sub) match {
-            case 4 =>
+          (u16(font, sub), pass) match {
+            case (4, 0) =>
               val segCount2 = u16(font, sub + 6)
               val segCount = segCount2 / 2
               val endCodes = sub + 14
@@ -81,7 +90,7 @@ object EmbeddedFont {
                 }
                 s += 1
               }
-            case 12 =>
+            case (12, 0) =>
               // bound the declared group count by the bytes actually
               // present (12 bytes per group): a crafted numGroups of ~4e9
               // would otherwise spin the loop for seconds per font even
@@ -105,10 +114,42 @@ object EmbeddedFont {
                 }
                 g += 1
               }
+            case (14, 1) =>
+              // Unicode Variation Sequences (platform 0 encoding 5): each
+              // varSelector record carries a default-UVS table (base-cmap
+              // gids — nothing to add) and a non-default table mapping
+              // (unicodeValue, varSelector) -> gid; the reverse text for
+              // such a gid is base char + selector (an IVS pair)
+              val numVarSel = math.min(u32(font, sub + 6),
+                math.max(0L, (font.length - sub - 10).toLong / 11))
+              def u24(i: Int): Int =
+                if (i + 2 >= font.length) -1
+                else (u8(font, i) << 16) | (u8(font, i + 1) << 8) | u8(font, i + 2)
+              var v = 0L
+              while (v < numVarSel) {
+                val vrec = sub + 10 + (v * 11).toInt
+                val varSel = u24(vrec)
+                val nonDefOff = u32(font, vrec + 7)
+                if (varSel > 0 && nonDefOff > 0 && sub + nonDefOff + 4 <= font.length) {
+                  val nd = sub + nonDefOff.toInt
+                  val numMappings = math.min(u32(font, nd),
+                    math.max(0L, (font.length - nd - 4).toLong / 5))
+                  var m = 0L
+                  while (m < numMappings) {
+                    val mp = nd + 4 + (m * 5).toInt
+                    val uv = u24(mp)
+                    val gid = u16(font, mp + 3)
+                    if (uv > 0 && uv <= 0x10ffff && varSel <= 0x10ffff && gid >= 0)
+                      addStr(gid, new String(Character.toChars(uv)) +
+                        new String(Character.toChars(varSel)))
+                    m += 1
+                  }
+                }
+                v += 1
+              }
             case _ => ()
           }
         }
-        r += 1
       }
       out
     } catch {

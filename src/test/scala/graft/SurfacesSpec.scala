@@ -372,6 +372,93 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fin.filter(_.getLong(0) == 2L).map(_.getLong(2)).toSeq == Seq(2L, 1L))
   }
 
+  test("property: session output is file-order invariant and equals the batch oracle (6 seeds)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.sql.Timestamp
+    val sp = spark; import sp.implicits._
+    val base = 1700000000000L
+    def ts(min: Double) = new Timestamp(base + (min * 60000).toLong)
+    // timeline of 4-minute blocks, events within the first 3 minutes of a
+    // block: an ADJACENT file inversion makes an event at most
+    // stride + span = 7 minutes late — inside the 10-minute watermark, so
+    // no permutation below can drop events and the session set stays a
+    // pure function of event times (displacement 2 could reach 11 minutes
+    // and make the oracle batch-dependent, so only adjacent swaps are
+    // generated)
+    val types = Array("view", "click", "buy")
+    val userBlocks: Map[Long, Seq[Int]] = Map(
+      1L -> Seq(0, 1, 2, 3, 12, 13, 14),
+      2L -> Seq(1, 3, 15, 16),
+      3L -> Seq(0, 2, 3, 13, 17),
+      4L -> Seq(2, 12, 19))
+    val events: Seq[(Long, Timestamp, String)] = (for {
+      (u, blocks) <- userBlocks.toSeq
+      b <- blocks
+      k <- 0 until (1 + ((u + b) % 2)).toInt
+    } yield (u, ts(b * 4 + k * 1.5 + (u % 3) * 0.25), types(((u + b + k) % 3).toInt)))
+      .sortBy(e => (e._1, e._2.getTime))
+    // batch oracle: per-user gap clustering (> 30 min splits) over ALL
+    // events — what finalizedSessions must emit for EVERY arrival order
+    val oracle: Seq[(Long, Long, Long, Long, Int)] = userBlocks.keys.toSeq.sorted.flatMap { u =>
+      val times = events.filter(_._1 == u)
+      val sessions = scala.collection.mutable.ListBuffer[Seq[(Long, Timestamp, String)]]()
+      var cur = scala.collection.mutable.ListBuffer[(Long, Timestamp, String)]()
+      for (e <- times) {
+        if (cur.nonEmpty && e._2.getTime - cur.last._2.getTime > graft.spark.Streaming.SessionGapMs) {
+          sessions += cur.toList; cur = scala.collection.mutable.ListBuffer()
+        }
+        cur += e
+      }
+      if (cur.nonEmpty) sessions += cur.toList
+      sessions.map(s => (u, s.head._2.getTime, s.length.toLong, s.last._2.getTime,
+        s.map(_._3).distinct.length)).toList
+    }
+    def addFile(dir: String, rows: Seq[(Long, Timestamp, String)], name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("sess_prop_part")
+      rows.toDF("user_id", "ts", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val st = Files.list(tmp)
+      val part = try st.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get() finally st.close()
+      Files.copy(part, Paths.get(dir, name), StandardCopyOption.REPLACE_EXISTING)
+      Paths.get(dir, name).toFile.setLastModified(mtime)
+    }
+    val fileBlocks: Seq[Seq[(Long, Timestamp, String)]] = (0 until 20)
+      .map(j => events.filter(e => ((e._2.getTime - base) / 60000 / 4).toInt == j))
+      .filter(_.nonEmpty)
+    var staleSeeds = 0
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      // non-overlapping adjacent transpositions: displacement <= 1.
+      // Files on opposite sides of the 33-minute session gap must not
+      // swap (the late side would fall past the watermark and the
+      // dropped events would make the oracle batch-dependent).
+      def startMs(j: Int) = fileBlocks(j).map(_._2.getTime).min
+      val perm = fileBlocks.indices.toArray
+      var i = 0
+      while (i < perm.length - 1) {
+        if (rnd.nextBoolean() && startMs(perm(i + 1)) - startMs(perm(i)) <= 5 * 60000L) {
+          val t = perm(i); perm(i) = perm(i + 1); perm(i + 1) = t; i += 2
+        } else i += 1
+      }
+      val dir = Files.createTempDirectory(s"sess_prop_$seed").toString
+      for ((fileIdx, pos) <- perm.zipWithIndex)
+        addFile(dir, fileBlocks(fileIdx), f"f$pos%03d.parquet", 1000000000L + pos * 1000L)
+      val raw = graft.spark.Streaming.userSessions(spark, dir, s"t_sess_prop_$seed",
+        maxFilesPerTrigger = Some(1))
+      if (raw.select("user_id", "firstTs").distinct().count() > oracle.length) staleSeeds += 1
+      val fin = graft.spark.Streaming.finalizedSessions(raw)
+        .orderBy("user_id", "first_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getTimestamp(3).getTime, r.getInt(4)))
+      assert(fin.toSeq == oracle,
+        s"seed $seed perm ${perm.mkString(",")}:\n${fin.mkString("\n")}\nvs\n${oracle.mkString("\n")}")
+    }
+    // the property must not be vacuous: at least one order actually
+    // produced a stale-firstTs snapshot for finalizedSessions to drop
+    assert(staleSeeds > 0, "no permutation exercised the phantom path")
+  }
+
   test("sessions run identically on the RocksDB state store (cluster config)") {
     // BENCH/BASELINE.md documents RocksDBStateStoreProvider as the cluster
     // deployment's state backend; prove the config actually works in this
@@ -553,6 +640,55 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = EmbeddedFont.openTypeCmap(font.toByteArray)
     assert(m.get(68).contains("A")) // gid 65+3 -> 'A'
     assert(m.get(69).contains("B"))
+  }
+
+  test("OpenType cmap format 14: non-default UVS gid maps to base char + selector") {
+    // beyond reference parity (OpenType.hs skips format 14): a variation
+    // glyph is reachable ONLY through the UVS subtable. Build a cmap with
+    // a format-4 record (gid 68 -> 'A') and a format-14 record mapping
+    // (U+82A6, U+E0100) -> gid 500 non-default plus a default-UVS range,
+    // and 'A' + U+E0100 -> gid 68 non-default (base formats must win for
+    // gids they already cover).
+    import java.io.ByteArrayOutputStream
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be24(v: Int) = Array(((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val f4 = new ByteArrayOutputStream()
+    f4.write(be16(4)); f4.write(be16(32)); f4.write(be16(0))
+    f4.write(be16(4)); f4.write(be16(4)); f4.write(be16(1)); f4.write(be16(0))
+    f4.write(be16(66)); f4.write(be16(0xffff)); f4.write(be16(0))
+    f4.write(be16(65)); f4.write(be16(0xffff))
+    f4.write(be16(3)); f4.write(be16(1)); f4.write(be16(0)); f4.write(be16(0))
+    // format 14: header(10) + 1 varSelector record(11) = 21; then the
+    // default table (4 + 1*4 = 8) at 21, non-default (4 + 2*5 = 14) at 29
+    val f14 = new ByteArrayOutputStream()
+    f14.write(be16(14)); f14.write(be32(43)) // format, length
+    f14.write(be32(1)) // numVarSelectorRecords
+    f14.write(be24(0xE0100)); f14.write(be32(21)); f14.write(be32(29))
+    f14.write(be32(1)); f14.write(be24(0x3042)); f14.write(Array(0.toByte)) // default UVS range
+    f14.write(be32(2)) // non-default mappings
+    f14.write(be24(65)); f14.write(be16(68)) // 'A'+VS17 -> gid 68 (already covered)
+    f14.write(be24(0x82A6)); f14.write(be16(500))
+    val f4b = f4.toByteArray
+    val f14b = f14.toByteArray
+    val cmap = new ByteArrayOutputStream()
+    cmap.write(be16(0)); cmap.write(be16(2)) // version, 2 records
+    // platform 0 encoding 5 (format 14) listed FIRST: the two-pass walk
+    // must still let format 4 claim gid 68
+    cmap.write(be16(0)); cmap.write(be16(5)); cmap.write(be32(20))
+    cmap.write(be16(3)); cmap.write(be16(1)); cmap.write(be32(20 + f14b.length))
+    cmap.write(f14b); cmap.write(f4b)
+    val cmapBytes = cmap.toByteArray
+    val font = new ByteArrayOutputStream()
+    font.write(be32(0x00010000)); font.write(be16(1))
+    font.write(be16(0)); font.write(be16(0)); font.write(be16(0))
+    font.write("cmap".getBytes); font.write(be32(0)); font.write(be32(28)); font.write(be32(cmapBytes.length))
+    font.write(cmapBytes)
+    val m = EmbeddedFont.openTypeCmap(font.toByteArray)
+    assert(m.get(68).contains("A"), m.get(68)) // base format wins
+    assert(m.get(500).contains("芦" + new String(Character.toChars(0xE0100))), m.get(500))
+    // default-UVS ranges add no mappings of their own
+    assert(!m.contains(0x3042))
   }
 
   test("Type0 without /ToUnicode falls back to the embedded /FontFile2 cmap") {
