@@ -312,6 +312,13 @@ object Filters {
   def decodePngPredictors(bs: Array[Byte], columns: Int, colors: Int = 1,
       bpc: Int = 8): Either[PdfError, Array[Byte]] = {
     if (columns <= 0 || colors <= 0 || bpc <= 0) return Right(Array.emptyByteArray)
+    // bound the parms BEFORE the stride math: crafted huge /Colors x
+    // /BitsPerComponent would overflow even the Long product below into a
+    // negative (or bogus small) stride — PDF sample depths are 1..16 and
+    // real color counts single-digit
+    if (bpc > 16 || colors > 60)
+      return Left(PdfError.UnsupportedFeature(
+        s"PNG predictor parms out of range (Colors=$colors BitsPerComponent=$bpc)"))
     val bpp = math.max(1, (colors * bpc + 7) / 8)
     val rowBytes = (columns.toLong * colors * bpc + 7) / 8
     if (rowBytes > Int.MaxValue - 8)

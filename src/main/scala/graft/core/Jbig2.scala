@@ -74,9 +74,12 @@ object Jbig2 {
           regions ::= Region(body, end)
         case 48 => // page info
           if (dataLen >= 17) pageInfo = body
-        case 0 | 4 | 6 | 7 | 40 | 42 | 43 => // symbol dict / text / refinement regions
+        case 0 | 4 | 6 | 7 | 16 | 20 | 22 | 23 | 40 | 42 | 43 =>
+          // symbol dict / text / pattern dict / halftone / refinement:
+          // any of these contributes pixels the generic-region decode
+          // below would silently drop — refuse, never partially decode
           return Left(PdfError.UnsupportedFeature(
-            s"JBIG2 segment type $segType (symbol/text/refinement)"))
+            s"JBIG2 segment type $segType (symbol/text/halftone/refinement)"))
         case _ => () // end-of-page/-stripe/-file, extensions: skip
       }
       off = end
@@ -178,15 +181,18 @@ object Jbig2 {
       return Left(PdfError.ParseError("JBIG2: AT pixel refers to undecoded pixels"))
     val dec = new Mq.Decoder(data, start, end)
     val contexts = new Array[Byte](1 << 16)
-    // bitmap in JBIG2 sense: true = 1 = black
-    val bm = Array.ofDim[Boolean](h, w)
+    // bitmap in JBIG2 sense: true = 1 = black. FLAT h*w array (<= 64 MB
+    // under the region guard): a per-row Array[Array[...]] would let a
+    // tall-skinny region (w=1, h=64M — w*h passes the area cap) allocate
+    // gigabytes of row-object overhead, the WAV-style decode-bomb class
+    val bm = new Array[Boolean](h * w)
     var ltp = false
     var yy = 0
     while (yy < h) {
       if (tpgdon) {
         if (dec.decodeBit(contexts, TpgdonContext(template)) == 1) ltp = !ltp
         if (ltp) {
-          if (yy > 0) System.arraycopy(bm(yy - 1), 0, bm(yy), 0, w)
+          if (yy > 0) System.arraycopy(bm, (yy - 1) * w, bm, yy * w, w)
           yy += 1
         }
       }
@@ -200,11 +206,11 @@ object Jbig2 {
             val py = yy + coords(i)._2
             val bit =
               if (px < 0 || px >= w || py < 0) 0
-              else if (bm(py)(px)) 1 else 0
+              else if (bm(py * w + px)) 1 else 0
             cx = (cx << 1) | bit
             i += 1
           }
-          bm(yy)(xx) = dec.decodeBit(contexts, cx) == 1
+          bm(yy * w + xx) = dec.decodeBit(contexts, cx) == 1
           xx += 1
         }
         yy += 1
@@ -217,7 +223,7 @@ object Jbig2 {
     while (r < h) {
       var c = 0
       while (c < w) {
-        if (!bm(r)(c)) out(r * stride + (c >> 3)) =
+        if (!bm(r * w + c)) out(r * stride + (c >> 3)) =
           (out(r * stride + (c >> 3)) | (0x80 >> (c & 7))).toByte
         c += 1
       }
@@ -278,30 +284,38 @@ object Jbig2 {
 
   // ---------- fixture/test-side encoders ----------
 
+  private def writeBe32(out: scala.collection.mutable.ArrayBuffer[Byte], v: Long): Unit = {
+    out += ((v >> 24) & 0xff).toByte; out += ((v >> 16) & 0xff).toByte
+    out += ((v >> 8) & 0xff).toByte; out += (v & 0xff).toByte
+  }
+
   private def segmentBytes(num: Long, tpe: Int, body: Array[Byte]): Array[Byte] = {
     val out = new scala.collection.mutable.ArrayBuffer[Byte]
-    def be32(v: Long): Unit = {
-      out += ((v >> 24) & 0xff).toByte; out += ((v >> 16) & 0xff).toByte
-      out += ((v >> 8) & 0xff).toByte; out += (v & 0xff).toByte
-    }
-    be32(num)
+    writeBe32(out, num)
     out += tpe.toByte // flags: type, 1-byte page association
     out += 0x00.toByte // no referred-to segments
     out += 0x01.toByte // page 1
-    be32(body.length.toLong)
+    writeBe32(out, body.length.toLong)
     out ++= body
     out.toArray
   }
 
   private def pageInfoBytes(columns: Int, h: Int): Array[Byte] = {
     val page = new scala.collection.mutable.ArrayBuffer[Byte]
-    def pbe32(v: Long): Unit = {
-      page += ((v >> 24) & 0xff).toByte; page += ((v >> 16) & 0xff).toByte
-      page += ((v >> 8) & 0xff).toByte; page += (v & 0xff).toByte
-    }
-    pbe32(columns.toLong); pbe32(h.toLong); pbe32(0); pbe32(0)
+    writeBe32(page, columns.toLong); writeBe32(page, h.toLong)
+    writeBe32(page, 0); writeBe32(page, 0)
     page += 0x00.toByte; page += 0x00.toByte; page += 0x00.toByte
     page.toArray
+  }
+
+  /** Region segment info prologue (T.88 7.4.1): w, h, x=0, y=0, comb-op
+    * OR — shared by both encoders. */
+  private def regionInfoBytes(columns: Int, h: Int): scala.collection.mutable.ArrayBuffer[Byte] = {
+    val reg = new scala.collection.mutable.ArrayBuffer[Byte]
+    writeBe32(reg, columns.toLong); writeBe32(reg, h.toLong)
+    writeBe32(reg, 0); writeBe32(reg, 0)
+    reg += 0x00.toByte // external combination operator: OR
+    reg
   }
 
   /** Author an embedded JBIG2 stream: one page-info segment plus one
@@ -309,16 +323,9 @@ object Jbig2 {
   def encodeEmbedded(bitmap: Array[Array[Boolean]], columns: Int): Array[Byte] = {
     val h = bitmap.length
     // immediate generic region (type 38): region info + MMR flag + T.6 data
-    val mmr = Ccitt.encodeG4(bitmap, columns)
-    val reg = new scala.collection.mutable.ArrayBuffer[Byte]
-    def rbe32(v: Long): Unit = {
-      reg += ((v >> 24) & 0xff).toByte; reg += ((v >> 16) & 0xff).toByte
-      reg += ((v >> 8) & 0xff).toByte; reg += (v & 0xff).toByte
-    }
-    rbe32(columns.toLong); rbe32(h.toLong); rbe32(0); rbe32(0)
-    reg += 0x00.toByte // external combination operator: OR
+    val reg = regionInfoBytes(columns, h)
     reg += 0x01.toByte // generic region flags: MMR = 1
-    reg ++= mmr
+    reg ++= Ccitt.encodeG4(bitmap, columns)
     segmentBytes(0, 48, pageInfoBytes(columns, h)) ++ segmentBytes(1, 38, reg.toArray)
   }
 
@@ -327,17 +334,10 @@ object Jbig2 {
   def encodeEmbeddedArith(bitmap: Array[Array[Boolean]], columns: Int,
       template: Int = 0, tpgdon: Boolean = false): Array[Byte] = {
     val h = bitmap.length
-    val body = encodeGenericArith(bitmap, columns, template, tpgdon)
-    val reg = new scala.collection.mutable.ArrayBuffer[Byte]
-    def rbe32(v: Long): Unit = {
-      reg += ((v >> 24) & 0xff).toByte; reg += ((v >> 16) & 0xff).toByte
-      reg += ((v >> 8) & 0xff).toByte; reg += (v & 0xff).toByte
-    }
-    rbe32(columns.toLong); rbe32(h.toLong); rbe32(0); rbe32(0)
-    reg += 0x00.toByte // external combination operator: OR
+    val reg = regionInfoBytes(columns, h)
     reg += (((template & 3) << 1) | (if (tpgdon) 0x08 else 0x00)).toByte // MMR=0
     for ((ax, ay) <- nominalAt(template)) { reg += ax.toByte; reg += ay.toByte }
-    reg ++= body
+    reg ++= encodeGenericArith(bitmap, columns, template, tpgdon)
     segmentBytes(0, 48, pageInfoBytes(columns, h)) ++ segmentBytes(1, 38, reg.toArray)
   }
 }

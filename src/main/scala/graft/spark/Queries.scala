@@ -441,33 +441,40 @@ object Queries {
       // instead of k^2 (the output is the union-find edge set dedup
       // actually consumes). Band-1 links apply first-band-wins: they only
       // count when the member's band0 differs from the representative's.
-      // Full corpus, no doc_id cap.
+      // Full corpus, no doc_id cap. The verify rides on the DISTINCT
+      // TOKEN-HASH sets, not the token strings: at corpus scale the
+      // Jaccard shuffle is the dedup pipeline's largest (measured 3.96 GB
+      // at 1M docs when strings rode the join — BENCH/BASELINE.md), and
+      // 8-byte longs carry the same set arithmetic at a fraction of the
+      // bytes. Exact up to mod-1e9+7 hash collisions (~|toks|^2/1e9 per
+      // pair — and the oracle replays the identical hash arithmetic, so
+      // parity is exact by construction, collisions included).
       val keyed = t(spark, dir, "documents")
         .select(col("doc_id"),
-          array_sort(toksCol).as("toks"))
-        .withColumn("xs", transform(col("toks"), tok => tokenHashCol(tok)))
+          transform(toksCol, tok => tokenHashCol(tok)).as("xs"))
         .filter(size(col("xs")) > 0)
+        .withColumn("hs", array_sort(array_distinct(col("xs"))))
         .withColumn("band0", md5(concat_ws(":",
           minPerm(col("xs"), 1299721, 104729), minPerm(col("xs"), 7919, 7507))))
         .withColumn("band1", md5(concat_ws(":",
           minPerm(col("xs"), 104183, 337), minPerm(col("xs"), 909091, 5861))))
-        .select("doc_id", "toks", "band0", "band1")
-      val members = keyed.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        .select("doc_id", "hs", "band0", "band1")
+      val members = keyed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
         col("band0").as("b0b"), col("band1").as("b1b"))
       def repSide(bandCol: String) = keyed
         .groupBy(bandCol).agg(min("doc_id").as("doc_a"))
-        .join(keyed.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        .join(keyed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
           col("band0").as("b0a")), Seq("doc_a"))
       val link0 = repSide("band0")
         .join(members, col("band0") === col("b0b") && col("doc_a") < col("doc_b"))
       val link1 = repSide("band1")
         .join(members, col("band1") === col("b1b") && col("doc_a") < col("doc_b")
           && col("b0a") =!= col("b0b"))
-      link0.select("doc_a", "doc_b", "toks_a", "toks_b")
-        .unionByName(link1.select("doc_a", "doc_b", "toks_a", "toks_b"))
-        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      link0.select("doc_a", "doc_b", "hs_a", "hs_b")
+        .unionByName(link1.select("doc_a", "doc_b", "hs_a", "hs_b"))
+        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
         .withColumn("jaccard", round(col("inter").cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 4))
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
         .filter(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -485,30 +492,33 @@ object Queries {
             |    min((x*104183 + 337) % 1000000007) AS mh2,
             |    min((x*909091 + 5861) % 1000000007) AS mh3
             |  FROM toksu GROUP BY 1
+            |), hsets AS (
+            |  SELECT doc_id, list_sort(list_distinct(list(x))) AS hs
+            |  FROM toksu GROUP BY 1
             |), keyed AS (
-            |  SELECT d.doc_id, d.toks,
+            |  SELECT h.doc_id, h.hs,
             |    md5(concat(CAST(mh0 AS VARCHAR), ':', CAST(mh1 AS VARCHAR))) AS band0,
             |    md5(concat(CAST(mh2 AS VARCHAR), ':', CAST(mh3 AS VARCHAR))) AS band1
-            |  FROM d JOIN sig USING (doc_id)
+            |  FROM hsets h JOIN sig USING (doc_id)
             |), rep0 AS (
             |  SELECT band0, min(doc_id) AS doc_a FROM keyed GROUP BY 1
             |), rep1 AS (
             |  SELECT band1, min(doc_id) AS doc_a FROM keyed GROUP BY 1
             |), cand AS (
-            |  SELECT r.doc_a, m.doc_id AS doc_b, ra.toks AS toks_a, m.toks AS toks_b
+            |  SELECT r.doc_a, m.doc_id AS doc_b, ra.hs AS hs_a, m.hs AS hs_b
             |  FROM rep0 r JOIN keyed ra ON ra.doc_id = r.doc_a
             |  JOIN keyed m ON m.band0 = r.band0 AND m.doc_id > r.doc_a
             |  UNION ALL
-            |  SELECT r.doc_a, m.doc_id, ra.toks, m.toks
+            |  SELECT r.doc_a, m.doc_id, ra.hs, m.hs
             |  FROM rep1 r JOIN keyed ra ON ra.doc_id = r.doc_a
             |  JOIN keyed m ON m.band1 = r.band1 AND m.doc_id > r.doc_a AND m.band0 <> ra.band0
             |)
             |SELECT doc_a, doc_b,
-            |  round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE) /
-            |        (len(toks_a) + len(toks_b) - len(list_intersect(toks_a, toks_b))), 4) AS jaccard
+            |  round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE) /
+            |        (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))), 4) AS jaccard
             |FROM cand
-            |WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE) /
-            |      (len(toks_a) + len(toks_b) - len(list_intersect(toks_a, toks_b))) >= 0.5
+            |WHERE CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE) /
+            |      (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))) >= 0.5
             |ORDER BY 1, 2""".stripMargin))
 
   /** All-pairs candidate generation within sign-LSH band buckets, with a

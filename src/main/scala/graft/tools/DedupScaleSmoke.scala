@@ -81,9 +81,10 @@ object DedupScaleSmoke {
   private def fingerprint(df: DataFrame): (Long, Long, Long) = {
     val r = df
       .select(xxhash64(concat_ws(":", df.columns.map(col).toSeq: _*)).as("h"))
-      // xor never overflows; the sum is reduced mod 1e15 first (ANSI mode
-      // would throw on a full-range Long sum)
-      .agg(count(lit(1)), expr("bit_xor(h)"), sum(pmod(col("h"), lit(1000000000039L))))
+      // xor never overflows; the sum is reduced mod ~1e9 first (ANSI mode
+      // throws on Long overflow — a ~1e9 residue keeps the sum under
+      // Long.Max up to ~9e9 rows)
+      .agg(count(lit(1)), expr("bit_xor(h)"), sum(pmod(col("h"), lit(1000000007L))))
       .collect()(0)
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }

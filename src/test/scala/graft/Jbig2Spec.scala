@@ -103,6 +103,32 @@ class Jbig2Spec extends AnyFunSuite {
     }
   }
 
+  test("pattern/halftone segments are refused, not silently skipped") {
+    val bitmap = Array.tabulate(4, 16)((y, x) => (x + y) % 2 == 0)
+    val one = Jbig2.encodeEmbedded(bitmap, 16)
+    // splice a pattern-dictionary segment (type 16, empty body) ahead of
+    // the valid page-info + generic-region stream: its pixels would be
+    // dropped by a generic-only decode, so the walk must refuse
+    val patDict = Array[Byte](0, 0, 0, 2, 16, 0, 1, 0, 0, 0, 0)
+    Jbig2.decodeEmbedded(patDict ++ one) match {
+      case Left(PdfError.UnsupportedFeature(msg)) => assert(msg.contains("16"), msg)
+      case other => fail(s"expected refusal of pattern dict, got $other")
+    }
+  }
+
+  test("tall-skinny arithmetic region decodes with flat allocation (no row-object bomb)") {
+    // w=1 x h=4096 passes the area guard; the decode must complete and
+    // roundtrip (the flat h*w bitmap keeps a crafted w=1 x h=64M region
+    // at 64 MB instead of gigabytes of per-row object headers)
+    val h = 4096
+    val bitmap = Array.tabulate(h, 1)((y, _) => y % 3 == 0)
+    val enc = Jbig2.encodeEmbeddedArith(bitmap, 1, template = 0)
+    val dec = Jbig2.decodeEmbedded(enc).fold(e => fail(e.toString), identity)
+    assert(dec.length == h)
+    for (y <- 0 until h)
+      assert((((dec(y) >> 7) & 1) == 0) == bitmap(y)(0), s"row $y")
+  }
+
   test("malformed JBIG2 streams return Left, never throw or hang") {
     val bm = Array.tabulate(6, 40)((y, x) => ((x + y) % 3) == 0)
     val bases = Seq(Jbig2.encodeEmbedded(bm, 40),

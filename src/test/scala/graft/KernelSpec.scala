@@ -464,6 +464,10 @@ class KernelSpec extends AnyFunSuite {
       }
       out.toArray
     }
+    // crafted overflow parms must refuse, not wrap into a negative stride
+    assert(Filters.decodePngPredictors(Array[Byte](1, 2, 3),
+      Int.MaxValue, Int.MaxValue, 4).isLeft)
+    assert(Filters.decodePngPredictors(Array[Byte](1, 2, 3), 4, 1, 64).isLeft)
     val rnd = new scala.util.Random(61)
     // RGB8 (bpp 3), Gray16 (bpp 2), RGB16 (bpp 6), and sub-byte Gray4
     // (bpp clamps to 1, stride = ceil(cols*4/8))
