@@ -1,28 +1,30 @@
 package graft.core
 
 /** JBIG2 (ITU-T T.88) embedded-stream decode for /JBIG2Decode — generic
-  * regions, both MMR-coded and arithmetic-coded (MQ, T.88 Annex E).
-  * Beyond reference parity (the reference rejects JBIG2 like it rejects
-  * all CCITT, DocumentStructure.hs:305-313), but scanned-PDF corpora
-  * carry it: a generic region with MMR=1 is bit-for-bit a T.6 (Group 4)
-  * stream — the Ccitt kernel this repo already has — and real-world
-  * scanners mostly emit MMR=0 arithmetic regions, decoded here with the
-  * template/AT-pixel procedure of T.88 6.2.5.7 (GB templates 0-3,
-  * TPGDON typical prediction). Symbol dictionaries, text regions and
-  * refinement stay UnsupportedFeature: decoding them wrong would be
-  * worse than declining.
+  * regions (MMR and MQ-arithmetic) plus arithmetic SYMBOL-CODED pages
+  * (symbol dictionary 6.5 + text region 6.4, REFAGG=0), which is how
+  * real-world scanners compress text pages. Beyond reference parity (the
+  * reference rejects JBIG2 like it rejects all CCITT,
+  * DocumentStructure.hs:305-313): a generic region with MMR=1 is
+  * bit-for-bit a T.6 stream — the Ccitt kernel this repo already has —
+  * MMR=0 regions use the MQ coder (core/Mq.scala, T.88 Annex E) with the
+  * template/AT-pixel procedure of 6.2.5.7 (GB templates 0-3, TPGDON),
+  * and symbol-coded pages decode through the arithmetic integer
+  * procedures of Annex A (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT + IAID).
+  * Huffman-coded variants, refinement/aggregate coding, halftones and
+  * transposed text remain UnsupportedFeature: decoding them wrong would
+  * be worse than declining.
   *
   * PDF embeds the "embedded organization" of T.88: a bare sequence of
   * segments with no file header (ISO 32000-1 7.4.7). The decoder walks
-  * ALL segment headers (T.88 7.2: number, flags, referred-to list, page
-  * association, data length) first; a stream with more than one generic
+  * ALL segment headers (T.88 7.2) first; a stream with more than one
   * region, a region offset from (0,0), a region not covering the page
-  * info dimensions, or a non-0 page default pixel is refused as
-  * UnsupportedFeature rather than silently decoded partially (a partial
-  * bitmap reported as success is a wrong answer). Output convention:
-  * packed 1-bit rows with 0 = black — JBIG2's native 1-is-black is
-  * inverted so a /DeviceGray 1-bit image renders with the same polarity
-  * as a default CCITT decode (what mainstream readers do).
+  * info dimensions, a non-0 page default pixel, or any segment type whose
+  * pixels a single-region decode would drop (halftone, refinement) is
+  * refused as UnsupportedFeature rather than silently decoded partially.
+  * Output convention: packed 1-bit rows with 0 = black — JBIG2's native
+  * 1-is-black is inverted so a /DeviceGray 1-bit image renders with the
+  * same polarity as a default CCITT decode (what mainstream readers do).
   */
 object Jbig2 {
 
@@ -31,118 +33,65 @@ object Jbig2 {
     else ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
       ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
 
-  private final case class Region(body: Int, end: Int)
+  private def u16(p: Array[Byte], o: Int): Int =
+    if (o + 2 > p.length) -1 else ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
 
-  /** Decode an embedded JBIG2 stream to packed rows (0 = black). */
-  def decodeEmbedded(data: Array[Byte]): Either[PdfError, Array[Byte]] = {
-    var off = 0
-    var segs = 0
-    var pageInfo = -1 // body offset of the page-info segment, if any
-    var regions = List.empty[Region]
-    while (off + 11 <= data.length && segs < 1024) { // segment-count cap: total on garbage
-      segs += 1
-      val segNum = be32(data, off)
-      val flags = data(off + 4) & 0xff
-      val segType = flags & 0x3f
-      val pageAssoc4 = (flags & 0x40) != 0
-      var o = off + 5
-      // referred-to segment count + retain bits (T.88 7.2.4)
-      val rts = data(o) & 0xff
-      var refCount = rts >> 5
-      if (refCount == 7) {
-        val longCount = be32(data, o) & 0x1fffffffL
-        if (longCount < 0 || longCount > (1 << 20))
-          return Left(PdfError.ParseError("JBIG2: bad referred-segment count"))
-        refCount = longCount.toInt
-        o += 4 + (refCount + 8) / 8 // 4-byte count + retain-bit bytes
-      } else o += 1
-      // referred segment numbers: size depends on THIS segment's number
-      val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
-      o += refCount * refSize
-      // page association
-      o += (if (pageAssoc4) 4 else 1)
-      val dataLen = be32(data, o)
-      o += 4
-      if (dataLen < 0 || dataLen == 0xffffffffL || o + dataLen > data.length)
-        return Left(PdfError.ParseError(s"JBIG2: bad segment length (segment $segNum)"))
-      val body = o
-      val end = (o + dataLen).toInt
-      segType match {
-        case 36 | 38 | 39 => // (immediate) generic region
-          if (dataLen < 18)
-            return Left(PdfError.ParseError("JBIG2: truncated generic region"))
-          regions ::= Region(body, end)
-        case 48 => // page info
-          if (dataLen >= 17) pageInfo = body
-        case 0 | 4 | 6 | 7 | 16 | 20 | 22 | 23 | 40 | 42 | 43 =>
-          // symbol dict / text / pattern dict / halftone / refinement:
-          // any of these contributes pixels the generic-region decode
-          // below would silently drop — refuse, never partially decode
-          return Left(PdfError.UnsupportedFeature(
-            s"JBIG2 segment type $segType (symbol/text/halftone/refinement)"))
-        case _ => () // end-of-page/-stripe/-file, extensions: skip
-      }
-      off = end
+  /** Uncompressed bitmap, JBIG2 sense: true = 1 = black. Flat h*w array —
+    * a per-row Array[Array[...]] would let a tall-skinny region (w=1,
+    * h=64M — the area cap alone passes it) allocate gigabytes of
+    * row-object overhead, the WAV-style decode-bomb class. */
+  private final case class Bm(w: Int, h: Int, bits: Array[Boolean])
+
+  private final case class Seg(num: Long, tpe: Int, refs: List[Long], body: Int, end: Int)
+
+  // ---------- MQ integer decoding (T.88 Annex A) ----------
+
+  /** One adaptive-integer procedure's 512 contexts (IADH, IADW, ...). */
+  private[graft] final class IntCtx { val cx = new Array[Byte](512) }
+
+  /** Decode one integer; None = OOB. The PREV chain walks a binary tree
+    * of contexts capped at 9 bits (A.2). */
+  private[graft] def decodeInt(dec: Mq.Decoder, ictx: IntCtx): Option[Long] = {
+    var prev = 1
+    def bit(): Int = {
+      val b = dec.decodeBit(ictx.cx, prev)
+      prev = if (prev < 256) (prev << 1) | b else ((((prev << 1) | b) & 511) | 256)
+      b
     }
-    regions match {
-      case Nil =>
-        Left(PdfError.UnsupportedFeature("JBIG2: no generic region found"))
-      case _ :: _ :: _ =>
-        // a multi-region page needs offset compositing; a partial decode
-        // reported as success would be silently wrong
-        Left(PdfError.UnsupportedFeature(
-          s"JBIG2: ${regions.length} generic regions (compositing unsupported)"))
-      case Region(body, end) :: Nil =>
-        // region segment info (T.88 7.4.1): w, h, x, y, comb-op flags
-        val w = be32(data, body)
-        val h = be32(data, body + 4)
-        val x = be32(data, body + 8)
-        val y = be32(data, body + 12)
-        if (w <= 0 || h <= 0 || w > (1 << 20) || w * h > (64L << 20))
-          return Left(PdfError.ParseError(s"JBIG2: bad region ${w}x$h"))
-        if (x != 0 || y != 0)
-          return Left(PdfError.UnsupportedFeature(
-            s"JBIG2: offset-composited region at ($x,$y)"))
-        if (pageInfo >= 0) {
-          val pw = be32(data, pageInfo)
-          val ph = be32(data, pageInfo + 4)
-          // striped pages carry height 0xffffffff (unknown until end)
-          if (pw != w || (ph != h && ph != 0xffffffffL))
-            return Left(PdfError.UnsupportedFeature(
-              s"JBIG2: region ${w}x$h does not cover page ${pw}x$ph"))
-          val pflags = data(pageInfo + 16) & 0xff
-          if ((pflags & 0x04) != 0)
-            return Left(PdfError.UnsupportedFeature(
-              "JBIG2: page default pixel 1 (compositing unsupported)"))
-        }
-        val grFlags = data(body + 17) & 0xff
-        if ((grFlags & 1) == 1) {
-          val mmr = java.util.Arrays.copyOfRange(data, body + 18, end)
-          // MMR = T.6; JBIG2 1 = black, then invert to the 0-is-black
-          // /DeviceGray polarity (see object comment)
-          Ccitt.decodeG4(mmr, w.toInt, h.toInt, blackIs1 = true, byteAlign = false)
-            .map { rows =>
-              var i = 0
-              while (i < rows.length) { rows(i) = (~rows(i)).toByte; i += 1 }
-              rows
-            }
-        } else {
-          val template = (grFlags >> 1) & 3
-          val tpgdon = (grFlags & 0x08) != 0
-          // AT pixels follow the flags byte: 2 signed bytes each
-          val atCount = if (template == 0) 4 else 1
-          val atOff = body + 18
-          if (atOff + atCount * 2 > end)
-            return Left(PdfError.ParseError("JBIG2: truncated AT pixels"))
-          val at = Array.tabulate(atCount)(i =>
-            (data(atOff + 2 * i).toInt, data(atOff + 2 * i + 1).toInt))
-          decodeGenericArith(data, atOff + atCount * 2, end,
-            w.toInt, h.toInt, template, tpgdon, at)
-        }
+    def bits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
     }
+    val s = bit()
+    val v =
+      if (bit() == 0) bits(2)
+      else if (bit() == 0) bits(4) + 4
+      else if (bit() == 0) bits(6) + 20
+      else if (bit() == 0) bits(8) + 84
+      else if (bit() == 0) bits(12) + 340
+      else bits(32) + 4436
+    if (s == 1 && v == 0) None
+    else Some(if (s == 1) -v else v)
   }
 
-  // ---------- arithmetic generic-region decoding (T.88 6.2.5.7) ----------
+  /** Symbol-ID decode (A.3): codeLen bits through a fresh PREV tree. */
+  private def decodeIaid(dec: Mq.Decoder, cx: Array[Byte], codeLen: Int): Int = {
+    var prev = 1
+    var i = 0
+    while (i < codeLen) { prev = (prev << 1) | dec.decodeBit(cx, prev); i += 1 }
+    prev - (1 << codeLen)
+  }
+
+  /** SBSYMCODELEN = max(1, ceil(log2 n)) (T.88 + published erratum). */
+  private def symCodeLenFor(n: Int): Int = {
+    var c = 1
+    while ((1 << c) < n) c += 1
+    c
+  }
+
+  // ---------- generic-region decoding (T.88 6.2.5.7) ----------
 
   /** Fixed context pixels per GB template (T.88 figures 4-7), BEFORE the
     * AT pixels are appended. The context value is the concatenation of
@@ -173,18 +122,15 @@ object Jbig2 {
   private def sortedTemplate(template: Int, at: Array[(Int, Int)]): Array[(Int, Int)] =
     (CodingTemplates(template) ++ at).sortBy { case (x, y) => (y, x) }
 
-  private def decodeGenericArith(data: Array[Byte], start: Int, end: Int,
-      w: Int, h: Int, template: Int, tpgdon: Boolean,
-      at: Array[(Int, Int)]): Either[PdfError, Array[Byte]] = {
+  private def atCount(template: Int): Int = if (template == 0) 4 else 1
+
+  /** Decode one generic bitmap with a SHARED decoder + GB context array
+    * (symbol dictionaries decode many bitmaps through one MQ stream). */
+  private def decodeGenericBm(dec: Mq.Decoder, contexts: Array[Byte], w: Int, h: Int,
+      template: Int, tpgdon: Boolean, at: Array[(Int, Int)]): Either[PdfError, Bm] = {
     val coords = sortedTemplate(template, at)
     if (coords.exists { case (cx, cy) => cy > 0 || (cy == 0 && cx >= 0) })
       return Left(PdfError.ParseError("JBIG2: AT pixel refers to undecoded pixels"))
-    val dec = new Mq.Decoder(data, start, end)
-    val contexts = new Array[Byte](1 << 16)
-    // bitmap in JBIG2 sense: true = 1 = black. FLAT h*w array (<= 64 MB
-    // under the region guard): a per-row Array[Array[...]] would let a
-    // tall-skinny region (w=1, h=64M — w*h passes the area cap) allocate
-    // gigabytes of row-object overhead, the WAV-style decode-bomb class
     val bm = new Array[Boolean](h * w)
     var ltp = false
     var yy = 0
@@ -216,20 +162,23 @@ object Jbig2 {
         yy += 1
       }
     }
-    // pack with the 0-is-black convention: black (1 in JBIG2) -> bit 0
-    val stride = (w + 7) / 8
-    val out = new Array[Byte](stride * h)
+    Right(Bm(w, h, bm))
+  }
+
+  /** Pack a JBIG2-sense bitmap into the 0-is-black output rows (invert,
+    * white-pad the row tail like the MMR path). */
+  private def packBm(bm: Bm): Array[Byte] = {
+    val stride = (bm.w + 7) / 8
+    val out = new Array[Byte](stride * bm.h)
     var r = 0
-    while (r < h) {
+    while (r < bm.h) {
       var c = 0
-      while (c < w) {
-        if (!bm(r * w + c)) out(r * stride + (c >> 3)) =
+      while (c < bm.w) {
+        if (!bm.bits(r * bm.w + c)) out(r * stride + (c >> 3)) =
           (out(r * stride + (c >> 3)) | (0x80 >> (c & 7))).toByte
         c += 1
       }
-      // pad bits right of the row stay 0 (= black is WRONG for padding);
-      // set them to 1 (white) to match the MMR path's inverted padding
-      var pb = w
+      var pb = bm.w
       while (pb < stride * 8) {
         out(r * stride + (pb >> 3)) =
           (out(r * stride + (pb >> 3)) | (0x80 >> (pb & 7))).toByte
@@ -237,17 +186,399 @@ object Jbig2 {
       }
       r += 1
     }
-    Right(out)
+    out
   }
 
-  /** Encode a bitmap (true = black) as an arithmetic generic region —
-    * fixture/test side, mirrors decodeGenericArith exactly. */
-  private[core] def encodeGenericArith(bitmap: Array[Array[Boolean]], w: Int,
-      template: Int, tpgdon: Boolean): Array[Byte] = {
+  // ---------- symbol dictionary (T.88 6.5, SDHUFF=0 REFAGG=0) ----------
+
+  private val MaxSymbols = 1 << 16
+  private val MaxSymbolDim = 1 << 12
+
+  private def decodeSymbolDict(data: Array[Byte], body: Int, end: Int,
+      inputSyms: Vector[Bm]): Either[PdfError, Vector[Bm]] = {
+    val flags = u16(data, body)
+    if (flags < 0) return Left(PdfError.ParseError("JBIG2: truncated symbol dict"))
+    if ((flags & 1) == 1)
+      return Left(PdfError.UnsupportedFeature("JBIG2 Huffman-coded symbol dictionary"))
+    if ((flags & 2) == 2)
+      return Left(PdfError.UnsupportedFeature("JBIG2 refinement/aggregate symbol coding"))
+    val template = (flags >> 10) & 3
+    var o = body + 2
+    val nAt = atCount(template)
+    if (o + nAt * 2 + 8 > end)
+      return Left(PdfError.ParseError("JBIG2: truncated symbol dict header"))
+    val at = Array.tabulate(nAt)(i => (data(o + 2 * i).toInt, data(o + 2 * i + 1).toInt))
+    o += nAt * 2
+    val numEx = be32(data, o)
+    val numNew = be32(data, o + 4)
+    o += 8
+    if (numEx < 0 || numNew < 0 || numNew > MaxSymbols ||
+        numEx > inputSyms.length + numNew)
+      return Left(PdfError.ParseError(s"JBIG2: bad symbol counts ($numEx ex, $numNew new)"))
+    val dec = new Mq.Decoder(data, o, end)
+    val gctx = new Array[Byte](1 << 16)
+    val iadh = new IntCtx
+    val iadw = new IntCtx
+    val iaex = new IntCtx
+    val newSyms = Vector.newBuilder[Bm]
+    var count = 0
+    var hcHeight = 0L
+    var hClasses = 0
+    while (count < numNew) {
+      // a garbage stream can decode empty height classes forever: each
+      // outer round must be bounded even when no symbol lands
+      hClasses += 1
+      if (hClasses > MaxSymbols)
+        return Left(PdfError.ParseError("JBIG2: runaway height-class loop"))
+      val dh = decodeInt(dec, iadh) match {
+        case Some(v) => v
+        case None => return Left(PdfError.ParseError("JBIG2: OOB height-class delta"))
+      }
+      hcHeight += dh
+      if (hcHeight <= 0 || hcHeight > MaxSymbolDim)
+        return Left(PdfError.ParseError(s"JBIG2: bad symbol height $hcHeight"))
+      var symWidth = 0L
+      var classDone = false
+      while (!classDone) {
+        decodeInt(dec, iadw) match {
+          case None => classDone = true
+          case Some(dw) =>
+            symWidth += dw
+            if (symWidth <= 0 || symWidth > MaxSymbolDim)
+              return Left(PdfError.ParseError(s"JBIG2: bad symbol width $symWidth"))
+            if (count >= numNew)
+              return Left(PdfError.ParseError("JBIG2: more symbols than declared"))
+            decodeGenericBm(dec, gctx, symWidth.toInt, hcHeight.toInt,
+                template, tpgdon = false, at) match {
+              case Right(bm) => newSyms += bm
+              case Left(e) => return Left(e)
+            }
+            count += 1
+        }
+      }
+    }
+    // export flags: alternating IAEX run lengths over input ++ new symbols
+    val all = inputSyms ++ newSyms.result()
+    val exported = Vector.newBuilder[Bm]
+    var flag = false
+    var n = 0
+    while (n < all.length) {
+      val run = decodeInt(dec, iaex) match {
+        case Some(v) => v
+        case None => return Left(PdfError.ParseError("JBIG2: OOB export run"))
+      }
+      if (run < 0 || n + run > all.length)
+        return Left(PdfError.ParseError(s"JBIG2: bad export run $run"))
+      if (flag) {
+        var k = n
+        while (k < n + run) { exported += all(k); k += 1 }
+      }
+      n += run.toInt
+      flag = !flag
+    }
+    Right(exported.result())
+  }
+
+  // ---------- text region (T.88 6.4, SBHUFF=0 REFAGG=0 TRANSPOSED=0) ----------
+
+  private val MaxInstances = 1 << 20
+
+  private def decodeTextRegion(data: Array[Byte], body: Int, end: Int,
+      w: Int, h: Int, syms: Vector[Bm]): Either[PdfError, Bm] = {
+    if (syms.isEmpty)
+      return Left(PdfError.ParseError("JBIG2: text region with no symbols"))
+    val flags = u16(data, body + 17)
+    if (flags < 0) return Left(PdfError.ParseError("JBIG2: truncated text region"))
+    if ((flags & 1) == 1)
+      return Left(PdfError.UnsupportedFeature("JBIG2 Huffman-coded text region"))
+    if ((flags & 2) == 2)
+      return Left(PdfError.UnsupportedFeature("JBIG2 refined text region"))
+    val logStrips = (flags >> 2) & 3
+    val refCorner = (flags >> 4) & 3
+    val transposed = (flags >> 6) & 1
+    val combOp = (flags >> 7) & 3
+    val defPixel = (flags >> 9) & 1
+    val dsOffset = {
+      val raw = (flags >> 10) & 0x1f // signed 5-bit
+      if (raw > 15) raw - 32 else raw
+    }
+    if (transposed == 1)
+      return Left(PdfError.UnsupportedFeature("JBIG2 transposed text region"))
+    if (combOp != 0)
+      return Left(PdfError.UnsupportedFeature(s"JBIG2 text region comb op $combOp"))
+    var o = body + 19
+    val numInstances = be32(data, o)
+    o += 4
+    if (numInstances < 0 || numInstances > MaxInstances)
+      return Left(PdfError.ParseError(s"JBIG2: bad instance count $numInstances"))
+    val codeLen = symCodeLenFor(syms.length)
+    val dec = new Mq.Decoder(data, o, end)
+    val iadt = new IntCtx
+    val iafs = new IntCtx
+    val iads = new IntCtx
+    val iait = new IntCtx
+    val iaidCx = new Array[Byte](1 << (codeLen + 1))
+    val stripSize = 1 << logStrips
+    def intOr(ctx: IntCtx, what: String): Either[PdfError, Long] =
+      decodeInt(dec, ctx).toRight(PdfError.ParseError(s"JBIG2: OOB $what"))
+    val bits = new Array[Boolean](h * w)
+    if (defPixel == 1) java.util.Arrays.fill(bits, true)
+    var stripT = 0L
+    intOr(iadt, "initial strip T") match {
+      case Right(v) => stripT = -v
+      case Left(e) => return Left(e)
+    }
+    var firstS = 0L
+    var i = 0L
+    while (i < numInstances) {
+      intOr(iadt, "strip T delta") match {
+        case Right(v) => stripT += v
+        case Left(e) => return Left(e)
+      }
+      intOr(iafs, "first symbol S") match {
+        case Right(v) => firstS += v
+        case Left(e) => return Left(e)
+      }
+      var curS = firstS
+      var stripDone = false
+      var firstInStrip = true
+      while (!stripDone) {
+        if (!firstInStrip) {
+          decodeInt(dec, iads) match {
+            case None => stripDone = true
+            case Some(ds) => curS += ds + dsOffset
+          }
+        }
+        if (!stripDone) {
+          firstInStrip = false
+          val curT =
+            if (stripSize == 1) 0L
+            else intOr(iait, "instance T") match {
+              case Right(v) => v
+              case Left(e) => return Left(e)
+            }
+          val t = stripSize * stripT + curT
+          val id = decodeIaid(dec, iaidCx, codeLen)
+          if (id < 0 || id >= syms.length)
+            return Left(PdfError.ParseError(s"JBIG2: symbol id $id of ${syms.length}"))
+          val bm = syms(id)
+          // non-transposed placement: S is the left edge; T is the top row
+          // for TOP corners, the bottom row for BOTTOM corners (right
+          // corners occupy the same [curS, curS+w-1] interval, 6.4.5)
+          val offT = t - (if ((refCorner & 1) == 1) 0 else bm.h - 1)
+          var ry = 0
+          while (ry < bm.h) {
+            val py = offT + ry
+            if (py >= 0 && py < h) {
+              var rx = 0
+              while (rx < bm.w) {
+                val px = curS + rx
+                if (px >= 0 && px < w && bm.bits(ry * bm.w + rx))
+                  bits((py * w + px).toInt) = true
+                rx += 1
+              }
+            }
+            ry += 1
+          }
+          curS += bm.w - 1
+          i += 1
+          if (i > numInstances)
+            return Left(PdfError.ParseError("JBIG2: more instances than declared"))
+        }
+      }
+    }
+    Right(Bm(w, h, bits))
+  }
+
+  // ---------- embedded-stream walk ----------
+
+  /** Decode an embedded JBIG2 stream to packed rows (0 = black). */
+  def decodeEmbedded(data: Array[Byte]): Either[PdfError, Array[Byte]] = {
+    var off = 0
+    var segCount = 0
+    var pageInfo = -1 // body offset of the page-info segment, if any
+    var segs = List.empty[Seg]
+    while (off + 11 <= data.length && segCount < 1024) { // segment-count cap: total on garbage
+      segCount += 1
+      val segNum = be32(data, off)
+      val flags = data(off + 4) & 0xff
+      val segType = flags & 0x3f
+      val pageAssoc4 = (flags & 0x40) != 0
+      var o = off + 5
+      // referred-to segment count + retain bits (T.88 7.2.4)
+      val rts = data(o) & 0xff
+      var refCount = rts >> 5
+      if (refCount == 7) {
+        val longCount = be32(data, o) & 0x1fffffffL
+        if (longCount < 0 || longCount > (1 << 20))
+          return Left(PdfError.ParseError("JBIG2: bad referred-segment count"))
+        refCount = longCount.toInt
+        o += 4 + (refCount + 8) / 8 // 4-byte count + retain-bit bytes
+      } else o += 1
+      // referred segment numbers: size depends on THIS segment's number
+      val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
+      if (o + refCount * refSize > data.length)
+        return Left(PdfError.ParseError("JBIG2: truncated referred-segment list"))
+      val refs = (0 until refCount).map { k =>
+        val p = o + k * refSize
+        refSize match {
+          case 1 => (data(p) & 0xffL)
+          case 2 => u16(data, p).toLong
+          case _ => be32(data, p)
+        }
+      }.toList
+      o += refCount * refSize
+      // page association
+      o += (if (pageAssoc4) 4 else 1)
+      val dataLen = be32(data, o)
+      o += 4
+      if (dataLen < 0 || dataLen == 0xffffffffL || o + dataLen > data.length)
+        return Left(PdfError.ParseError(s"JBIG2: bad segment length (segment $segNum)"))
+      val body = o
+      val end = (o + dataLen).toInt
+      segType match {
+        case 36 | 38 | 39 | 4 | 6 | 7 | 0 => // regions + symbol dicts
+          segs ::= Seg(segNum, segType, refs, body, end)
+        case 48 => // page info
+          if (dataLen >= 17) pageInfo = body
+        case 16 | 20 | 22 | 23 | 40 | 42 | 43 | 53 =>
+          // pattern dict / halftone / refinement / huffman tables: any of
+          // these contributes pixels (or codes) the decode below would
+          // silently drop — refuse, never partially decode
+          return Left(PdfError.UnsupportedFeature(
+            s"JBIG2 segment type $segType (halftone/refinement/huffman)"))
+        case _ => () // end-of-page/-stripe/-file, extensions: skip
+      }
+      off = end
+    }
+    val ordered = segs.reverse
+    val regions = ordered.filter(s => Set(36, 38, 39, 4, 6, 7)(s.tpe))
+    regions match {
+      case Nil =>
+        Left(PdfError.UnsupportedFeature("JBIG2: no region segment found"))
+      case _ :: _ :: _ =>
+        // a multi-region page needs offset compositing; a partial decode
+        // reported as success would be silently wrong
+        Left(PdfError.UnsupportedFeature(
+          s"JBIG2: ${regions.length} region segments (compositing unsupported)"))
+      case region :: Nil =>
+        // region segment info (T.88 7.4.1): w, h, x, y, comb-op flags
+        val body = region.body
+        if (region.end - body < 18)
+          return Left(PdfError.ParseError("JBIG2: truncated region segment"))
+        val w = be32(data, body)
+        val h = be32(data, body + 4)
+        val x = be32(data, body + 8)
+        val y = be32(data, body + 12)
+        if (w <= 0 || h <= 0 || w > (1 << 20) || w * h > (64L << 20))
+          return Left(PdfError.ParseError(s"JBIG2: bad region ${w}x$h"))
+        if (x != 0 || y != 0)
+          return Left(PdfError.UnsupportedFeature(
+            s"JBIG2: offset-composited region at ($x,$y)"))
+        if (pageInfo >= 0) {
+          val pw = be32(data, pageInfo)
+          val ph = be32(data, pageInfo + 4)
+          // striped pages carry height 0xffffffff (unknown until end)
+          if (pw != w || (ph != h && ph != 0xffffffffL))
+            return Left(PdfError.UnsupportedFeature(
+              s"JBIG2: region ${w}x$h does not cover page ${pw}x$ph"))
+          val pflags = data(pageInfo + 16) & 0xff
+          if ((pflags & 0x04) != 0)
+            return Left(PdfError.UnsupportedFeature(
+              "JBIG2: page default pixel 1 (compositing unsupported)"))
+        }
+        if (region.tpe >= 4 && region.tpe <= 7) {
+          // text region: gather symbols from its referred dictionaries
+          // (decoded in stream order; a dict's input symbols are the
+          // exports of ITS referred dicts)
+          var dictSyms = Map.empty[Long, Vector[Bm]]
+          for (d <- ordered if d.tpe == 0) {
+            val inputs = d.refs.flatMap(r => dictSyms.getOrElse(r, Vector.empty)).toVector
+            decodeSymbolDict(data, d.body, d.end, inputs) match {
+              case Right(sy) => dictSyms = dictSyms.updated(d.num, sy)
+              case Left(e) => return Left(e)
+            }
+          }
+          val syms = region.refs.flatMap(r => dictSyms.getOrElse(r, Vector.empty)).toVector
+          decodeTextRegion(data, body, region.end, w.toInt, h.toInt, syms).map(packBm)
+        } else {
+          val grFlags = data(body + 17) & 0xff
+          if ((grFlags & 1) == 1) {
+            val mmr = java.util.Arrays.copyOfRange(data, body + 18, region.end)
+            // MMR = T.6; JBIG2 1 = black, then invert to the 0-is-black
+            // /DeviceGray polarity (see object comment)
+            Ccitt.decodeG4(mmr, w.toInt, h.toInt, blackIs1 = true, byteAlign = false)
+              .map { rows =>
+                var i = 0
+                while (i < rows.length) { rows(i) = (~rows(i)).toByte; i += 1 }
+                rows
+              }
+          } else {
+            val template = (grFlags >> 1) & 3
+            val tpgdon = (grFlags & 0x08) != 0
+            // AT pixels follow the flags byte: 2 signed bytes each
+            val nAt = atCount(template)
+            val atOff = body + 18
+            if (atOff + nAt * 2 > region.end)
+              return Left(PdfError.ParseError("JBIG2: truncated AT pixels"))
+            val at = Array.tabulate(nAt)(i =>
+              (data(atOff + 2 * i).toInt, data(atOff + 2 * i + 1).toInt))
+            val dec = new Mq.Decoder(data, atOff + nAt * 2, region.end)
+            decodeGenericBm(dec, new Array[Byte](1 << 16), w.toInt, h.toInt,
+              template, tpgdon, at).map(packBm)
+          }
+        }
+    }
+  }
+
+  // ---------- arithmetic encoders (fixture/test side) ----------
+
+  private def encodeIntBit(enc: Mq.Encoder, ictx: IntCtx, prev: Int, b: Int): Int = {
+    enc.encodeBit(ictx.cx, prev, b)
+    if (prev < 256) (prev << 1) | b else ((((prev << 1) | b) & 511) | 256)
+  }
+
+  /** Encode one integer (None = OOB), mirroring decodeInt exactly. */
+  private[graft] def encodeInt(enc: Mq.Encoder, ictx: IntCtx, value: Option[Long]): Unit = {
+    var prev = 1
+    def bit(b: Int): Unit = prev = encodeIntBit(enc, ictx, prev, b)
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >> i) & 1).toInt); i -= 1 }
+    }
+    value match {
+      case None => // OOB = sign 1, bucket 0, value 0
+        bit(1); bit(0); bits(0, 2)
+      case Some(v) =>
+        val s = if (v < 0) 1 else 0
+        val m = math.abs(v)
+        bit(s)
+        if (m <= 3) { bit(0); bits(m, 2) }
+        else if (m <= 19) { bit(1); bit(0); bits(m - 4, 4) }
+        else if (m <= 83) { bit(1); bit(1); bit(0); bits(m - 20, 6) }
+        else if (m <= 339) { bit(1); bit(1); bit(1); bit(0); bits(m - 84, 8) }
+        else if (m <= 4435) { bit(1); bit(1); bit(1); bit(1); bit(0); bits(m - 340, 12) }
+        else { bit(1); bit(1); bit(1); bit(1); bit(1); bits(m - 4436, 32) }
+    }
+  }
+
+  private def encodeIaid(enc: Mq.Encoder, cx: Array[Byte], codeLen: Int, id: Int): Unit = {
+    var prev = 1
+    var i = codeLen - 1
+    while (i >= 0) {
+      val b = (id >> i) & 1
+      enc.encodeBit(cx, prev, b)
+      prev = (prev << 1) | b
+      i -= 1
+    }
+  }
+
+  /** Encode a bitmap (true = black) as an arithmetic generic region with a
+    * SHARED encoder + context array — mirrors decodeGenericBm exactly. */
+  private def encodeGenericInto(enc: Mq.Encoder, contexts: Array[Byte],
+      bitmap: Array[Array[Boolean]], w: Int, template: Int, tpgdon: Boolean): Unit = {
     val h = bitmap.length
     val coords = sortedTemplate(template, nominalAt(template))
-    val enc = new Mq.Encoder
-    val contexts = new Array[Byte](1 << 16)
     def bitAt(px: Int, py: Int): Int =
       if (px < 0 || px >= w || py < 0 || py >= h) 0
       else if (bitmap(py)(px)) 1 else 0
@@ -278,22 +609,31 @@ object Jbig2 {
       }
       yy += 1
     }
+  }
+
+  private[core] def encodeGenericArith(bitmap: Array[Array[Boolean]], w: Int,
+      template: Int, tpgdon: Boolean): Array[Byte] = {
+    val enc = new Mq.Encoder
+    encodeGenericInto(enc, new Array[Byte](1 << 16), bitmap, w, template, tpgdon)
     enc.flush()
     enc.bytes()
   }
 
-  // ---------- fixture/test-side encoders ----------
+  // ---------- fixture/test-side segment builders ----------
 
   private def writeBe32(out: scala.collection.mutable.ArrayBuffer[Byte], v: Long): Unit = {
     out += ((v >> 24) & 0xff).toByte; out += ((v >> 16) & 0xff).toByte
     out += ((v >> 8) & 0xff).toByte; out += (v & 0xff).toByte
   }
 
-  private def segmentBytes(num: Long, tpe: Int, body: Array[Byte]): Array[Byte] = {
+  /** Segment header with up to 4 one-byte referred-segment numbers. */
+  private def segmentBytes(num: Long, tpe: Int, refs: Seq[Long], body: Array[Byte]): Array[Byte] = {
+    require(refs.length <= 4 && refs.forall(_ <= 256))
     val out = new scala.collection.mutable.ArrayBuffer[Byte]
     writeBe32(out, num)
     out += tpe.toByte // flags: type, 1-byte page association
-    out += 0x00.toByte // no referred-to segments
+    out += ((refs.length << 5) & 0xff).toByte // referred count + retain bits 0
+    refs.foreach(r => out += (r & 0xff).toByte)
     out += 0x01.toByte // page 1
     writeBe32(out, body.length.toLong)
     out ++= body
@@ -309,7 +649,7 @@ object Jbig2 {
   }
 
   /** Region segment info prologue (T.88 7.4.1): w, h, x=0, y=0, comb-op
-    * OR — shared by both encoders. */
+    * OR — shared by all region encoders. */
   private def regionInfoBytes(columns: Int, h: Int): scala.collection.mutable.ArrayBuffer[Byte] = {
     val reg = new scala.collection.mutable.ArrayBuffer[Byte]
     writeBe32(reg, columns.toLong); writeBe32(reg, h.toLong)
@@ -326,11 +666,12 @@ object Jbig2 {
     val reg = regionInfoBytes(columns, h)
     reg += 0x01.toByte // generic region flags: MMR = 1
     reg ++= Ccitt.encodeG4(bitmap, columns)
-    segmentBytes(0, 48, pageInfoBytes(columns, h)) ++ segmentBytes(1, 38, reg.toArray)
+    segmentBytes(0, 48, Nil, pageInfoBytes(columns, h)) ++
+      segmentBytes(1, 38, Nil, reg.toArray)
   }
 
   /** Author an embedded JBIG2 stream with an MQ arithmetic-coded generic
-    * region (nominal AT pixels) — the dominant real-world encoding. */
+    * region (nominal AT pixels) — the dominant real-world raster coding. */
   def encodeEmbeddedArith(bitmap: Array[Array[Boolean]], columns: Int,
       template: Int = 0, tpgdon: Boolean = false): Array[Byte] = {
     val h = bitmap.length
@@ -338,6 +679,90 @@ object Jbig2 {
     reg += (((template & 3) << 1) | (if (tpgdon) 0x08 else 0x00)).toByte // MMR=0
     for ((ax, ay) <- nominalAt(template)) { reg += ax.toByte; reg += ay.toByte }
     reg ++= encodeGenericArith(bitmap, columns, template, tpgdon)
-    segmentBytes(0, 48, pageInfoBytes(columns, h)) ++ segmentBytes(1, 38, reg.toArray)
+    segmentBytes(0, 48, Nil, pageInfoBytes(columns, h)) ++
+      segmentBytes(1, 38, Nil, reg.toArray)
+  }
+
+  /** Author an embedded JBIG2 stream with an arithmetic symbol dictionary
+    * + one immediate text region — the dominant real-world TEXT coding.
+    * All symbols must share one height (one height class keeps symbol ids
+    * equal to input order); instances are (symbolId, s = left column,
+    * t = top row), composed with OR at REFCORNER=TOPLEFT, SBSTRIPS=1. */
+  def encodeEmbeddedSymbolText(symbols: Seq[Array[Array[Boolean]]],
+      instances: Seq[(Int, Int, Int)], w: Int, h: Int,
+      template: Int = 0): Array[Byte] = {
+    require(symbols.nonEmpty && symbols.map(_.length).distinct.length == 1,
+      "symbols must share one height")
+    val symH = symbols.head.length
+    // ---- symbol dictionary segment (type 0) ----
+    // flags u16 big-endian: SDHUFF=0 REFAGG=0, SDTEMPLATE in bits 10-11
+    val dict = new scala.collection.mutable.ArrayBuffer[Byte]
+    val dflags = (template & 3) << 10
+    dict += ((dflags >> 8) & 0xff).toByte
+    dict += (dflags & 0xff).toByte
+    for ((ax, ay) <- nominalAt(template)) { dict += ax.toByte; dict += ay.toByte }
+    writeBe32(dict, symbols.length.toLong) // SDNUMEXSYMS
+    writeBe32(dict, symbols.length.toLong) // SDNUMNEWSYMS
+    locally {
+      val enc = new Mq.Encoder
+      val gctx = new Array[Byte](1 << 16)
+      val iadh = new IntCtx
+      val iadw = new IntCtx
+      val iaex = new IntCtx
+      encodeInt(enc, iadh, Some(symH.toLong)) // one height class at height symH
+      var prevW = 0L
+      for (sym <- symbols) {
+        val sw = sym.head.length
+        encodeInt(enc, iadw, Some(sw - prevW))
+        prevW = sw
+        encodeGenericInto(enc, gctx, sym, sw, template, tpgdon = false)
+      }
+      encodeInt(enc, iadw, None) // end of height class
+      // export all: run of 0 unexported, then all exported
+      encodeInt(enc, iaex, Some(0L))
+      encodeInt(enc, iaex, Some(symbols.length.toLong))
+      enc.flush()
+      dict ++= enc.bytes()
+    }
+    // ---- immediate text region segment (type 6, referring to the dict) ----
+    val reg = regionInfoBytes(w, h)
+    // text flags: SBHUFF=0 REFAGG=0 LOG2SBSTRIPS=0 REFCORNER=TOPLEFT(1)
+    // TRANSPOSED=0 SBCOMBOP=OR SBDEFPIXEL=0 SBDSOFFSET=0 SBRTEMPLATE=0
+    val tflags = 1 << 4
+    reg += ((tflags >> 8) & 0xff).toByte
+    reg += (tflags & 0xff).toByte
+    writeBe32(reg, instances.length.toLong) // SBNUMINSTANCES
+    locally {
+      val enc = new Mq.Encoder
+      val iadt = new IntCtx
+      val iafs = new IntCtx
+      val iads = new IntCtx
+      val codeLen = symCodeLenFor(symbols.length)
+      val iaidCx = new Array[Byte](1 << (codeLen + 1))
+      encodeInt(enc, iadt, Some(0L)) // STRIPT starts at 0
+      var prevT = 0L
+      var prevFirstS = 0L
+      for ((t, insts) <- instances.sortBy(x => (x._3, x._2)).groupBy(_._3).toSeq.sortBy(_._1)) {
+        encodeInt(enc, iadt, Some(t - prevT))
+        prevT = t
+        val sorted = insts.sortBy(_._2)
+        encodeInt(enc, iafs, Some(sorted.head._2 - prevFirstS))
+        prevFirstS = sorted.head._2
+        var curS = sorted.head._2.toLong
+        var first = true
+        for ((id, s, _) <- sorted) {
+          if (!first) encodeInt(enc, iads, Some(s - curS)) // after draw, curS = right edge
+          encodeIaid(enc, iaidCx, codeLen, id)
+          curS = s.toLong + symbols(id).head.length - 1
+          first = false
+        }
+        encodeInt(enc, iads, None) // end of strip
+      }
+      enc.flush()
+      reg ++= enc.bytes()
+    }
+    segmentBytes(0, 48, Nil, pageInfoBytes(w, h)) ++
+      segmentBytes(1, 0, Nil, dict.toArray) ++
+      segmentBytes(2, 6, Seq(1L), reg.toArray)
   }
 }

@@ -604,6 +604,29 @@ object FixtureGen {
     Doc("jbig2imagearith", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
+  /** Page with a symbol-coded JBIG2 image XObject (arithmetic symbol
+    * dictionary + text region, T.88 6.4/6.5) — how real scanners encode
+    * TEXT pages. Not in the corpus cycle. */
+  def jbig2ImageSym(i: Long): Doc = {
+    val line = s"JBIG2 symbol image document $i"
+    val w = 64
+    val h = 24
+    val enc = new String(graft.core.Jbig2.encodeEmbeddedSymbolText(
+      jbig2SymGlyphs(i), jbig2SymInstances(i), w, h,
+      template = ((i / 7) % 4).toInt), ISO_8859_1)
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\nq 128 0 0 48 72 560 cm /Im1 Do Q\n"
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 5 0 R >> /XObject << /Im1 6 0 R >> >> /Contents 4 0 R >>",
+      contentObj(content, compress = false),
+      helvetica,
+      s"<< /Type /XObject /Subtype /Image /Width $w /Height $h /ColorSpace /DeviceGray " +
+        s"/BitsPerComponent 1 /Filter /JBIG2Decode /Length ${enc.length} >>\nstream\n$enc\nendstream"))
+    Doc("jbig2imagesym", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
+  }
+
   /** V4 encrypt dict that declares NO crypt filters (/CF //StmF //StrF all
     * absent) and leaves streams as plaintext: ISO 32000-1 7.6.5's default
     * for an absent /StmF//StrF is /Identity, so a conforming reader must
@@ -821,6 +844,25 @@ object FixtureGen {
     Array.tabulate(12, 40)((y, x) => ((x * 3 + y + i) % 7) < 3)
   def jbig2Bitmap(i: Long): Array[Array[Boolean]] =
     Array.tabulate(10, 48)((y, x) => ((x + 2 * y + i) % 6) < 3)
+
+  /** Symbol-coded JBIG2 construction facts: three 5x8 glyphs, two text
+    * lines of 8 instances — the glyph shapes, placements, and the OR-
+    * composited page bitmap are all one formula (encoder input == oracle
+    * pixels by construction). */
+  def jbig2SymGlyphs(i: Long): Seq[Array[Array[Boolean]]] =
+    (0 until 3).map(k =>
+      Array.tabulate(8, 5)((y, x) => ((x * (k + 2) + y * (7 - k) + i) % 5) < 2))
+  def jbig2SymInstances(i: Long): Seq[(Int, Int, Int)] =
+    (0 until 8).map(c => (((c + i) % 3).toInt, 2 + c * 7, 3)) ++
+      (0 until 8).map(c => (((c + i + 1) % 3).toInt, 4 + c * 7, 13))
+  def jbig2SymBitmap(i: Long): Array[Array[Boolean]] = {
+    val glyphs = jbig2SymGlyphs(i)
+    val page = Array.ofDim[Boolean](24, 64)
+    for ((id, s, t) <- jbig2SymInstances(i); y <- 0 until 8; x <- 0 until 5
+         if glyphs(id)(y)(x) && t + y < 24 && s + x < 64)
+      page(t + y)(s + x) = true
+    page
+  }
 
   def ccittImage(i: Long): Doc = {
     val line = s"CCITT image document $i"

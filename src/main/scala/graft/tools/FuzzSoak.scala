@@ -40,7 +40,8 @@ object FuzzSoak {
         graft.spark.FixtureGen.ccittImageG3(1, k = 2).bytes,
         graft.spark.FixtureGen.jbig2Image(1).bytes,
         graft.spark.FixtureGen.jbig2ImageArith(1, 0, tpgdon = false).bytes,
-        graft.spark.FixtureGen.jbig2ImageArith(2, 2, tpgdon = true).bytes) ++ {
+        graft.spark.FixtureGen.jbig2ImageArith(2, 2, tpgdon = true).bytes,
+        graft.spark.FixtureGen.jbig2ImageSym(1).bytes) ++ {
         val dir = java.nio.file.Paths.get("/root/reference/data/fixtures")
         if (java.nio.file.Files.isDirectory(dir)) {
           val st = java.nio.file.Files.list(dir)

@@ -89,7 +89,7 @@ class Jbig2Spec extends AnyFunSuite {
     val pageLen = 11 + 19 // header + page-info body
     val region = one.drop(pageLen)
     Jbig2.decodeEmbedded(one ++ region) match {
-      case Left(PdfError.UnsupportedFeature(msg)) => assert(msg.contains("generic regions"))
+      case Left(PdfError.UnsupportedFeature(msg)) => assert(msg.contains("region segments"))
       case other => fail(s"expected refusal of 2 regions, got $other")
     }
     // offset region: patch x=2 into the region segment info
@@ -101,6 +101,56 @@ class Jbig2Spec extends AnyFunSuite {
       case Left(PdfError.UnsupportedFeature(msg)) => assert(msg.contains("offset"))
       case other => fail(s"expected refusal of offset region, got $other")
     }
+  }
+
+  test("symbol dictionary + text region roundtrips (the symbol-coded text path)") {
+    // three 5x8 glyphs with distinct patterns; instances tile two text
+    // lines with varying spacing — the dominant real-world JBIG2 shape
+    def glyph(k: Int): Array[Array[Boolean]] =
+      Array.tabulate(8, 5)((y, x) => ((x * (k + 2) + y * (7 - k)) % 5) < 2)
+    val symbols = Seq(glyph(0), glyph(1), glyph(2))
+    val w = 64
+    val h = 24
+    val instances =
+      (0 until 8).map(c => (c % 3, 2 + c * 7, 3)) ++
+        (0 until 8).map(c => ((c + 1) % 3, 4 + c * 7, 13))
+    for (template <- 0 to 3) {
+      val enc = Jbig2.encodeEmbeddedSymbolText(symbols, instances, w, h, template)
+      val dec = Jbig2.decodeEmbedded(enc)
+        .fold(e => fail(s"template $template: $e"), identity)
+      // construct the expected page independently (OR-composited glyphs)
+      val page = Array.ofDim[Boolean](h, w)
+      for ((id, s, t) <- instances; y <- 0 until 8; x <- 0 until 5
+           if symbols(id)(y)(x) && t + y < h && s + x < w)
+        page(t + y)(s + x) = true
+      val rowBytes = (w + 7) / 8
+      assert(dec.length == rowBytes * h, s"template $template")
+      for (y <- 0 until h; x <- 0 until w) {
+        val bit = (dec(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+        assert((bit == 0) == page(y)(x), s"template $template pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("MQ integer coder roundtrips boundary values through a shared stream") {
+    // exercises every bucket boundary of T.88 Annex A plus OOB markers,
+    // all through ONE encoder/decoder pair (the adaptive contexts carry
+    // state across values, so ordering is part of the contract)
+    val values: Seq[Option[Long]] = Seq(
+      Some(0L), Some(1L), Some(3L), Some(4L), Some(19L), Some(20L), Some(83L),
+      Some(84L), Some(339L), Some(340L), Some(4435L), Some(4436L), Some(100000L),
+      Some(-1L), Some(-4L), Some(-20L), Some(-84L), Some(-340L), Some(-4436L),
+      None, Some(7L), None, Some(-99999L), Some(2L)) ++
+      (0 until 200).map(k => Some(((k * 7919) % 9000 - 4500).toLong))
+    val enc = new Mq.Encoder
+    val ectx = new Jbig2.IntCtx
+    values.foreach(v => Jbig2.encodeInt(enc, ectx, v))
+    enc.flush()
+    val bytes = enc.bytes()
+    val dec = new Mq.Decoder(bytes, 0, bytes.length)
+    val dctx = new Jbig2.IntCtx
+    for ((v, i) <- values.zipWithIndex)
+      assert(Jbig2.decodeInt(dec, dctx) == v, s"value $i = $v")
   }
 
   test("pattern/halftone segments are refused, not silently skipped") {
