@@ -90,24 +90,56 @@ object Filters {
 
   private def applyPredictorParms(parms: Option[TreeMap[String, PObj]],
       bs: Array[Byte]): Either[PdfError, Array[Byte]] = parms match {
-    case Some(p) => p.get("/Predictor") match {
-      case Some(PNum(v)) if Util.hsTruncate(v) >= 12 =>
-        p.get("/Columns") match {
-          case Some(PNum(c)) =>
-            val colors = p.get("/Colors") match {
-              case Some(PNum(n)) => Util.hsTruncate(n)
-              case _ => 1
-            }
-            val bpc = p.get("/BitsPerComponent") match {
-              case Some(PNum(n)) => Util.hsTruncate(n)
-              case _ => 8
-            }
-            decodePngPredictors(bs, Util.hsTruncate(c), colors, bpc)
-          case _ => Right(bs)
-        }
-      case _ => Right(bs)
-    }
+    case Some(p) =>
+      def parm(key: String, dflt: Int): Int = p.get(key) match {
+        case Some(PNum(n)) => Util.hsTruncate(n)
+        case _ => dflt
+      }
+      p.get("/Predictor") match {
+        case Some(PNum(v)) if Util.hsTruncate(v) >= 12 =>
+          p.get("/Columns") match {
+            case Some(PNum(c)) =>
+              decodePngPredictors(bs, Util.hsTruncate(c),
+                parm("/Colors", 1), parm("/BitsPerComponent", 8))
+            case _ => Right(bs)
+          }
+        case Some(PNum(v)) if Util.hsTruncate(v) == 2 =>
+          decodeTiffPredictor(bs, parm("/Columns", 1),
+            parm("/Colors", 1), parm("/BitsPerComponent", 8))
+        case _ => Right(bs)
+      }
     case None => Right(bs)
+  }
+
+  /** TIFF Predictor 2 (horizontal differencing, ISO 32000-1 7.4.4.4 via
+    * TIFF 6.0 §14): each sample is the delta from the sample one pixel
+    * left; rows reset. 8-bit samples only (sub-byte and 16-bit TIFF
+    * differencing act on unpacked samples — refused rather than decoded
+    * wrong). A 1-column image differences nothing by definition. */
+  def decodeTiffPredictor(bs: Array[Byte], columns: Int, colors: Int,
+      bpc: Int): Either[PdfError, Array[Byte]] = {
+    if (columns <= 0 || colors <= 0 || bpc <= 0) return Right(Array.emptyByteArray)
+    if (bpc != 8)
+      return Left(PdfError.UnsupportedFeature(
+        s"TIFF predictor with BitsPerComponent=$bpc (only 8 supported)"))
+    if (colors > 60)
+      return Left(PdfError.UnsupportedFeature(s"TIFF predictor with Colors=$colors"))
+    val stride = columns.toLong * colors
+    if (stride > Int.MaxValue - 8)
+      return Left(PdfError.UnsupportedFeature(s"TIFF predictor row too wide ($stride bytes)"))
+    val out = bs.clone()
+    val rowLen = stride.toInt
+    var rowStart = 0
+    while (rowStart < out.length) {
+      val end = math.min(rowStart + rowLen, out.length)
+      var k = rowStart + colors
+      while (k < end) {
+        out(k) = (((out(k) & 0xff) + (out(k - colors) & 0xff)) & 0xff).toByte
+        k += 1
+      }
+      rowStart += rowLen
+    }
+    Right(out)
   }
 
   def decodeOne(name: String, s: Array[Byte], earlyChange: Int = 1): Either[PdfError, Array[Byte]] =

@@ -432,6 +432,32 @@ class KernelSpec extends AnyFunSuite {
       == List[Byte](1, 2, 3, 2, 3, 4))
   }
 
+  test("TIFF Predictor 2 undoes horizontal differencing (per-row, per-color)") {
+    import PObj._
+    import scala.collection.immutable.TreeMap
+    val rnd = new scala.util.Random(67)
+    for ((colors, cols) <- Seq((1, 7), (3, 5))) {
+      val stride = cols * colors
+      val raw = Array.fill[Byte](stride * 3)(rnd.nextInt(256).toByte)
+      // independent reference differencing
+      val enc = raw.clone()
+      for (r <- 0 until 3; k <- stride * r + stride - 1 to stride * r + colors by -1)
+        enc(k) = ((raw(k) & 0xff) - (raw(k - colors) & 0xff) & 0xff).toByte
+      val dict = TreeMap[String, PObj](
+        "/Filter" -> PName("/FlateDecode"),
+        "/DecodeParms" -> PDict(TreeMap(
+          "/Predictor" -> PNum(2), "/Columns" -> PNum(cols), "/Colors" -> PNum(colors))))
+      assert(Filters.decodeStreamBytes(dict, Filters.deflate(enc)).toOption.get.toList
+        == raw.toList, s"colors=$colors")
+    }
+    // sub-byte depths refuse rather than decode wrong
+    val d16 = TreeMap[String, PObj](
+      "/Filter" -> PName("/FlateDecode"),
+      "/DecodeParms" -> PDict(TreeMap(
+        "/Predictor" -> PNum(2), "/Columns" -> PNum(4), "/BitsPerComponent" -> PNum(4))))
+    assert(Filters.decodeStreamBytes(d16, Filters.deflate(Array[Byte](1, 2))).isLeft)
+  }
+
   test("PNG predictors honor /Colors and /BitsPerComponent (bpp-wide left)") {
     import PObj._
     import scala.collection.immutable.TreeMap
