@@ -213,6 +213,7 @@ object Jbig2 {
     val numNew = be32(data, o + 4)
     o += 8
     if (numEx < 0 || numNew < 0 || numNew > MaxSymbols ||
+        inputSyms.length + numNew > MaxSymbols ||
         numEx > inputSyms.length + numNew)
       return Left(PdfError.ParseError(s"JBIG2: bad symbol counts ($numEx ex, $numNew new)"))
     val dec = new Mq.Decoder(data, o, end)
@@ -224,6 +225,7 @@ object Jbig2 {
     var count = 0
     var hcHeight = 0L
     var hClasses = 0
+    var totalArea = 0L
     while (count < numNew) {
       // a garbage stream can decode empty height classes forever: each
       // outer round must be bounded even when no symbol lands
@@ -248,6 +250,12 @@ object Jbig2 {
               return Left(PdfError.ParseError(s"JBIG2: bad symbol width $symWidth"))
             if (count >= numNew)
               return Left(PdfError.ParseError("JBIG2: more symbols than declared"))
+            // aggregate area cap (same bound as a region): per-symbol and
+            // count caps alone compose to terabytes of boolean arrays
+            totalArea += symWidth * hcHeight
+            if (totalArea > (64L << 20))
+              return Left(PdfError.ParseError(
+                s"JBIG2: symbol dictionary area exceeds ${64 << 20} pixels"))
             decodeGenericBm(dec, gctx, symWidth.toInt, hcHeight.toInt,
                 template, tpgdon = false, at) match {
               case Right(bm) => newSyms += bm
@@ -262,7 +270,14 @@ object Jbig2 {
     val exported = Vector.newBuilder[Bm]
     var flag = false
     var n = 0
+    var exRounds = 0
     while (n < all.length) {
+      // zero-length runs are legal (the encoder emits one), so the loop
+      // needs its own progress cap: an exhausted MQ stream feeds 1-bits
+      // forever and can decode 0-runs indefinitely
+      exRounds += 1
+      if (exRounds > 2 * all.length + 8)
+        return Left(PdfError.ParseError("JBIG2: runaway export-run loop"))
       val run = decodeInt(dec, iaex) match {
         case Some(v) => v
         case None => return Left(PdfError.ParseError("JBIG2: OOB export run"))
@@ -287,6 +302,13 @@ object Jbig2 {
       w: Int, h: Int, syms: Vector[Bm]): Either[PdfError, Bm] = {
     if (syms.isEmpty)
       return Left(PdfError.ParseError("JBIG2: text region with no symbols"))
+    if (syms.length > MaxSymbols)
+      return Left(PdfError.ParseError(s"JBIG2: ${syms.length} symbols (cap $MaxSymbols)"))
+    // a text region's header is 23 bytes (17 region info + 2 flags +
+    // 4 instance count); reading past `end` would parse the NEXT
+    // segment's bytes as flags and return a garbage bitmap as success
+    if (end - body < 23)
+      return Left(PdfError.ParseError("JBIG2: truncated text region header"))
     val flags = u16(data, body + 17)
     if (flags < 0) return Left(PdfError.ParseError("JBIG2: truncated text region"))
     if ((flags & 1) == 1)
@@ -490,9 +512,19 @@ object Jbig2 {
         if (region.tpe >= 4 && region.tpe <= 7) {
           // text region: gather symbols from its referred dictionaries
           // (decoded in stream order; a dict's input symbols are the
-          // exports of ITS referred dicts)
+          // exports of ITS referred dicts). Only dictionaries REACHABLE
+          // from the region's referred list are decoded — unreferenced
+          // dicts would amplify a decode bomb for pixels nobody uses.
+          val dictByNum = ordered.filter(_.tpe == 0).map(s => s.num -> s).toMap
+          var needed = Set.empty[Long]
+          var frontier = region.refs.filter(dictByNum.contains).toSet
+          while (frontier.nonEmpty) {
+            needed ++= frontier
+            frontier = frontier.flatMap(n =>
+              dictByNum(n).refs.filter(dictByNum.contains)).diff(needed)
+          }
           var dictSyms = Map.empty[Long, Vector[Bm]]
-          for (d <- ordered if d.tpe == 0) {
+          for (d <- ordered if d.tpe == 0 && needed(d.num)) {
             val inputs = d.refs.flatMap(r => dictSyms.getOrElse(r, Vector.empty)).toVector
             decodeSymbolDict(data, d.body, d.end, inputs) match {
               case Right(sy) => dictSyms = dictSyms.updated(d.num, sy)

@@ -517,8 +517,8 @@ object Queries {
             |  round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE) /
             |        (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))), 4) AS jaccard
             |FROM cand
-            |WHERE CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE) /
-            |      (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))) >= 0.5
+            |WHERE round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE) /
+            |      (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))), 4) >= 0.5
             |ORDER BY 1, 2""".stripMargin))
 
   /** All-pairs candidate generation within sign-LSH band buckets, with a

@@ -181,11 +181,15 @@ class Jbig2Spec extends AnyFunSuite {
 
   test("malformed JBIG2 streams return Left, never throw or hang") {
     val bm = Array.tabulate(6, 40)((y, x) => ((x + y) % 3) == 0)
+    val glyphs = Seq(Array.tabulate(6, 4)((y, x) => (x + y) % 2 == 0),
+      Array.tabulate(6, 4)((y, x) => x == y % 4))
     val bases = Seq(Jbig2.encodeEmbedded(bm, 40),
       Jbig2.encodeEmbeddedArith(bm, 40, 0),
-      Jbig2.encodeEmbeddedArith(bm, 40, 3, tpgdon = true))
+      Jbig2.encodeEmbeddedArith(bm, 40, 3, tpgdon = true),
+      Jbig2.encodeEmbeddedSymbolText(glyphs,
+        (0 until 6).map(c => (c % 2, 1 + c * 6, 2)), 40, 10))
     val rnd = new scala.util.Random(47)
-    for (n <- 0 until 900) {
+    for (n <- 0 until 1200) {
       val valid = bases(n % bases.length)
       val bytes =
         if (n % 3 == 0) valid.take(rnd.nextInt(valid.length))
