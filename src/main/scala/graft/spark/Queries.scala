@@ -2149,6 +2149,64 @@ object Queries {
     Some("""SELECT url, text_legacy AS text FROM read_parquet('__AUX__/*.parquet')
            |WHERE kind <> 'textrow' ORDER BY url""".stripMargin))
 
+  private val x28 = Q(
+    (spark, _) => {
+      // form-XObject export oracled end to end (was unit-test-only): per
+      // document, list the page-1 form names, export the form to a
+      // standalone PDF, REOPEN that PDF with the same kernel and extract
+      // its text — the export is correct only if a fresh parse of the
+      // exported bytes reproduces the nested form content. The oracle
+      // rebuilds the expected surface purely from construction facts.
+      val sp2 = spark
+      import sp2.implicits._
+      spark.range(0, 24, 1, 4).as[Long].map { i =>
+        val d = FixtureGen.formParent(i)
+        val names = (for {
+          doc <- graft.core.DocStructure.openDocument(d.bytes, None).toOption
+          ns <- graft.core.FormExtract.pageFormNames(doc, 1).toOption
+        } yield ns).getOrElse(Nil)
+        val text = (for {
+          doc <- graft.core.DocStructure.openDocument(d.bytes, None).toOption
+          n <- names.headOption
+          exported <- graft.core.FormExtract.extractFormPdf(doc, 1, n).toOption
+          t <- graft.core.Extract.extractPdf(exported, None).toOption
+        } yield t).orNull
+        (s"https://corpus.test/formparent/$i", names.mkString(","), text)
+      }.toDF("url", "form_names", "form_text").orderBy("url")
+    },
+    Some("""SELECT 'https://corpus.test/formparent/' || CAST(i AS VARCHAR) AS url,
+           |  'Fm0' AS form_names,
+           |  'Outer form ' || CAST(i AS VARCHAR) || chr(10) || chr(10) ||
+           |  'Inner form ' || CAST(i AS VARCHAR) || chr(10) AS form_text
+           |FROM range(24) t(i) ORDER BY url""".stripMargin))
+
+  private val x29 = Q(
+    (spark, _) => {
+      // the `object -r N` verb oracled externally (was unit-test-only):
+      // dump the catalog and the content-stream object through the
+      // reference's ppObj pretty-printer; the oracle reconstructs both
+      // strings purely from construction facts (dict keys sort, numbers
+      // print as doubles, streams as "<stream N bytes>")
+      val sp2 = spark
+      import sp2.implicits._
+      spark.range(0, 24, 1, 4).as[Long].map { i =>
+        val d = FixtureGen.classic(i)
+        val doc = graft.core.DocStructure.openDocument(d.bytes, None).toOption
+        def at(r: Int) = doc.flatMap(graft.core.Metadata.objectAt(_, r)).orNull
+        (s"https://corpus.test/classic/$i", at(1), at(4))
+      }.toDF("url", "obj_catalog", "obj_content").orderBy("url")
+    },
+    Some("""WITH d AS (
+           |  SELECT i,
+           |    32 + len('Classic document ' || CAST(i AS VARCHAR) || ' body text') AS n
+           |  FROM range(24) t(i)
+           |)
+           |SELECT 'https://corpus.test/classic/' || CAST(i AS VARCHAR) AS url,
+           |  '[' || chr(10) || '/Pages: 2' || chr(10) || '/Type: /Catalog]' AS obj_catalog,
+           |  '[' || chr(10) || '/Length: ' || CAST(CAST(n AS DOUBLE) AS VARCHAR) ||
+           |    ', ' || chr(10) || '  <stream ' || CAST(n AS VARCHAR) || ' bytes>]' AS obj_content
+           |FROM d ORDER BY url""".stripMargin))
+
   /** Token budget shared by the chunking queries' Spark folds AND their
     * oracle SQL (interpolated) — one constant, no silent drift. */
   private val ChunkBudget = 8
@@ -2401,6 +2459,8 @@ object Queries {
     "x25_sql_extract" -> x25,
     "x26_scanned_images" -> x26,
     "x27_sql_extract_legacy" -> x27,
+    "x28_form_export" -> x28,
+    "x29_object_dump" -> x29,
     "c1_curation_e2e" -> c1,
     "c2_region_chunks" -> c2,
     "c3_greedy_chunks" -> c3,
