@@ -29,6 +29,6 @@ object SparkEntry {
     * against authored RIFF fields + exact PCM md5 (the resize surface x19
     * oracles its integer geometry and unit-tests exact pixels; the REAL
     * MJPEG/AVI demux x20 against authored per-frame JPEG md5s + container
-    * header facts). All 60 queries carry oracles. */
+    * header facts). Every query in the registry carries an oracle. */
   def oracleSql: Map[String, String] = Queries.oracleSql
 }

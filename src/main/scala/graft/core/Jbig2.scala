@@ -202,6 +202,11 @@ object Jbig2 {
       return Left(PdfError.UnsupportedFeature("JBIG2 Huffman-coded symbol dictionary"))
     if ((flags & 2) == 2)
       return Left(PdfError.UnsupportedFeature("JBIG2 refinement/aggregate symbol coding"))
+    // bits 8/9: bitmap coding context USED/RETAINED (T.88 7.4.3.1.1) —
+    // importing arithmetic contexts from a referred dict; decoding without
+    // honoring them would silently mis-decode, so refuse instead
+    if ((flags & 0x100) != 0 || (flags & 0x200) != 0)
+      return Left(PdfError.UnsupportedFeature("JBIG2 retained bitmap coding contexts"))
     val template = (flags >> 10) & 3
     var o = body + 2
     val nAt = atCount(template)
@@ -345,6 +350,12 @@ object Jbig2 {
       decodeInt(dec, ctx).toRight(PdfError.ParseError(s"JBIG2: OOB $what"))
     val bits = new Array[Boolean](h * w)
     if (defPixel == 1) java.util.Arrays.fill(bits, true)
+    // blit-work bound: instance count (2^20) x symbol area (16M) alone
+    // allows ~10^13 pixel-draw iterations — cap the CLIPPED pixels
+    // actually drawn at twice the region area (real text regions draw at
+    // most ~1x the region in ink; overdraw beyond 2x is a decode bomb)
+    val maxDrawn = 2L * w * h
+    var drawnPixels = 0L
     var stripT = 0L
     intOr(iadt, "initial strip T") match {
       case Right(v) => stripT = -v
@@ -388,19 +399,29 @@ object Jbig2 {
           // for TOP corners, the bottom row for BOTTOM corners (right
           // corners occupy the same [curS, curS+w-1] interval, 6.4.5)
           val offT = t - (if ((refCorner & 1) == 1) 0 else bm.h - 1)
-          var ry = 0
-          while (ry < bm.h) {
-            val py = offT + ry
-            if (py >= 0 && py < h) {
-              var rx = 0
-              while (rx < bm.w) {
-                val px = curS + rx
-                if (px >= 0 && px < w && bm.bits(ry * bm.w + rx))
-                  bits((py * w + px).toInt) = true
+          // clip the blit to the page intersection BEFORE iterating (an
+          // off-page instance must cost nothing), then charge the clipped
+          // area against the region-wide draw budget
+          val ry0 = math.max(0L, -offT).toInt
+          val ry1 = math.min(bm.h.toLong, h.toLong - offT).toInt
+          val rx0 = math.max(0L, -curS).toInt
+          val rx1 = math.min(bm.w.toLong, w.toLong - curS).toInt
+          if (ry1 > ry0 && rx1 > rx0) {
+            drawnPixels += (ry1 - ry0).toLong * (rx1 - rx0)
+            if (drawnPixels > maxDrawn)
+              return Left(PdfError.ParseError(
+                s"JBIG2: text region draws more than ${maxDrawn} pixels"))
+            var ry = ry0
+            while (ry < ry1) {
+              val py = offT + ry
+              var rx = rx0
+              while (rx < rx1) {
+                if (bm.bits(ry * bm.w + rx))
+                  bits((py * w + curS + rx).toInt) = true
                 rx += 1
               }
+              ry += 1
             }
-            ry += 1
           }
           curS += bm.w - 1
           i += 1

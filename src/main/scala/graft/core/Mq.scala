@@ -197,6 +197,11 @@ object Mq {
       if ((buf(buf.length - 1) & 0xff) == 0xff) buf.remove(buf.length - 1)
     }
 
-    def bytes(): Array[Byte] = buf.drop(1).toArray
+    /** Finished code stream. A carry on the very first BYTEOUT can
+      * propagate INTO the leading dummy byte (c >= 0x8000000 with ct=12);
+      * silently dropping it then would corrupt the stream, so a nonzero
+      * dummy byte is kept as a real leading byte. */
+    def bytes(): Array[Byte] =
+      if (buf(0) != 0) buf.toArray else buf.drop(1).toArray
   }
 }

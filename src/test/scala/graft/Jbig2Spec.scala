@@ -222,4 +222,74 @@ class Jbig2Spec extends AnyFunSuite {
       assert((v == 0) == black, s"pixel ($x,$y): sample $v expected black=$black")
     }
   }
+
+  test("MQ coder matches the ITU-T T.88 Annex H.2 external test sequence") {
+    // the ONE externally-authored fixture for the MQ coder: the standard's
+    // own 32-byte test input and 30-byte expected code stream (identical in
+    // T.800 Annex J / the JPEG-2000 software test data). A mirrored
+    // encoder/decoder convention error cannot pass this — the bytes come
+    // from the spec, not from this repo's encoder.
+    def hex(s: String): Array[Byte] =
+      s.split("\\s+").filter(_.nonEmpty).map(x => Integer.parseInt(x, 16).toByte)
+    val input = hex(
+      "00 02 00 51 00 00 00 C0 03 52 87 2A AA AA AA AA 82 C0 20 00 FC D7 9E F6 BF 7F ED 90 4F 46 A3 BF")
+    val expected = hex(
+      "84 C7 3B FC E1 A1 43 04 02 20 00 00 41 0D BB 86 F4 31 7F FF 88 FF 37 47 1A DB 6A DF FF AC")
+    // decode direction (what production uses): the official code stream
+    // must reproduce every input bit through one context from state 0
+    val decCx = new Array[Byte](1)
+    val dec = new Mq.Decoder(expected, 0, expected.length)
+    for (i <- 0 until input.length * 8) {
+      val want = (input(i / 8) >> (7 - (i % 8))) & 1
+      assert(dec.decodeBit(decCx, 0) == want, s"bit $i")
+    }
+    // encode direction (fixture authoring): output must be a prefix of the
+    // official stream — this encoder's flush discards the trailing
+    // marker-adjacent bytes the decoder never needs (it feeds 1s past end)
+    val encCx = new Array[Byte](1)
+    val enc = new Mq.Encoder
+    for (b <- input; i <- 7 to 0 by -1) enc.encodeBit(encCx, 0, (b >> i) & 1)
+    enc.flush()
+    val out = enc.bytes()
+    assert(out.length == 28 && java.util.Arrays.equals(out, expected.take(28)),
+      out.map(b => f"${b & 0xff}%02X").mkString(" "))
+  }
+
+  test("symbol dictionaries with retained coding contexts are refused") {
+    // T.88 7.4.3.1.1 bits 8/9 import arithmetic contexts from a referred
+    // dict; decoding while ignoring them would silently mis-decode
+    def glyph: Array[Array[Boolean]] = Array.tabulate(8, 5)((y, x) => (x + y) % 2 == 0)
+    val enc = Jbig2.encodeEmbeddedSymbolText(Seq(glyph), Seq((0, 1, 1)), 16, 12)
+    // dict segment: 30-byte page-info segment (11-byte header + 19-byte
+    // body) + 11-byte header; its first two body bytes are the u16 flags
+    // (template 0 => 0x0000)
+    assert(enc(41) == 0 && enc(42) == 0, "dict flag offset moved")
+    for (bit <- Seq(0x100, 0x200)) {
+      val mutated = enc.clone()
+      mutated(41) = ((bit >> 8) & 0xff).toByte
+      Jbig2.decodeEmbedded(mutated) match {
+        case Left(PdfError.UnsupportedFeature(msg)) =>
+          assert(msg.contains("retained"), msg)
+        case other => fail(s"flag bit $bit: expected refusal, got $other")
+      }
+    }
+  }
+
+  test("text-region overdraw beyond 2x the region area is refused (blit bomb)") {
+    // 200 instances of an 8x8 solid glyph all at (0,0) on a 16x16 region:
+    // each draw clips to 64 pixels, cumulative 12,800 >> 2*16*16 = 512.
+    // Without the draw budget this class scales to ~10^13 iterations
+    // (4096x4096 symbol x 2^20 instances)
+    val solid = Array.fill(8, 8)(true)
+    val bomb = Jbig2.encodeEmbeddedSymbolText(
+      Seq(solid), Seq.fill(200)((0, 0, 0)), 16, 16)
+    Jbig2.decodeEmbedded(bomb) match {
+      case Left(PdfError.ParseError(msg)) => assert(msg.contains("draws"), msg)
+      case other => fail(s"expected overdraw refusal, got $other")
+    }
+    // a benign region with modest overlap still decodes
+    val ok = Jbig2.encodeEmbeddedSymbolText(
+      Seq(solid), Seq((0, 0, 0), (0, 4, 2), (0, 8, 4)), 24, 16)
+    assert(Jbig2.decodeEmbedded(ok).isRight)
+  }
 }
