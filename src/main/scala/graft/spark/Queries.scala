@@ -431,6 +431,22 @@ object Queries {
             |  CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS candidate_pairs
             |FROM sig GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** (doc_id, hs, band0, band1) signature rows for a (doc_id, text) set:
+    * the d2 MinHash band keys plus the distinct-token-hash set the verify
+    * stage rides (d6). Row-local, shuffle-free by construction; shared by
+    * d6 (full-corpus verify) and d11 (incremental verify vs a persisted
+    * index). */
+  private def sigKeyed(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        transform(toksCol, tok => tokenHashCol(tok)).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .withColumn("hs", array_sort(array_distinct(col("xs"))))
+      .withColumn("band0", md5(concat_ws(":",
+        minPerm(col("xs"), 1299721, 104729), minPerm(col("xs"), 7919, 7507))))
+      .withColumn("band1", md5(concat_ws(":",
+        minPerm(col("xs"), 104183, 337), minPerm(col("xs"), 909091, 5861))))
+      .select("doc_id", "hs", "band0", "band1")
+
   private val d6 = Q(
     (spark, dir) => {
       // The VERIFY stage of minhash dedup, run the way a 100 TB pipeline
@@ -449,16 +465,7 @@ object Queries {
       // bytes. Exact up to mod-1e9+7 hash collisions (~|toks|^2/1e9 per
       // pair — and the oracle replays the identical hash arithmetic, so
       // parity is exact by construction, collisions included).
-      val keyed = t(spark, dir, "documents")
-        .select(col("doc_id"),
-          transform(toksCol, tok => tokenHashCol(tok)).as("xs"))
-        .filter(size(col("xs")) > 0)
-        .withColumn("hs", array_sort(array_distinct(col("xs"))))
-        .withColumn("band0", md5(concat_ws(":",
-          minPerm(col("xs"), 1299721, 104729), minPerm(col("xs"), 7919, 7507))))
-        .withColumn("band1", md5(concat_ws(":",
-          minPerm(col("xs"), 104183, 337), minPerm(col("xs"), 909091, 5861))))
-        .select("doc_id", "hs", "band0", "band1")
+      val keyed = sigKeyed(t(spark, dir, "documents"))
       val members = keyed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
         col("band0").as("b0b"), col("band1").as("b1b"))
       def repSide(bandCol: String) = keyed
@@ -994,6 +1001,168 @@ object Queries {
            |FROM sh s LEFT JOIN bench b ON s.g = b.g
            |WHERE s.doc_id % 50 <> 0
            |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin))
+
+  private val d11 = Q(
+    (spark, dir) => {
+      // Incremental dedup against a PERSISTED signature index — the 100 TB
+      // production shape: a recrawl batch never re-dedups the corpus; it
+      // joins its band keys against the EXISTING signature table and
+      // verifies only new<->old and new<->new candidates, so the
+      // incremental pass's shuffle is proportional to the DELTA, not the
+      // corpus (DedupScaleSmoke measures this at the 1M/4M tiers). The
+      // index holds one row per (band, doc): the positional band key
+      // ('0:'/'1:' prefix keeps LSH bands positional under ONE join
+      // column), the doc's band0 (for d6-style first-band-wins candidate
+      // dedupe) and its distinct token-hash set (the verify payload —
+      // ~8 bytes/token buys never re-reading the corpus on a recrawl).
+      // The index is written BUCKETED BY band: the new<->old join reads it
+      // co-partitioned with ZERO exchange — only the delta side shuffles
+      // (PlanSpec pins this).
+      val sid = ProcessHandle.current().pid().toString + "_" +
+        java.lang.Integer.toHexString(System.identityHashCode(spark))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sigidx_$sid"
+      val idxTable = s"graft_sig_index_$sid"
+      registerBucketedCleanup(base)
+      def banded(k: DataFrame): DataFrame = k.select(
+        col("doc_id"), col("hs"), col("band0").as("b0"),
+        explode(array(concat(lit("0:"), col("band0")),
+          concat(lit("1:"), col("band1")))).as("band"))
+      // pass 1 (the standing corpus, paid once): persist the signature index
+      banded(sigKeyed(t(spark, dir, "documents")))
+        .write.mode("overwrite")
+        .bucketBy(8, "band").sortBy("band")
+        .option("path", s"$base/sig").saveAsTable(idxTable)
+      // pass 2: the recrawl delta, constructed deterministically from the
+      // documents table so DuckDB can replay it — exact re-crawls (%10=0),
+      // near-dup re-crawls with one appended token (%10=5; LSH catches the
+      // ones whose band keys survive the new token, identically in both
+      // engines), fresh documents (%10=1) and a second copy of each fresh
+      // document (within-delta duplicates)
+      val docs = t(spark, dir, "documents")
+      val freshText = concat(lit("fresh "), col("doc_id").cast("string"),
+        lit(" block "), substring(md5(col("text")), 1, 16))
+      val delta =
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 5)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              concat(col("text"), lit(" recrawlnote")).as("text")))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 1)
+            .select((col("doc_id") + 200000).as("doc_id"), freshText.as("text")))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 1)
+            .select((col("doc_id") + 300000).as("doc_id"), freshText.as("text")))
+      val dk = sigKeyed(delta)
+      val dIdx = banded(dk).select(col("doc_id").as("doc_b"),
+        col("hs").as("hs_b"), col("b0").as("b0b"), col("band"))
+      def jac = round(col("inter").cast("double") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4)
+      // new<->old: delta bands probe the bucketed index; a band-1 match
+      // only counts when the band0s differ (exact pair dedupe, as in d6)
+      val idx = spark.table(idxTable).select(col("band"),
+        col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("b0").as("b0a"))
+      val oldMatch = dIdx.join(idx, "band")
+        .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
+        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .filter(jac >= 0.5)
+        .groupBy(col("doc_b").as("doc_id")).agg(min("doc_a").as("cluster_old"))
+      // new<->new: within-delta candidates, linked to the smaller doc_id
+      val dIdxA = banded(dk).select(col("doc_id").as("doc_a"),
+        col("hs").as("hs_a"), col("b0").as("b0a"), col("band"))
+      val newMatch = dIdx.join(dIdxA, "band")
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
+        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .filter(jac >= 0.5)
+        .groupBy(col("doc_b").as("doc_id")).agg(min("doc_a").as("cluster_new"))
+      dk.select("doc_id")
+        .join(oldMatch, Seq("doc_id"), "left")
+        .join(newMatch, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("cluster_old").isNotNull, lit("dup_old"))
+            .when(col("cluster_new").isNotNull, lit("dup_new"))
+            .otherwise(lit("new")).as("status"),
+          coalesce(col("cluster_old"), col("cluster_new"), col("doc_id"))
+            .as("cluster"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH delta AS (
+            |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+            |  UNION ALL
+            |  SELECT doc_id + 100000, text || ' recrawlnote' FROM documents WHERE doc_id % 10 = 5
+            |  UNION ALL
+            |  SELECT doc_id + 200000, 'fresh ' || CAST(doc_id AS VARCHAR) || ' block ' || substr(md5(text), 1, 16)
+            |  FROM documents WHERE doc_id % 10 = 1
+            |  UNION ALL
+            |  SELECT doc_id + 300000, 'fresh ' || CAST(doc_id AS VARCHAR) || ' block ' || substr(md5(text), 1, 16)
+            |  FROM documents WHERE doc_id % 10 = 1
+            |), btoks AS (
+            |  SELECT doc_id, $duckTokenHash AS x
+            |  FROM (SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS t
+            |        FROM documents)
+            |), dtoks AS (
+            |  SELECT doc_id, $duckTokenHash AS x
+            |  FROM (SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS t
+            |        FROM delta)
+            |), bsig AS (
+            |  SELECT doc_id,
+            |    min((x*1299721 + 104729) % 1000000007) AS mh0,
+            |    min((x*7919 + 7507) % 1000000007) AS mh1,
+            |    min((x*104183 + 337) % 1000000007) AS mh2,
+            |    min((x*909091 + 5861) % 1000000007) AS mh3
+            |  FROM btoks GROUP BY 1
+            |), dsig AS (
+            |  SELECT doc_id,
+            |    min((x*1299721 + 104729) % 1000000007) AS mh0,
+            |    min((x*7919 + 7507) % 1000000007) AS mh1,
+            |    min((x*104183 + 337) % 1000000007) AS mh2,
+            |    min((x*909091 + 5861) % 1000000007) AS mh3
+            |  FROM dtoks GROUP BY 1
+            |), bhs AS (
+            |  SELECT doc_id, list_sort(list_distinct(list(x))) AS hs FROM btoks GROUP BY 1
+            |), dhs AS (
+            |  SELECT doc_id, list_sort(list_distinct(list(x))) AS hs FROM dtoks GROUP BY 1
+            |), bkeyed AS (
+            |  SELECT h.doc_id, h.hs,
+            |    md5(concat(CAST(mh0 AS VARCHAR), ':', CAST(mh1 AS VARCHAR))) AS band0,
+            |    md5(concat(CAST(mh2 AS VARCHAR), ':', CAST(mh3 AS VARCHAR))) AS band1
+            |  FROM bhs h JOIN bsig USING (doc_id)
+            |), dkeyed AS (
+            |  SELECT h.doc_id, h.hs,
+            |    md5(concat(CAST(mh0 AS VARCHAR), ':', CAST(mh1 AS VARCHAR))) AS band0,
+            |    md5(concat(CAST(mh2 AS VARCHAR), ':', CAST(mh3 AS VARCHAR))) AS band1
+            |  FROM dhs h JOIN dsig USING (doc_id)
+            |), old_links AS (
+            |  SELECT d.doc_id AS doc_b, b.doc_id AS doc_a, d.hs AS hs_b, b.hs AS hs_a
+            |  FROM dkeyed d JOIN bkeyed b ON d.band0 = b.band0
+            |  UNION ALL
+            |  SELECT d.doc_id, b.doc_id, d.hs, b.hs
+            |  FROM dkeyed d JOIN bkeyed b ON d.band1 = b.band1 AND d.band0 <> b.band0
+            |), old_match AS (
+            |  SELECT doc_b AS doc_id, min(doc_a) AS cluster_old FROM old_links
+            |  WHERE round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE) /
+            |        (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))), 4) >= 0.5
+            |  GROUP BY 1
+            |), new_links AS (
+            |  SELECT d.doc_id AS doc_b, a.doc_id AS doc_a, d.hs AS hs_b, a.hs AS hs_a
+            |  FROM dkeyed d JOIN dkeyed a ON d.band0 = a.band0 AND a.doc_id < d.doc_id
+            |  UNION ALL
+            |  SELECT d.doc_id, a.doc_id, d.hs, a.hs
+            |  FROM dkeyed d JOIN dkeyed a ON d.band1 = a.band1 AND d.band0 <> a.band0 AND a.doc_id < d.doc_id
+            |), new_match AS (
+            |  SELECT doc_b AS doc_id, min(doc_a) AS cluster_new FROM new_links
+            |  WHERE round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE) /
+            |        (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))), 4) >= 0.5
+            |  GROUP BY 1
+            |)
+            |SELECT k.doc_id,
+            |  CASE WHEN o.cluster_old IS NOT NULL THEN 'dup_old'
+            |       WHEN n.cluster_new IS NOT NULL THEN 'dup_new'
+            |       ELSE 'new' END AS status,
+            |  coalesce(o.cluster_old, n.cluster_new, k.doc_id) AS cluster
+            |FROM dkeyed k
+            |LEFT JOIN old_match o USING (doc_id)
+            |LEFT JOIN new_match n USING (doc_id)
+            |ORDER BY doc_id""".stripMargin))
 
   // ---------- training-data ops: text analysis ----------
 
@@ -2418,6 +2587,7 @@ object Queries {
     "d8_substring_dup" -> d8,
     "d9_decontaminate" -> d9,
     "d10_dedup_components" -> d10,
+    "d11_incremental_dedup" -> d11,
     "t1_token_stats" -> t1,
     "t2_quality" -> t2,
     "t3_langid" -> t3,

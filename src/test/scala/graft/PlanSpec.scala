@@ -108,6 +108,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!belowJoin.contains("Exchange"), plan.take(3000))
   }
 
+  test("incremental dedup probes the bucketed index shuffle-free on the index side (d11)") {
+    // the production claim: the persisted signature index is bucketed by
+    // band, so the new<->old candidate join reads it co-partitioned — the
+    // only shuffled side is the DELTA. Broadcast is disabled (at corpus
+    // scale the index never fits) and AQE off so the static plan tree is
+    // walkable.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    val plan =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        Queries.queries("d11_incremental_dedup")(spark, sfDir)
+          .queryExecution.executedPlan
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      }
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def idxScans(p: SparkPlan) = p.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_sigidx")) => f
+    }
+    assert(idxScans(plan).nonEmpty, plan.toString.take(3000))
+    // the scan-adjacent join side holding the index (no nested join below
+    // it) must be exchange-free; upper joins aggregate and may shuffle
+    val smjs = plan.collect { case j: SortMergeJoinExec => j }
+    val bottomIdxSides = smjs.flatMap(j => Seq(j.left, j.right)).filter(s =>
+      idxScans(s).nonEmpty &&
+        s.collect { case jj: SortMergeJoinExec => jj }.isEmpty)
+    assert(bottomIdxSides.nonEmpty, plan.toString.take(3000))
+    for (s <- bottomIdxSides)
+      assert(s.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"index side shuffled:\n${s.toString.take(2000)}")
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString.take(3000))
+  }
+
   test("fluency model joins by broadcast; sampler is row-local (t10, t8)") {
     val p10 = planOf("t10_lm_score")
     assert(p10.contains("BroadcastHashJoin"), p10.take(3000))
