@@ -1002,6 +1002,65 @@ object Queries {
            |WHERE s.doc_id % 50 <> 0
            |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin))
 
+  /** One index/probe row per (band, doc): positional band key, the doc's
+    * band0 (first-band-wins pair dedupe) and its token-hash set. */
+  private def bandedSigs(k: DataFrame): DataFrame = k.select(
+    col("doc_id"), col("hs"), col("band0").as("b0"),
+    explode(array(concat(lit("0:"), col("band0")),
+      concat(lit("1:"), col("band1")))).as("band"))
+
+  /** Persist (overwrite) the signature index for a (doc_id, text) corpus,
+    * BUCKETED BY band: every later incremental probe reads it
+    * co-partitioned and shuffles only the delta. */
+  private[graft] def buildSignatureIndex(docs: DataFrame, table: String,
+      path: String): Unit =
+    bandedSigs(sigKeyed(docs))
+      .write.mode("overwrite")
+      .bucketBy(8, "band").sortBy("band")
+      .option("path", path).saveAsTable(table)
+
+  /** The incremental pass of d11: a recrawl delta (doc_id, text) verified
+    * against the persisted signature index — new<->old candidates from
+    * probing the bucketed index, new<->new candidates within the delta,
+    * both at Jaccard >= 0.5 with d6's first-band-wins pair dedupe. Output:
+    * (doc_id, status in {dup_old, dup_new, new}, cluster). */
+  private[graft] def incrementalDedup(spark: SparkSession, idxTable: String,
+      delta: DataFrame): DataFrame = {
+    val dk = sigKeyed(delta)
+    val dIdx = bandedSigs(dk).select(col("doc_id").as("doc_b"),
+      col("hs").as("hs_b"), col("b0").as("b0b"), col("band"))
+    def jac = round(col("inter").cast("double") /
+      (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4)
+    // new<->old: delta bands probe the bucketed index; a band-1 match
+    // only counts when the band0s differ (exact pair dedupe, as in d6)
+    val idx = spark.table(idxTable).select(col("band"),
+      col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("b0").as("b0a"))
+    val oldMatch = dIdx.join(idx, "band")
+      .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .filter(jac >= 0.5)
+      .groupBy(col("doc_b").as("doc_id")).agg(min("doc_a").as("cluster_old"))
+    // new<->new: within-delta candidates, linked to the smaller doc_id
+    val dIdxA = bandedSigs(dk).select(col("doc_id").as("doc_a"),
+      col("hs").as("hs_a"), col("b0").as("b0a"), col("band"))
+    val newMatch = dIdx.join(dIdxA, "band")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .filter(jac >= 0.5)
+      .groupBy(col("doc_b").as("doc_id")).agg(min("doc_a").as("cluster_new"))
+    dk.select("doc_id")
+      .join(oldMatch, Seq("doc_id"), "left")
+      .join(newMatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cluster_old").isNotNull, lit("dup_old"))
+          .when(col("cluster_new").isNotNull, lit("dup_new"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("cluster_old"), col("cluster_new"), col("doc_id"))
+          .as("cluster"))
+      .orderBy("doc_id")
+  }
+
   private val d11 = Q(
     (spark, dir) => {
       // Incremental dedup against a PERSISTED signature index — the 100 TB
@@ -1023,15 +1082,8 @@ object Queries {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_sigidx_$sid"
       val idxTable = s"graft_sig_index_$sid"
       registerBucketedCleanup(base)
-      def banded(k: DataFrame): DataFrame = k.select(
-        col("doc_id"), col("hs"), col("band0").as("b0"),
-        explode(array(concat(lit("0:"), col("band0")),
-          concat(lit("1:"), col("band1")))).as("band"))
       // pass 1 (the standing corpus, paid once): persist the signature index
-      banded(sigKeyed(t(spark, dir, "documents")))
-        .write.mode("overwrite")
-        .bucketBy(8, "band").sortBy("band")
-        .option("path", s"$base/sig").saveAsTable(idxTable)
+      buildSignatureIndex(t(spark, dir, "documents"), idxTable, s"$base/sig")
       // pass 2: the recrawl delta, constructed deterministically from the
       // documents table so DuckDB can replay it — exact re-crawls (%10=0),
       // near-dup re-crawls with one appended token (%10=5; LSH catches the
@@ -1051,39 +1103,7 @@ object Queries {
             .select((col("doc_id") + 200000).as("doc_id"), freshText.as("text")))
           .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 1)
             .select((col("doc_id") + 300000).as("doc_id"), freshText.as("text")))
-      val dk = sigKeyed(delta)
-      val dIdx = banded(dk).select(col("doc_id").as("doc_b"),
-        col("hs").as("hs_b"), col("b0").as("b0b"), col("band"))
-      def jac = round(col("inter").cast("double") /
-        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4)
-      // new<->old: delta bands probe the bucketed index; a band-1 match
-      // only counts when the band0s differ (exact pair dedupe, as in d6)
-      val idx = spark.table(idxTable).select(col("band"),
-        col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("b0").as("b0a"))
-      val oldMatch = dIdx.join(idx, "band")
-        .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
-        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-        .filter(jac >= 0.5)
-        .groupBy(col("doc_b").as("doc_id")).agg(min("doc_a").as("cluster_old"))
-      // new<->new: within-delta candidates, linked to the smaller doc_id
-      val dIdxA = banded(dk).select(col("doc_id").as("doc_a"),
-        col("hs").as("hs_a"), col("b0").as("b0a"), col("band"))
-      val newMatch = dIdx.join(dIdxA, "band")
-        .filter(col("doc_a") < col("doc_b"))
-        .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
-        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-        .filter(jac >= 0.5)
-        .groupBy(col("doc_b").as("doc_id")).agg(min("doc_a").as("cluster_new"))
-      dk.select("doc_id")
-        .join(oldMatch, Seq("doc_id"), "left")
-        .join(newMatch, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("cluster_old").isNotNull, lit("dup_old"))
-            .when(col("cluster_new").isNotNull, lit("dup_new"))
-            .otherwise(lit("new")).as("status"),
-          coalesce(col("cluster_old"), col("cluster_new"), col("doc_id"))
-            .as("cluster"))
-        .orderBy("doc_id")
+      incrementalDedup(spark, idxTable, delta)
     },
     Some(s"""WITH delta AS (
             |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0

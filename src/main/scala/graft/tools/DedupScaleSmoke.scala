@@ -112,6 +112,52 @@ object DedupScaleSmoke {
         s"[${metrics.snapshotAndReset()}]$extra")
     }
 
+    // Incremental tier (DELTAS="20000,80000"): build the persisted
+    // signature index over the base corpus ONCE, then run the d11
+    // incremental pass at each delta size. The claim under measurement:
+    // the incremental pass's SHUFFLE is proportional to the DELTA, not
+    // the corpus — the index side is read bucketed (sequential scan, zero
+    // exchange), so a 4x delta should read/write ~4x the shuffle bytes
+    // while the base corpus never re-shuffles.
+    sys.env.get("DELTAS").foreach { spec =>
+      val idxTable = "graft_smoke_sig_index"
+      run("build_signature_index") {
+        graft.spark.Queries.buildSignatureIndex(
+          spark.read.parquet(s"$dir/documents.parquet"), idxTable, s"$dir/sigidx")
+        (spark.table(idxTable).count(), "")
+      }
+      for (n <- spec.split(",").map(_.trim.toLong)) {
+        run(s"incremental_dedup_delta_$n") {
+          // recrawl mix: half exact re-crawls of existing docs, a quarter
+          // near-dup re-crawls (2 tokens changed), a quarter fresh docs
+          val delta = spark.range(0, n, 1, 64).as[Long].mapPartitions(_.map { i =>
+            val id = docs + i
+            val text = (i % 4) match {
+              case 0 | 1 => docText(i)
+              case 2 =>
+                val t = docText(i).split(" ")
+                t(5) = "recrawled"; t(25) = "delta"
+                t.mkString(" ")
+              case _ =>
+                (s"freshdoc $id standalone" +: (0 until 50).map { k =>
+                  val h = (id * 6364136223846793005L + k * 1442695040888963407L) >>> 24
+                  s"tok$h"
+                }).mkString(" ")
+            }
+            DocRow(id, text, "en", "recrawl", text.length.toLong)
+          }).toDF()
+          val out = graft.spark.Queries.incrementalDedup(spark, idxTable, delta)
+          val byStatus = out.groupBy("status").count().collect()
+            .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+          (byStatus.map(_.split("=")(1).toLong).sum,
+            s" byStatus=${byStatus.mkString(",")}")
+        }
+      }
+      println("DEDUPSMOKE done")
+      spark.stop()
+      return
+    }
+
     val q = graft.spark.Queries.queries
     run("d1_dedup_exact") {
       val out = q("d1_dedup_exact")(spark, dir)
