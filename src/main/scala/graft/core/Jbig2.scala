@@ -198,8 +198,6 @@ object Jbig2 {
       inputSyms: Vector[Bm]): Either[PdfError, Vector[Bm]] = {
     val flags = u16(data, body)
     if (flags < 0) return Left(PdfError.ParseError("JBIG2: truncated symbol dict"))
-    if ((flags & 1) == 1)
-      return Left(PdfError.UnsupportedFeature("JBIG2 Huffman-coded symbol dictionary"))
     if ((flags & 2) == 2)
       return Left(PdfError.UnsupportedFeature("JBIG2 refinement/aggregate symbol coding"))
     // bits 8/9: bitmap coding context USED/RETAINED (T.88 7.4.3.1.1) —
@@ -207,6 +205,8 @@ object Jbig2 {
     // honoring them would silently mis-decode, so refuse instead
     if ((flags & 0x100) != 0 || (flags & 0x200) != 0)
       return Left(PdfError.UnsupportedFeature("JBIG2 retained bitmap coding contexts"))
+    if ((flags & 1) == 1)
+      return decodeSymbolDictHuffman(data, body, end, inputSyms, flags)
     val template = (flags >> 10) & 3
     var o = body + 2
     val nAt = atCount(template)
@@ -299,9 +299,357 @@ object Jbig2 {
     Right(exported.result())
   }
 
+  // ---------- symbol dictionary, Huffman-coded (T.88 6.5, SDHUFF=1) ----------
+
+  /** SDHUFF=1 REFAGG=0: heights/widths via the Annex B standard tables
+    * (DH: B.4/B.5; DW: B.2/B.3; BMSIZE: B.1), each height class's symbols
+    * decoded from ONE collective bitmap — byte-aligned uncompressed rows
+    * when BMSIZE=0, an embedded T.6 (MMR) stream otherwise — then split
+    * by the decoded widths (6.5.9). Custom table segments are refused
+    * (the stream walk already refuses type-53 segments). */
+  private def decodeSymbolDictHuffman(data: Array[Byte], body: Int, end: Int,
+      inputSyms: Vector[Bm], flags: Int): Either[PdfError, Vector[Bm]] = {
+    import Jbig2Huffman._
+    val dhT = ((flags >> 2) & 3) match {
+      case 0 => B4
+      case 1 => B5
+      case _ => return Left(PdfError.UnsupportedFeature("JBIG2 custom Huffman DH table"))
+    }
+    val dwT = ((flags >> 4) & 3) match {
+      case 0 => B2
+      case 1 => B3
+      case _ => return Left(PdfError.UnsupportedFeature("JBIG2 custom Huffman DW table"))
+    }
+    if (((flags >> 6) & 1) == 1)
+      return Left(PdfError.UnsupportedFeature("JBIG2 custom Huffman BMSIZE table"))
+    if (((flags >> 7) & 1) == 1)
+      return Left(PdfError.UnsupportedFeature("JBIG2 custom Huffman AGGINST table"))
+    var o = body + 2 // SDHUFF=1: no AT pixels in the header
+    if (o + 8 > end)
+      return Left(PdfError.ParseError("JBIG2: truncated symbol dict header"))
+    val numEx = be32(data, o)
+    val numNew = be32(data, o + 4)
+    o += 8
+    if (numEx < 0 || numNew < 0 || numNew > MaxSymbols ||
+        inputSyms.length + numNew > MaxSymbols ||
+        numEx > inputSyms.length + numNew)
+      return Left(PdfError.ParseError(s"JBIG2: bad symbol counts ($numEx ex, $numNew new)"))
+    val r = new BitReader(data, o, end)
+    def intOr(tb: Table, what: String): Either[PdfError, Long] =
+      tb.decode(r).flatMap(_.toRight(PdfError.ParseError(s"JBIG2: OOB $what")))
+    val newSyms = Vector.newBuilder[Bm]
+    var count = 0L
+    var hcHeight = 0L
+    var hClasses = 0
+    var totalArea = 0L
+    while (count < numNew) {
+      hClasses += 1
+      if (hClasses > MaxSymbols)
+        return Left(PdfError.ParseError("JBIG2: runaway height-class loop"))
+      val dh = intOr(dhT, "height-class delta") match {
+        case Right(v) => v
+        case Left(e) => return Left(e)
+      }
+      hcHeight += dh
+      if (hcHeight <= 0 || hcHeight > MaxSymbolDim)
+        return Left(PdfError.ParseError(s"JBIG2: bad symbol height $hcHeight"))
+      var symWidth = 0L
+      var totWidth = 0L
+      val widths = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var classDone = false
+      while (!classDone) {
+        dwT.decode(r) match {
+          case Left(e) => return Left(e)
+          case Right(None) => classDone = true
+          case Right(Some(dw)) =>
+            symWidth += dw
+            if (symWidth <= 0 || symWidth > MaxSymbolDim)
+              return Left(PdfError.ParseError(s"JBIG2: bad symbol width $symWidth"))
+            if (count >= numNew)
+              return Left(PdfError.ParseError("JBIG2: more symbols than declared"))
+            totWidth += symWidth
+            // the collective bitmap's area IS the sum of symbol areas —
+            // the same aggregate cap as the arithmetic path
+            totalArea += symWidth * hcHeight
+            if (totalArea > (64L << 20))
+              return Left(PdfError.ParseError(
+                s"JBIG2: symbol dictionary area exceeds ${64 << 20} pixels"))
+            widths += symWidth.toInt
+            count += 1
+        }
+        if (r.overflowed)
+          return Left(PdfError.ParseError("JBIG2: truncated symbol dict data"))
+      }
+      // height class collective bitmap (6.5.9)
+      val bmSize = intOr(B1, "collective bitmap size") match {
+        case Right(v) => v
+        case Left(e) => return Left(e)
+      }
+      r.byteAlign()
+      val wTot = totWidth.toInt
+      val hc = hcHeight.toInt
+      val stride = (wTot + 7) / 8
+      val collective: Bm =
+        if (bmSize == 0) {
+          // uncompressed: byte-aligned rows, MSB-first, 1 = black
+          val s = r.bytePos
+          r.skipBytes(stride * hc)
+          if (r.overflowed)
+            return Left(PdfError.ParseError("JBIG2: truncated collective bitmap"))
+          val bmBits = new Array[Boolean](hc * wTot)
+          var yy = 0
+          while (yy < hc) {
+            var xx = 0
+            while (xx < wTot) {
+              bmBits(yy * wTot + xx) =
+                ((data(s + yy * stride + (xx >> 3)) >> (7 - (xx & 7))) & 1) == 1
+              xx += 1
+            }
+            yy += 1
+          }
+          Bm(wTot, hc, bmBits)
+        } else {
+          if (bmSize < 0 || bmSize > end - r.bytePos)
+            return Left(PdfError.ParseError(s"JBIG2: bad collective bitmap size $bmSize"))
+          val s = r.bytePos
+          r.skipBytes(bmSize.toInt)
+          val mmr = java.util.Arrays.copyOfRange(data, s, s + bmSize.toInt)
+          Ccitt.decodeG4(mmr, wTot, hc, blackIs1 = true, byteAlign = false) match {
+            case Left(e) => return Left(e)
+            case Right(rows) =>
+              val rstride = (wTot + 7) / 8
+              val bmBits = new Array[Boolean](hc * wTot)
+              var yy = 0
+              while (yy < hc) {
+                var xx = 0
+                while (xx < wTot) {
+                  bmBits(yy * wTot + xx) =
+                    ((rows(yy * rstride + (xx >> 3)) >> (7 - (xx & 7))) & 1) == 1
+                  xx += 1
+                }
+                yy += 1
+              }
+              Bm(wTot, hc, bmBits)
+          }
+        }
+      // split into symbols left-to-right by the decoded widths
+      var x0 = 0
+      for (sw <- widths) {
+        val sb = new Array[Boolean](hc * sw)
+        var yy = 0
+        while (yy < hc) {
+          var xx = 0
+          while (xx < sw) {
+            sb(yy * sw + xx) = collective.bits(yy * wTot + x0 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        newSyms += Bm(sw, hc, sb)
+        x0 += sw
+      }
+    }
+    // export flags: alternating run lengths via Table B.1 (6.5.10)
+    val all = inputSyms ++ newSyms.result()
+    val exported = Vector.newBuilder[Bm]
+    var flag = false
+    var n = 0
+    var exRounds = 0
+    while (n < all.length) {
+      exRounds += 1
+      if (exRounds > 2 * all.length + 8)
+        return Left(PdfError.ParseError("JBIG2: runaway export-run loop"))
+      val run = intOr(B1, "export run") match {
+        case Right(v) => v
+        case Left(e) => return Left(e)
+      }
+      if (run < 0 || n + run > all.length)
+        return Left(PdfError.ParseError(s"JBIG2: bad export run $run"))
+      if (flag) {
+        var k = n
+        while (k < n + run) { exported += all(k); k += 1 }
+      }
+      n += run.toInt
+      flag = !flag
+      if (r.overflowed)
+        return Left(PdfError.ParseError("JBIG2: truncated export flags"))
+    }
+    Right(exported.result())
+  }
+
   // ---------- text region (T.88 6.4, SBHUFF=0 REFAGG=0 TRANSPOSED=0) ----------
 
   private val MaxInstances = 1 << 20
+
+  /** Clip one symbol blit to the page intersection (an off-page instance
+    * must cost nothing), charge the clipped area against the region-wide
+    * draw budget, then draw. Returns the updated cumulative count. */
+  private def blitInstance(bits: Array[Boolean], w: Int, h: Int, bm: Bm,
+      curS: Long, offT: Long, drawn: Long, maxDrawn: Long): Either[PdfError, Long] = {
+    val ry0 = math.max(0L, -offT).toInt
+    val ry1 = math.min(bm.h.toLong, h.toLong - offT).toInt
+    val rx0 = math.max(0L, -curS).toInt
+    val rx1 = math.min(bm.w.toLong, w.toLong - curS).toInt
+    if (ry1 <= ry0 || rx1 <= rx0) Right(drawn)
+    else {
+      val d = drawn + (ry1 - ry0).toLong * (rx1 - rx0)
+      if (d > maxDrawn)
+        return Left(PdfError.ParseError(
+          s"JBIG2: text region draws more than $maxDrawn pixels"))
+      var ry = ry0
+      while (ry < ry1) {
+        val py = offT + ry
+        var rx = rx0
+        while (rx < rx1) {
+          if (bm.bits(ry * bm.w + rx))
+            bits((py * w + curS + rx).toInt) = true
+          rx += 1
+        }
+        ry += 1
+      }
+      Right(d)
+    }
+  }
+
+  /** SBHUFF=1 REFAGG=0 TRANSPOSED=0: symbol-ID code lengths via the
+    * runcode procedure of 7.4.3.1.7 (35 5-bit runcode lengths, canonical
+    * runcode table, codes 32/33/34 = repeat/zero runs, then byte-align),
+    * strip deltas via the Annex B standard tables (FS: B.6/B.7, DS:
+    * B.8-B.10, DT: B.11-B.13), CURT as LOG2SBSTRIPS raw bits. Placement,
+    * draw budget and refusal semantics are shared with the arithmetic
+    * path. */
+  private def decodeTextRegionHuffman(data: Array[Byte], body: Int, end: Int,
+      w: Int, h: Int, syms: Vector[Bm], flags: Int): Either[PdfError, Bm] = {
+    import Jbig2Huffman._
+    val logStrips = (flags >> 2) & 3
+    val refCorner = (flags >> 4) & 3
+    val defPixel = (flags >> 9) & 1
+    val dsOffset = {
+      val raw = (flags >> 10) & 0x1f
+      if (raw > 15) raw - 32 else raw
+    }
+    if (end - body < 25)
+      return Left(PdfError.ParseError("JBIG2: truncated Huffman text region header"))
+    val hf = u16(data, body + 19)
+    val fsT = (hf & 3) match {
+      case 0 => B6
+      case 1 => B7
+      case _ => return Left(PdfError.UnsupportedFeature("JBIG2 custom Huffman FS table"))
+    }
+    val dsT = ((hf >> 2) & 3) match {
+      case 0 => B8
+      case 1 => B9
+      case 2 => B10
+      case _ => return Left(PdfError.UnsupportedFeature("JBIG2 custom Huffman DS table"))
+    }
+    val dtT = ((hf >> 4) & 3) match {
+      case 0 => B11
+      case 1 => B12
+      case 2 => B13
+      case _ => return Left(PdfError.UnsupportedFeature("JBIG2 custom Huffman DT table"))
+    }
+    val numInstances = be32(data, body + 21)
+    if (numInstances < 0 || numInstances > MaxInstances)
+      return Left(PdfError.ParseError(s"JBIG2: bad instance count $numInstances"))
+    val r = new BitReader(data, body + 25, end)
+    // symbol-ID code lengths (7.4.3.1.7)
+    val runLens = Array.fill(35)(r.bits(5).toInt)
+    val runT = fromLengths(runLens)
+    if (!runT.valid)
+      return Left(PdfError.ParseError("JBIG2: bad symbol runcode lengths"))
+    val symLens = new Array[Int](syms.length)
+    var si = 0
+    var prevLen = 0
+    while (si < syms.length) {
+      runT.decode(r) match {
+        case Left(e) => return Left(e)
+        case Right(None) =>
+          return Left(PdfError.ParseError("JBIG2: OOB symbol runcode"))
+        case Right(Some(c)) =>
+          if (c < 32) { symLens(si) = c.toInt; prevLen = c.toInt; si += 1 }
+          else {
+            val rep = (c match {
+              case 32 => 3 + r.bits(2)
+              case 33 => 3 + r.bits(3)
+              case _ => 11 + r.bits(7)
+            }).toInt
+            if (si + rep > syms.length)
+              return Left(PdfError.ParseError("JBIG2: symbol code-length run overflows"))
+            val fill = if (c == 32) prevLen else 0
+            var k = 0
+            while (k < rep) { symLens(si) = fill; si += 1; k += 1 }
+          }
+      }
+      if (r.overflowed)
+        return Left(PdfError.ParseError("JBIG2: truncated symbol code lengths"))
+    }
+    val symT = fromLengths(symLens)
+    if (!symT.valid)
+      return Left(PdfError.ParseError("JBIG2: bad symbol code lengths"))
+    r.byteAlign() // text-region decoding restarts byte-aligned
+    val stripSize = 1 << logStrips
+    val bits = new Array[Boolean](h * w)
+    if (defPixel == 1) java.util.Arrays.fill(bits, true)
+    val maxDrawn = 2L * w * h
+    var drawnPixels = 0L
+    def intOr(tb: Table, what: String): Either[PdfError, Long] =
+      tb.decode(r).flatMap(_.toRight(PdfError.ParseError(s"JBIG2: OOB $what")))
+    var stripT = 0L
+    intOr(dtT, "initial strip T") match {
+      case Right(v) => stripT = -v
+      case Left(e) => return Left(e)
+    }
+    var firstS = 0L
+    var i = 0L
+    while (i < numInstances) {
+      intOr(dtT, "strip T delta") match {
+        case Right(v) => stripT += v
+        case Left(e) => return Left(e)
+      }
+      intOr(fsT, "first symbol S") match {
+        case Right(v) => firstS += v
+        case Left(e) => return Left(e)
+      }
+      var curS = firstS
+      var stripDone = false
+      var firstInStrip = true
+      while (!stripDone) {
+        if (!firstInStrip) {
+          dsT.decode(r) match {
+            case Left(e) => return Left(e)
+            case Right(None) => stripDone = true
+            case Right(Some(ds)) => curS += ds + dsOffset
+          }
+        }
+        if (!stripDone) {
+          firstInStrip = false
+          val curT = if (stripSize == 1) 0L else r.bits(logStrips)
+          val t = stripSize * stripT + curT
+          val id = symT.decode(r) match {
+            case Right(Some(v)) => v.toInt
+            case Right(None) =>
+              return Left(PdfError.ParseError("JBIG2: OOB symbol id"))
+            case Left(e) => return Left(e)
+          }
+          if (id < 0 || id >= syms.length)
+            return Left(PdfError.ParseError(s"JBIG2: symbol id $id of ${syms.length}"))
+          val bm = syms(id)
+          val offT = t - (if ((refCorner & 1) == 1) 0 else bm.h - 1)
+          blitInstance(bits, w, h, bm, curS, offT, drawnPixels, maxDrawn) match {
+            case Right(d) => drawnPixels = d
+            case Left(e) => return Left(e)
+          }
+          curS += bm.w - 1
+          i += 1
+          if (i > numInstances)
+            return Left(PdfError.ParseError("JBIG2: more instances than declared"))
+        }
+        if (r.overflowed)
+          return Left(PdfError.ParseError("JBIG2: truncated text region data"))
+      }
+    }
+    Right(Bm(w, h, bits))
+  }
 
   private def decodeTextRegion(data: Array[Byte], body: Int, end: Int,
       w: Int, h: Int, syms: Vector[Bm]): Either[PdfError, Bm] = {
@@ -316,10 +664,10 @@ object Jbig2 {
       return Left(PdfError.ParseError("JBIG2: truncated text region header"))
     val flags = u16(data, body + 17)
     if (flags < 0) return Left(PdfError.ParseError("JBIG2: truncated text region"))
-    if ((flags & 1) == 1)
-      return Left(PdfError.UnsupportedFeature("JBIG2 Huffman-coded text region"))
     if ((flags & 2) == 2)
       return Left(PdfError.UnsupportedFeature("JBIG2 refined text region"))
+    if ((flags & 1) == 1)
+      return decodeTextRegionHuffman(data, body, end, w, h, syms, flags)
     val logStrips = (flags >> 2) & 3
     val refCorner = (flags >> 4) & 3
     val transposed = (flags >> 6) & 1
@@ -399,29 +747,9 @@ object Jbig2 {
           // for TOP corners, the bottom row for BOTTOM corners (right
           // corners occupy the same [curS, curS+w-1] interval, 6.4.5)
           val offT = t - (if ((refCorner & 1) == 1) 0 else bm.h - 1)
-          // clip the blit to the page intersection BEFORE iterating (an
-          // off-page instance must cost nothing), then charge the clipped
-          // area against the region-wide draw budget
-          val ry0 = math.max(0L, -offT).toInt
-          val ry1 = math.min(bm.h.toLong, h.toLong - offT).toInt
-          val rx0 = math.max(0L, -curS).toInt
-          val rx1 = math.min(bm.w.toLong, w.toLong - curS).toInt
-          if (ry1 > ry0 && rx1 > rx0) {
-            drawnPixels += (ry1 - ry0).toLong * (rx1 - rx0)
-            if (drawnPixels > maxDrawn)
-              return Left(PdfError.ParseError(
-                s"JBIG2: text region draws more than ${maxDrawn} pixels"))
-            var ry = ry0
-            while (ry < ry1) {
-              val py = offT + ry
-              var rx = rx0
-              while (rx < rx1) {
-                if (bm.bits(ry * bm.w + rx))
-                  bits((py * w + curS + rx).toInt) = true
-                rx += 1
-              }
-              ry += 1
-            }
+          blitInstance(bits, w, h, bm, curS, offT, drawnPixels, maxDrawn) match {
+            case Right(d) => drawnPixels = d
+            case Left(e) => return Left(e)
           }
           curS += bm.w - 1
           i += 1
@@ -813,6 +1141,104 @@ object Jbig2 {
       }
       enc.flush()
       reg ++= enc.bytes()
+    }
+    segmentBytes(0, 48, Nil, pageInfoBytes(w, h)) ++
+      segmentBytes(1, 0, Nil, dict.toArray) ++
+      segmentBytes(2, 6, Seq(1L), reg.toArray)
+  }
+
+  /** Author an embedded JBIG2 stream with a HUFFMAN-coded symbol
+    * dictionary + text region (SDHUFF=1/SBHUFF=1, standard tables
+    * B.4/B.2/B.1 and B.6/B.8/B.11, REFCORNER=TOPLEFT, SBSTRIPS=1). The
+    * height class's collective bitmap is uncompressed when `mmr` is
+    * false, an embedded T.6 stream otherwise. Same symbol/instance
+    * contract as [[encodeEmbeddedSymbolText]]. */
+  def encodeEmbeddedSymbolTextHuffman(symbols: Seq[Array[Array[Boolean]]],
+      instances: Seq[(Int, Int, Int)], w: Int, h: Int,
+      mmr: Boolean = false): Array[Byte] = {
+    import Jbig2Huffman._
+    require(symbols.nonEmpty && symbols.map(_.length).distinct.length == 1,
+      "symbols must share one height")
+    val symH = symbols.head.length
+    // ---- symbol dictionary (type 0): SDHUFF=1, all selectors standard ----
+    val dict = new scala.collection.mutable.ArrayBuffer[Byte]
+    val dflags = 1 // SDHUFF; DH=B.4 DW=B.2 BMSIZE=B.1
+    dict += ((dflags >> 8) & 0xff).toByte
+    dict += (dflags & 0xff).toByte
+    writeBe32(dict, symbols.length.toLong)
+    writeBe32(dict, symbols.length.toLong)
+    locally {
+      val bw = new BitWriter
+      B4.encode(bw, Some(symH.toLong)) // one height class
+      var prevW = 0L
+      for (sym <- symbols) {
+        B2.encode(bw, Some(sym.head.length - prevW))
+        prevW = sym.head.length
+      }
+      B2.encode(bw, None) // end of height class
+      // collective bitmap: the symbols side by side
+      val offs = symbols.scanLeft(0)(_ + _.head.length)
+      val totW = offs.last
+      val coll = Array.tabulate(symH, totW) { (y, x) =>
+        val k = offs.indexWhere(_ > x) - 1
+        symbols(k)(y)(x - offs(k))
+      }
+      if (mmr) {
+        val enc = Ccitt.encodeG4(coll, totW)
+        B1.encode(bw, Some(enc.length.toLong))
+        bw.bytes(enc)
+      } else {
+        B1.encode(bw, Some(0L))
+        val stride = (totW + 7) / 8
+        val rows = new Array[Byte](stride * symH)
+        for (y <- 0 until symH; x <- 0 until totW if coll(y)(x))
+          rows(y * stride + (x >> 3)) =
+            (rows(y * stride + (x >> 3)) | (0x80 >> (x & 7))).toByte
+        bw.bytes(rows)
+      }
+      // export all: 0 unexported, then all exported (Table B.1 runs)
+      B1.encode(bw, Some(0L))
+      B1.encode(bw, Some(symbols.length.toLong))
+      dict ++= bw.result()
+    }
+    // ---- immediate text region (type 6): SBHUFF=1 ----
+    val reg = regionInfoBytes(w, h)
+    val tflags = 1 | (1 << 4) // SBHUFF, REFCORNER=TOPLEFT
+    reg += ((tflags >> 8) & 0xff).toByte
+    reg += (tflags & 0xff).toByte
+    reg += 0x00.toByte // huffman flags: FS=B.6 DS=B.8 DT=B.11
+    reg += 0x00.toByte
+    writeBe32(reg, instances.length.toLong)
+    locally {
+      val tw = new BitWriter
+      // symbol-ID code lengths: ONE runcode (value = codeLen) of length 1,
+      // emitted once per symbol — every symbol gets the same code length
+      val codeLen = symCodeLenFor(symbols.length)
+      for (i <- 0 until 35) tw.bits(if (i == codeLen) 1L else 0L, 5)
+      val runT = fromLengths(Array.tabulate(35)(i => if (i == codeLen) 1 else 0))
+      for (_ <- symbols.indices) runT.encode(tw, Some(codeLen.toLong))
+      tw.byteAlign()
+      val symT = fromLengths(Array.fill(symbols.length)(codeLen))
+      B11.encode(tw, Some(1L)) // initial STRIPT = -1 (B.11's minimum is 1)
+      var prevT = -1L
+      var prevFirstS = 0L
+      for ((t, insts) <- instances.groupBy(_._3).toSeq.sortBy(_._1)) {
+        B11.encode(tw, Some(t - prevT)) // strictly ascending strips: DT >= 1
+        prevT = t
+        val sorted = insts.sortBy(_._2)
+        B6.encode(tw, Some(sorted.head._2 - prevFirstS))
+        prevFirstS = sorted.head._2
+        var curS = sorted.head._2.toLong
+        var first = true
+        for ((id, s, _) <- sorted) {
+          if (!first) B8.encode(tw, Some(s - curS))
+          symT.encode(tw, Some(id.toLong))
+          curS = s.toLong + symbols(id).head.length - 1
+          first = false
+        }
+        B8.encode(tw, None) // end of strip
+      }
+      reg ++= tw.result()
     }
     segmentBytes(0, 48, Nil, pageInfoBytes(w, h)) ++
       segmentBytes(1, 0, Nil, dict.toArray) ++

@@ -225,7 +225,7 @@ object CorpusGen {
   def scannedCorpus(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
     import spark.implicits._
     spark.range(0, rows, 1, partitions).as[Long].mapPartitions(_.map { i =>
-      val (kind, d, bitmap) = (i % 7) match {
+      val (kind, d, bitmap) = (i % 8) match {
         case 0 => ("scan_g4", FixtureGen.ccittImage(i), FixtureGen.ccittBitmap(i))
         case 1 => ("scan_g3", FixtureGen.ccittImageG3(i), FixtureGen.ccittG3Bitmap(i))
         case 2 => ("scan_g3_2d", FixtureGen.ccittImageG3(i, k = 2), FixtureGen.ccittG3Bitmap(i))
@@ -236,8 +236,10 @@ object CorpusGen {
         case 5 => ("scan_jbig2_arith_tp", // MQ-coded with typical prediction
           FixtureGen.jbig2ImageArith(i, ((i / 6) % 4).toInt, tpgdon = true),
           FixtureGen.jbig2Bitmap(i))
-        case _ => ("scan_jbig2_sym", // symbol dict + text region
+        case 6 => ("scan_jbig2_sym", // arithmetic symbol dict + text region
           FixtureGen.jbig2ImageSym(i), FixtureGen.jbig2SymBitmap(i))
+        case _ => ("scan_jbig2_sym_huff", // HUFFMAN symbol dict + text region
+          FixtureGen.jbig2ImageSymHuffman(i), FixtureGen.jbig2SymBitmap(i))
       }
       val gray = bitmap.flatten.map(black => if (black) 0.toByte else 0xff.toByte)
       ScanRow(

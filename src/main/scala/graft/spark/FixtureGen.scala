@@ -627,6 +627,31 @@ object FixtureGen {
     Doc("jbig2imagesym", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
+  /** Huffman-coded variant of [[jbig2ImageSym]] (SDHUFF=1/SBHUFF=1,
+    * standard tables B.4/B.2/B.1 + B.6/B.8/B.11) — the other symbol-text
+    * coding real scanners emit. The height class's collective bitmap
+    * alternates uncompressed / MMR-coded by parity. Same construction-fact
+    * glyphs/instances/page bitmap as the arithmetic variant. */
+  def jbig2ImageSymHuffman(i: Long): Doc = {
+    val line = s"JBIG2 Huffman symbol image document $i"
+    val w = 64
+    val h = 24
+    val enc = new String(graft.core.Jbig2.encodeEmbeddedSymbolTextHuffman(
+      jbig2SymGlyphs(i), jbig2SymInstances(i), w, h,
+      mmr = (i % 2) == 1), ISO_8859_1)
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\nq 128 0 0 48 72 560 cm /Im1 Do Q\n"
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 5 0 R >> /XObject << /Im1 6 0 R >> >> /Contents 4 0 R >>",
+      contentObj(content, compress = false),
+      helvetica,
+      s"<< /Type /XObject /Subtype /Image /Width $w /Height $h /ColorSpace /DeviceGray " +
+        s"/BitsPerComponent 1 /Filter /JBIG2Decode /Length ${enc.length} >>\nstream\n$enc\nendstream"))
+    Doc("jbig2imagesymhuff", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
+  }
+
   /** V4 encrypt dict that declares NO crypt filters (/CF //StmF //StrF all
     * absent) and leaves streams as plaintext: ISO 32000-1 7.6.5's default
     * for an absent /StmF//StrF is /Identity, so a conforming reader must

@@ -41,7 +41,9 @@ object FuzzSoak {
         graft.spark.FixtureGen.jbig2Image(1).bytes,
         graft.spark.FixtureGen.jbig2ImageArith(1, 0, tpgdon = false).bytes,
         graft.spark.FixtureGen.jbig2ImageArith(2, 2, tpgdon = true).bytes,
-        graft.spark.FixtureGen.jbig2ImageSym(1).bytes) ++ {
+        graft.spark.FixtureGen.jbig2ImageSym(1).bytes,
+        graft.spark.FixtureGen.jbig2ImageSymHuffman(1).bytes,
+        graft.spark.FixtureGen.jbig2ImageSymHuffman(2).bytes) ++ {
         val dir = java.nio.file.Paths.get("/root/reference/data/fixtures")
         if (java.nio.file.Files.isDirectory(dir)) {
           val st = java.nio.file.Files.list(dir)
@@ -92,6 +94,7 @@ object FuzzSoak {
             case e: Throwable =>
               failures.incrementAndGet()
               println(s"FUZZFAIL thread=$t iter=$k base=${(t * 7 + k) % bases.length} ex=${e.getClass.getName}: ${String.valueOf(e.getMessage).take(120)}")
+              e.getStackTrace.take(8).foreach(fr => println("  at " + fr))
           }
           done.incrementAndGet()
           k += 1

@@ -223,6 +223,99 @@ class Jbig2Spec extends AnyFunSuite {
     }
   }
 
+  test("Annex B standard tables: prefix-valid, contiguous tiling, complete where specified") {
+    import graft.core.Jbig2Huffman._
+    for ((tb, idx) <- standardTables.zipWithIndex) {
+      val name = s"B.${idx + 1}"
+      assert(tb.valid, s"$name: canonical code assignment overflows a length")
+      // Kraft inequality must hold for any prefix code; B.1-B.6, B.14 and
+      // B.15 are COMPLETE codes (sum exactly 1) in the standard
+      val kraft = tb.lines.filter(_.prefLen > 0)
+        .map(l => BigDecimal(1) / BigDecimal(2).pow(l.prefLen)).sum
+      assert(kraft <= 1, s"$name: Kraft sum $kraft > 1 (not a prefix code)")
+      if (Set(0, 1, 2, 3, 4, 5, 13, 14)(idx))
+        assert(kraft == 1, s"$name: expected a complete code, Kraft=$kraft")
+      // the normal lines tile a contiguous integer range with no gaps,
+      // and the lower/upper lines sit exactly adjacent to it — a strong
+      // transcription check on (rangelen, rangelow)
+      val normal = tb.lines.filter(_.kind == Normal).sortBy(_.rangeLow)
+      for (Seq(a, b) <- normal.sliding(2) if normal.length > 1)
+        assert(a.rangeLow + (1L << a.rangeLen) == b.rangeLow,
+          s"$name: gap after ${a.rangeLow}")
+      tb.lines.find(_.kind == Lower).foreach(l =>
+        assert(l.rangeLow + 1 == normal.head.rangeLow, s"$name: lower line misplaced"))
+      tb.lines.find(_.kind == Upper).foreach(u =>
+        assert(u.rangeLow ==
+          normal.last.rangeLow + (1L << normal.last.rangeLen),
+          s"$name: upper line misplaced"))
+    }
+  }
+
+  test("Annex B tables roundtrip boundary values (encode -> decode)") {
+    import graft.core.Jbig2Huffman._
+    for ((tb, idx) <- standardTables.zipWithIndex) {
+      val normal = tb.lines.filter(_.kind == Normal)
+      val lows = normal.map(_.rangeLow)
+      val highs = normal.map(l => l.rangeLow + (1L << l.rangeLen) - 1)
+      val beyond = tb.lines.collect {
+        case l if l.kind == Lower => Seq(l.rangeLow, l.rangeLow - 1000)
+        case l if l.kind == Upper => Seq(l.rangeLow, l.rangeLow + 100000)
+      }.flatten
+      val oob = if (tb.lines.exists(_.kind == Oob)) Seq(None) else Nil
+      val values = (lows ++ highs ++ beyond).map(Some(_)) ++ oob
+      val bw = new BitWriter
+      values.foreach(tb.encode(bw, _))
+      val data = bw.result()
+      val r = new BitReader(data, 0, data.length)
+      for ((v, k) <- values.zipWithIndex)
+        assert(tb.decode(r) == Right(v), s"B.${idx + 1} value $k = $v")
+    }
+  }
+
+  test("Huffman symbol dictionary + text region roundtrips (uncompressed and MMR collective)") {
+    def glyph(k: Int): Array[Array[Boolean]] =
+      Array.tabulate(8, 5)((y, x) => ((x * (k + 2) + y * (7 - k)) % 5) < 2)
+    val symbols = Seq(glyph(0), glyph(1), glyph(2))
+    val w = 64
+    val h = 24
+    val instances =
+      (0 until 8).map(c => (c % 3, 2 + c * 7, 3)) ++
+        (0 until 8).map(c => ((c + 1) % 3, 4 + c * 7, 13))
+    for (mmr <- Seq(false, true)) {
+      val enc = Jbig2.encodeEmbeddedSymbolTextHuffman(symbols, instances, w, h, mmr)
+      val dec = Jbig2.decodeEmbedded(enc)
+        .fold(e => fail(s"mmr=$mmr: $e"), identity)
+      val page = Array.ofDim[Boolean](h, w)
+      for ((id, s, t) <- instances; y <- 0 until 8; x <- 0 until 5
+           if symbols(id)(y)(x) && t + y < h && s + x < w)
+        page(t + y)(s + x) = true
+      val rowBytes = (w + 7) / 8
+      assert(dec.length == rowBytes * h, s"mmr=$mmr")
+      for (y <- 0 until h; x <- 0 until w) {
+        val bit = (dec(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+        assert((bit == 0) == page(y)(x), s"mmr=$mmr pixel ($x,$y)")
+      }
+      // the arithmetic encoding of the same page decodes to the same pixels
+      val arith = Jbig2.decodeEmbedded(
+        Jbig2.encodeEmbeddedSymbolText(symbols, instances, w, h)).toOption.get
+      assert(java.util.Arrays.equals(dec, arith), s"mmr=$mmr vs arithmetic")
+    }
+  }
+
+  test("Huffman custom-table selectors are refused, not mis-decoded") {
+    def glyph: Array[Array[Boolean]] = Array.tabulate(8, 5)((y, x) => (x + y) % 2 == 0)
+    val enc = Jbig2.encodeEmbeddedSymbolTextHuffman(Seq(glyph), Seq((0, 1, 1)), 16, 12)
+    // dict flags low byte at offset 42 (same layout as the arith test):
+    // set SDHUFFDH selector to 3 (custom table)
+    assert(enc(41) == 0 && enc(42) == 1, "dict flag offset moved")
+    val mutated = enc.clone()
+    mutated(42) = (1 | (3 << 2)).toByte
+    Jbig2.decodeEmbedded(mutated) match {
+      case Left(PdfError.UnsupportedFeature(msg)) => assert(msg.contains("custom"), msg)
+      case other => fail(s"expected custom-table refusal, got $other")
+    }
+  }
+
   test("MQ coder matches the ITU-T T.88 Annex H.2 external test sequence") {
     // the ONE externally-authored fixture for the MQ coder: the standard's
     // own 32-byte test input and 30-byte expected code stream (identical in
