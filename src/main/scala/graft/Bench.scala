@@ -9,7 +9,8 @@ import graft.spark.{CorpusGen, Pipeline}
   * whose parquet is materialized outside the timed section. */
 object Bench {
 
-  final case class ExtractionResult(docs: Long, secs: Double, docsPerSec: Double, matchRate: Double)
+  final case class ExtractionResult(docs: Long, secs: Double, docsPerSec: Double, matchRate: Double,
+                                    reps: Seq[Double])
 
   def buildSession(cpus: Int): SparkSession = {
     val spark = SparkSession.builder()
@@ -41,58 +42,74 @@ object Bench {
     // best of 2 timed reps: this VM's vCPU allocation is bursty (~2x
     // between windows) — the better rep is the least-perturbed observation,
     // the same protocol ScalingBench uses
-    var best = Double.MaxValue
     var n = 0L
     var matched = 0L
-    for (_ <- 0 until 2) {
+    val reps = scala.collection.mutable.ArrayBuffer[Double]()
+    // 2 reps minimum; if they disagree by >2x, both may sit in one vCPU
+    // throttle window — take up to 2 extra reps so at least one clean
+    // observation can land (verdict r5 item 3: window-proof, not just
+    // rep-proof)
+    while (reps.size < 2 || (reps.size < 4 && reps.max / reps.min > 2.0)) {
       val t0 = System.nanoTime()
       val agg = Pipeline.extract(spark, stored).toDF()
         .join(stored.select("url", "expected"), Seq("url"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("text") === col("expected"), 1L).otherwise(0L)).as("matched"))
         .collect()(0)
-      val secs = (System.nanoTime() - t0) / 1e9
-      if (secs < best) best = secs
+      reps += (System.nanoTime() - t0) / 1e9
       n = agg.getLong(0)
       matched = agg.getLong(1)
     }
-    ExtractionResult(n, best, n / best, matched.toDouble / math.max(n, 1))
+    val best = reps.min
+    ExtractionResult(n, best, n / best, matched.toDouble / math.max(n, 1), reps.toSeq)
   }
+
+  /** 1/5/15-min load averages — a throttled benchmark window is
+    * machine-identifiable from these plus the per-rep spread. */
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
+    catch { case _: Exception => "" }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
+    val loadBefore = loadavg()
     val spark = buildSession(cpus)
 
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
     val ex = extractionBench(spark, benchDocs, cpus * 4, tmp)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val allReps = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     results("extract_corpus") = ex.secs
-    // best of 2 reps per query: this host's vCPU allocation is bursty
+    allReps("extract_corpus") = ex.reps
+    // best-of-reps per query: this host's vCPU allocation is bursty
     // (CLAUDE.md protocol, same as ScalingBench) — a single-shot timing
-    // has manufactured phantom 7x regressions in past rounds. A query
-    // that throws is recorded loudly (err map + nonzero exit), never as
-    // a fast success.
+    // has manufactured phantom 7x regressions in past rounds. 2 reps
+    // minimum; >2x disagreement means both may share a throttle window,
+    // so take up to 2 extra (verdict r5 item 3). Per-rep times are
+    // emitted so a throttled record is machine-identifiable after the
+    // fact. A query that throws is recorded loudly (err map + nonzero
+    // exit), never as a fast success.
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      var best = Double.MaxValue
-      var rep = 0
-      while (rep < 2 && !errors.contains(name)) {
+      val reps = scala.collection.mutable.ArrayBuffer[Double]()
+      while (!errors.contains(name) &&
+             (reps.size < 2 || (reps.size < 4 && reps.max / reps.min > 2.0))) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          val secs = (System.nanoTime() - t0) / 1e9
-          if (secs < best) best = secs
+          reps += (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
-        rep += 1
       }
-      results(name) = if (errors.contains(name)) -1.0 else best
+      allReps(name) = reps.toSeq
+      results(name) = if (errors.contains(name)) -1.0 else reps.min
     }
+    val loadAfter = loadavg()
     def fmt(v: Double): String = f"$v%.3f"
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -102,6 +119,9 @@ object Bench {
         case c => c.toString
       } + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val repsJson = allReps.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => "\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
@@ -109,6 +129,8 @@ object Bench {
     println(
       "{\"metric\":\"total\",\"value\":" + fmt(total) + ",\"unit\":\"sec\"" +
         ",\"queries\":" + qs + errJson +
+        ",\"reps\":" + repsJson +
+        ",\"loadavg_before\":\"" + loadBefore + "\",\"loadavg_after\":\"" + loadAfter + "\"" +
         ",\"sf\":\"" + sfDir + "\",\"cpus\":" + cpus +
         ",\"extraction\":{\"docs\":" + ex.docs +
         ",\"secs\":" + fmt(ex.secs) +
