@@ -1049,6 +1049,24 @@ object Streaming {
   import org.apache.spark.sql.{DataFrame, SparkSession}
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+  import scala.jdk.CollectionConverters._
+
+  /** State-store provider switch (verdict r5 item 4): by default the
+    * streaming queries run on the built-in HDFS-backed provider; setting
+    * SPARK_GRAFT_STATE_STORE=rocksdb runs every streaming query on
+    * RocksDBStateStoreProvider — the cluster configuration, where state
+    * lives off-heap and survives executor GC pressure — on an ISOLATED
+    * child session (mutating the caller's conf would leak the provider
+    * into unrelated queries). The same oracles must stay green either
+    * way; the RocksDB gate run is recorded in BENCH/BASELINE.md. */
+  private[graft] def streamSession(spark0: SparkSession): SparkSession =
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").exists(_.equalsIgnoreCase("rocksdb"))) {
+      val s = spark0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      System.err.println("[graft] streaming state store: RocksDBStateStoreProvider")
+      s
+    } else spark0
 
   /** The file stream source needs a directory; single-file tables are
     * copied into a temp dir. */
@@ -1086,7 +1104,8 @@ object Streaming {
     * retain every window ever seen: a state-store OOM at 100 TB.) Windows
     * still inside the final watermark stay in state and are not emitted —
     * the price of eviction on a finite run. */
-  def windowedEventCounts(spark: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
+  def windowedEventCounts(spark0: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
+    val spark = streamSession(spark0)
     val eventsDir = streamDir(eventsDir0)
     val q = windowedEventCountsPlan(spark, eventsDir).writeStream
       .format("memory")
@@ -1106,7 +1125,8 @@ object Streaming {
     * time — constant state on an unbounded stream, unlike a plain
     * dropDuplicates whose key set grows forever (the same bounded-state
     * contract as the windowed counts and sessions). */
-  def dedupedEventStream(spark: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
+  def dedupedEventStream(spark0: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
+    val spark = streamSession(spark0)
     val eventsDir = streamDir(eventsDir0)
     val schema = spark.read.parquet(eventsDir).schema
     def src = spark.readStream.schema(schema).parquet(eventsDir)
@@ -1139,7 +1159,7 @@ object Streaming {
     // sized to state volume below, and mutating the CALLER's conf would
     // leak into concurrently planned queries (newSession shares the
     // SparkContext but owns its SQLConf + temp-view catalog)
-    val spark = spark0.newSession()
+    val spark = streamSession(spark0.newSession())
     val eventsDir = streamDir(eventsDir0)
     val schema = spark.read.parquet(eventsDir).schema
     def src(tpe: String, alias: String) = spark.readStream.schema(schema).parquet(eventsDir)
@@ -1181,6 +1201,12 @@ object Streaming {
     * StreamingQueryProgress) — a test hook for the bounded-keys contract. */
   @volatile var lastSessionStateRows: Long = -1L
 
+  /** Custom state-store metric keys from the last userSessions run — a
+    * test hook proving WHICH provider actually served the stream (RocksDB
+    * reports rocksdb* metrics; the HDFS-backed default reports none of
+    * them), not merely that the conf was set. */
+  @volatile var lastSessionStateMetrics: Set[String] = Set.empty
+
   /** Custom keyed state: per-user EVENT-TIME sessionization via
     * flatMapGroupsWithState (KeyValueGroupedDataset). Sessions are defined
     * by the DATA, not the batching: within each invocation the batch is
@@ -1196,8 +1222,9 @@ object Streaming {
     * a KMV sketch, exact below K), and the key count is bounded by
     * event-time eviction. Batch inserts go through Kmv.bulkAdd (one
     * sort + merge per session per micro-batch), not copy-on-insert. */
-  def userSessions(spark: SparkSession, eventsDir0: String, queryName: String,
+  def userSessions(spark0: SparkSession, eventsDir0: String, queryName: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val eventsDir = streamDir(eventsDir0)
     val schema = spark.read.parquet(eventsDir).schema
@@ -1262,6 +1289,10 @@ object Streaming {
       .find(_.stateOperators.nonEmpty)
       .map(_.stateOperators(0).numRowsTotal)
       .getOrElse(-1L)
+    lastSessionStateMetrics = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).customMetrics.keySet.asScala.toSet)
+      .getOrElse(Set.empty)
     spark.table(queryName)
   }
 

@@ -471,6 +471,11 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rocks = graft.spark.Streaming.finalizedSessions(
       graft.spark.Streaming.userSessions(ss, s"$dir/events.parquet", "t_sess_rocks"))
       .orderBy("user_id", "first_ts").collect()
+    // hard engagement proof: the run's state operator reported rocksdb*
+    // custom metrics — the provider actually served the stream, the conf
+    // didn't just sit unread
+    assert(graft.spark.Streaming.lastSessionStateMetrics.exists(_.startsWith("rocksdb")),
+      s"no rocksdb metrics: ${graft.spark.Streaming.lastSessionStateMetrics}")
     val base = graft.spark.Streaming.finalizedSessions(
       graft.spark.Streaming.userSessions(spark, s"$dir/events.parquet", "t_sess_hdfs"))
       .orderBy("user_id", "first_ts").collect()
