@@ -1622,6 +1622,162 @@ object Queries {
            |SELECT qid, vec_id, cell, rank, sim FROM ranked WHERE rank <= 3
            |ORDER BY qid, rank""".stripMargin))
 
+  /** One Lloyd assignment pass: every vector ranked against the current
+    * centroids by rounded squared-L2 distance (ties -> lowest cid), via a
+    * broadcast of the K-row codebook — the vectors never shuffle. */
+  private[graft] def kmeansAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val sqDist = round(aggregate(zip_with(col("cv"), col("emb"),
+      (c, x) => (x - c) * (x - c)), lit(0.0), (acc, x) => acc + x), 6)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").asc, col("cid").asc)
+    e.join(broadcast(cent))
+      .select(col("vec_id"), col("emb"), col("cid"), sqDist.as("cdist"))
+      .withColumn("crank", row_number().over(wAssign))
+  }
+
+  /** Deterministic Lloyd training over (vec_id, emb: array<double>) rows:
+    * init = vectors 0..7, `iters` fixed assignment+mean rounds. The mean
+    * folds in vec_id order (sort_array(collect_list) -> aggregate) because
+    * a plain double sum is accumulation-order-dependent — irreproducible
+    * across partitionings and unmatchable by any oracle replay. */
+  private[graft] def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
+    var cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("emb").as("cv"))
+    for (_ <- 0 until iters) {
+      cent = kmeansAssign(e, cent).filter(col("crank") === 1)
+        .select(col("cid"), col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
+        .groupBy("cid", "i")
+        .agg((aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+            s => s.getField("x")),
+          lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("cv"))
+    }
+    cent
+  }
+
+  private val s5 = Q(
+    (spark, dir) => {
+      // K-means-TRAINED IVF (round-6 verdict item): s4 probes a codebook
+      // of raw sample vectors; real ANN at 100 TB trains the codebook
+      // first. Lloyd's algorithm runs as pure Spark aggregations — the
+      // assignment step broadcasts the K=8 current centroids against the
+      // corpus (map-side, the vectors never shuffle), the update step
+      // recomputes each (centroid, dimension) mean, and T=3 fixed
+      // iterations with ties broken by centroid id make the trained
+      // codebook a pure function of the data. Oracle parity dictates the
+      // mean's summation: a plain double sum is accumulation-ORDER-
+      // dependent (irreproducible across partitionings, unmatchable by
+      // any replay), so the per-cell sums fold in vec_id order
+      // (sort_array(collect_list) -> aggregate, mirrored by DuckDB's
+      // list(x ORDER BY vec_id) -> list_reduce — the same in-order
+      // accumulation trick s1-s4 use for dot products). At 100 TB the
+      // in-order fold bounds per-group memory by cluster size, so
+      // production training runs on a bounded SAMPLE per Lloyd round
+      // (standard practice) and the K x d centroid artifact — a few KB —
+      // is collected and re-broadcast each iteration, cutting lineage.
+      // The search stage then mirrors s4 against the TRAINED centroids:
+      // nprobe=2 cells per query, exact cosine rerank inside the probed
+      // cells, candidates joined on cell id only — never a corpus cross
+      // join.
+      val e = t(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("emb"))
+      val fin = kmeansAssign(e, kmeansCentroids(e, iters = 3))
+      val cells = fin.filter(col("crank") === 1)
+        .select(col("vec_id"), col("emb"), col("cid").as("cell"))
+      val probes = fin.filter(col("vec_id") < 10 && col("crank") <= 2)
+        .select(col("vec_id").as("qid"), col("emb").as("qv"), col("cid").as("cell"))
+      val qdot = aggregate(zip_with(col("qv"), col("emb"), (a, x) => a * x),
+        lit(0.0), (acc, x) => acc + x)
+      val qn = sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x))
+      val en = sqrt(aggregate(col("emb"), lit(0.0), (acc, x) => acc + x * x))
+      val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      probes.join(cells, Seq("cell"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), col("cell"), round(qdot / (qn * en), 6).as("sim"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .select("qid", "vec_id", "cell", "rank", "sim")
+        .orderBy("qid", "rank")
+    },
+    // the oracle replays the identical Lloyd arithmetic: same init, same
+    // in-order per-dimension sums, same rounded-distance + cid tie-break
+    // assignment, three unrolled iterations as chained CTEs
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings
+           |), c0 AS (
+           |  SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < 8
+           |), a1 AS (
+           |  SELECT vec_id, emb, cid FROM (
+           |    SELECT e.vec_id, e.emb, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(list_reduce(list_transform(range(1, len(e.emb)+1),
+           |          i -> (e.emb[i] - c.cv[i]) * (e.emb[i] - c.cv[i])), (x, y) -> x + y), 6) ASC,
+           |        c.cid ASC) AS crank
+           |    FROM e CROSS JOIN c0 c) WHERE crank = 1
+           |), c1 AS (
+           |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+           |    SELECT cid, i,
+           |      list_reduce(list(emb[i] ORDER BY vec_id), (x, y) -> x + y) / count(*) AS m
+           |    FROM a1, LATERAL (SELECT unnest(range(1, len(emb)+1)) AS i)
+           |    GROUP BY cid, i) GROUP BY cid
+           |), a2 AS (
+           |  SELECT vec_id, emb, cid FROM (
+           |    SELECT e.vec_id, e.emb, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(list_reduce(list_transform(range(1, len(e.emb)+1),
+           |          i -> (e.emb[i] - c.cv[i]) * (e.emb[i] - c.cv[i])), (x, y) -> x + y), 6) ASC,
+           |        c.cid ASC) AS crank
+           |    FROM e CROSS JOIN c1 c) WHERE crank = 1
+           |), c2 AS (
+           |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+           |    SELECT cid, i,
+           |      list_reduce(list(emb[i] ORDER BY vec_id), (x, y) -> x + y) / count(*) AS m
+           |    FROM a2, LATERAL (SELECT unnest(range(1, len(emb)+1)) AS i)
+           |    GROUP BY cid, i) GROUP BY cid
+           |), a3 AS (
+           |  SELECT vec_id, emb, cid FROM (
+           |    SELECT e.vec_id, e.emb, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(list_reduce(list_transform(range(1, len(e.emb)+1),
+           |          i -> (e.emb[i] - c.cv[i]) * (e.emb[i] - c.cv[i])), (x, y) -> x + y), 6) ASC,
+           |        c.cid ASC) AS crank
+           |    FROM e CROSS JOIN c2 c) WHERE crank = 1
+           |), c3 AS (
+           |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+           |    SELECT cid, i,
+           |      list_reduce(list(emb[i] ORDER BY vec_id), (x, y) -> x + y) / count(*) AS m
+           |    FROM a3, LATERAL (SELECT unnest(range(1, len(emb)+1)) AS i)
+           |    GROUP BY cid, i) GROUP BY cid
+           |), fin AS (
+           |  SELECT e.vec_id, e.emb, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      round(list_reduce(list_transform(range(1, len(e.emb)+1),
+           |        i -> (e.emb[i] - c.cv[i]) * (e.emb[i] - c.cv[i])), (x, y) -> x + y), 6) ASC,
+           |      c.cid ASC) AS crank
+           |  FROM e CROSS JOIN c3 c
+           |), cells AS (
+           |  SELECT vec_id, emb, cid AS cell FROM fin WHERE crank = 1
+           |), probes AS (
+           |  SELECT vec_id AS qid, emb AS qv, cid AS cell FROM fin
+           |  WHERE vec_id < 10 AND crank <= 2
+           |), pairs AS (
+           |  SELECT p.qid, m.vec_id, p.cell,
+           |    round(list_reduce(list_transform(range(1, len(p.qv)+1), i -> p.qv[i] * m.emb[i]), (x, y) -> x + y) /
+           |      (sqrt(list_reduce(list_transform(p.qv, x -> x * x), (x, y) -> x + y)) *
+           |       sqrt(list_reduce(list_transform(m.emb, x -> x * x), (x, y) -> x + y))), 6) AS sim
+           |  FROM probes p JOIN cells m ON m.cell = p.cell AND m.vec_id <> p.qid
+           |), ranked AS (
+           |  SELECT qid, vec_id, cell, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+           |  FROM pairs
+           |)
+           |SELECT qid, vec_id, cell, rank, sim FROM ranked WHERE rank <= 3
+           |ORDER BY qid, rank""".stripMargin))
+
   private val s3 = Q(
     (spark, dir) => {
       // LSH-bucketed ANN search: candidates restricted to the query's
@@ -2622,6 +2778,7 @@ object Queries {
     "s2_ann_lsh_bucket" -> s2,
     "s3_ann_search" -> s3,
     "s4_ivf_search" -> s4,
+    "s5_ivf_kmeans" -> s5,
     "x1_extract" -> x1,
     "x2_extract_match" -> x2,
     "x3_grep" -> x3,

@@ -484,6 +484,36 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rocks.nonEmpty)
   }
 
+  test("s5 k-means IVF: trained search is deterministic and training moves the codebook") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.spark.Queries.queries("s5_ivf_kmeans")(spark, dir).collect()
+    // 10 probes x top-3 inside nprobe=2 trained cells
+    assert(out.length == 30, out.length)
+    for (r <- out) {
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 3, r)      // rank
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9, r)    // cosine
+      assert(r.getLong(2) >= 0 && r.getLong(2) < 8, r)     // cell in 0..K-1
+    }
+    // Lloyd is deterministic: a second full run (fresh plan, fresh
+    // shuffles) must produce the identical rows — the property that makes
+    // the DuckDB replay an oracle at all
+    val again = graft.spark.Queries.queries("s5_ivf_kmeans")(spark, dir).collect()
+    assert(out.sameElements(again))
+    // training must actually train: the k-means objective (sum of each
+    // vector's distance to its assigned centroid) is non-increasing per
+    // Lloyd round and strictly better than the raw init codebook after 3
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+    def objective(iters: Int): Double =
+      graft.spark.Queries.kmeansAssign(e, graft.spark.Queries.kmeansCentroids(e, iters))
+        .filter(col("crank") === 1)
+        .agg(sum(col("cdist"))).collect()(0).getDouble(0)
+    val objs = (0 to 3).map(objective)
+    assert(objs.sliding(2).forall(p => p(1) <= p(0) + 1e-9), objs)
+    assert(objs(3) < objs(0), objs) // moved, not a fixed point of the init
+  }
+
   test("greedy chunking invariants: budget respected, concatenation lossless") {
     val out = graft.spark.Queries.queries("c3_greedy_chunks")(spark, "/root/testdata/sf0.001")
       .collect()
