@@ -83,6 +83,13 @@ object Verify {
           col("pixel_md5"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$auxDir/aux_scanned")
+      // JPX ground truth: JP2/codestream header fields are construction
+      // facts for the header-facts-with-refusal surface (x30).
+      graft.spark.CorpusGen.jpxCorpus(spark, rows = 60, partitions = 4)
+        .select(col("url"), col("kind"), col("ok"), col("format"),
+          col("width"), col("height"), col("components"), col("bpc"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$auxDir/aux_jpx")
     }
     SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -109,12 +116,14 @@ object Verify {
     val auxAudioPath = new java.io.File(auxDir, "aux_audio").getAbsolutePath
     val auxVideoPath = new java.io.File(auxDir, "aux_video").getAbsolutePath
     val auxScanPath = new java.io.File(auxDir, "aux_scanned").getAbsolutePath
+    val auxJpxPath = new java.io.File(auxDir, "aux_jpx").getAbsolutePath
     val auxLongPath = new java.io.File(auxDir, "aux_long").getAbsolutePath
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUXDIFF__", auxDiffPath)
         .replace("__AUXMEDIA__", auxMediaPath).replace("__AUXAUDIO__", auxAudioPath)
         .replace("__AUXVIDEO__", auxVideoPath)
         .replace("__AUXSCAN__", auxScanPath)
+        .replace("__AUXJPX__", auxJpxPath)
         .replace("__AUXLONG__", auxLongPath)
         .replace("__AUX__", auxPath))}" }
       .mkString("{", ",", "}")

@@ -338,6 +338,22 @@ object DocStructure {
         }
       })
 
+    /** Decrypt-only stream bytes (no filter pass) — the container bytes a
+      * filter would consume. The JPX header surface reads these: the
+      * filter chain itself refuses /JPXDecode, but the undecoded payload
+      * still carries the catalogue-able JP2/codestream headers. */
+    def undecodedStreamByRef(n: Int): Either[PdfError, Array[Byte]] =
+      objsByRef(n) match {
+        case Some(objs) => objs.collectFirst { case PStream(s) => s } match {
+          case Some(strm) => Right(security match {
+            case Some(sec) => Crypt.decryptStream(sec, n, 0, strm)
+            case None => strm
+          })
+          case None => Left(PdfError.ParseError("No object with stream to be shown"))
+        }
+        case None => Left(PdfError.MissingObject(n))
+      }
+
     def rawStreamOf(objNum: Int, objs: List[PObj]): Either[PdfError, Array[Byte]] =
       objs.collectFirst { case PStream(s) => s } match {
         case Some(strm) =>

@@ -418,6 +418,12 @@ object Jbig2 {
             case Left(e) => return Left(e)
             case Right(rows) =>
               val rstride = (wTot + 7) / 8
+              // a truncated MMR stream can decode to FEWER rows than the
+              // height class declares (decodeG4 returns what it found) —
+              // refuse rather than index past the packed buffer
+              if (rows.length < rstride.toLong * hc)
+                return Left(PdfError.ParseError(
+                  s"JBIG2: collective bitmap decoded short (${rows.length} of ${rstride * hc} bytes)"))
               val bmBits = new Array[Boolean](hc * wTot)
               var yy = 0
               while (yy < hc) {

@@ -255,6 +255,41 @@ object CorpusGen {
     }).toDF()
   }
 
+  /** JPX corpus for the header-facts surface (x30): 2 of 3 rows are
+    * one-page PDFs with a /JPXDecode image XObject (JP2 box container /
+    * raw codestream alternating) whose header fields are construction
+    * facts; the third row's image is DCT, so the JPX surface must report
+    * ok=false for it. */
+  final case class JpxRow(
+      url: String,
+      warc_ts: Timestamp,
+      html: Array[Byte],
+      text: String,
+      lang: String,
+      kind: String,
+      ok: Boolean,
+      format: String,
+      width: Int,
+      height: Int,
+      components: Int,
+      bpc: Int)
+
+  def jpxCorpus(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, rows, 1, partitions).as[Long].mapPartitions(_.map { i =>
+      if (i % 3 == 2) {
+        val d = FixtureGen.jpegImage(i)
+        JpxRow(s"https://media.test/jpx_not/$i", new Timestamp(epochMs + i * 1000L),
+          d.bytes, null, "en", "jpx_not", ok = false, null, -1, -1, -1, -1)
+      } else {
+        val (fmt, w, h, nc, bpc) = FixtureGen.jpxFacts(i)
+        val d = FixtureGen.jpxImage(i)
+        JpxRow(s"https://media.test/jpx_$fmt/$i", new Timestamp(epochMs + i * 1000L),
+          d.bytes, null, "en", s"jpx_$fmt", ok = true, fmt, w, h, nc, bpc)
+      }
+    }).toDF()
+  }
+
   /** Audio corpus for the real WAV/PCM decode surface: 2 of 3 rows carry an
     * authored RIFF/PCM payload (header fields + exact sample bytes are
     * construction facts), the third a non-audio binary. */

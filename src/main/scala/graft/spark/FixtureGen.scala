@@ -486,6 +486,78 @@ object FixtureGen {
     Doc("jpegimage", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
   }
 
+  /** Deterministic JPX header facts for document i — the single source
+    * shared by the fixture writer and the corpus ground truth (format
+    * alternates between the JP2 box container and a raw codestream). */
+  def jpxFacts(i: Long): (String, Int, Int, Int, Int) = {
+    val w = 16 + ((i % 7) * 3).toInt
+    val h = 12 + ((i % 5) * 4).toInt
+    val nc = if (i % 3 == 0) 3 else 1
+    val bpc = 8 + ((i % 3) * 2).toInt // 8 / 10 / 12
+    (if (i % 2 == 0) "jp2" else "j2k", w, h, nc, bpc)
+  }
+
+  private def be16b(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32b(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Minimal JPEG 2000 codestream header: SOC + SIZ + EOC + filler. Only
+    * the headers are real — the engine refuses JPX decode, so no tile
+    * data exists to be wrong. */
+  private def j2kCodestream(w: Int, h: Int, nc: Int, bpc: Int, i: Long): Array[Byte] = {
+    val comps = (0 until nc).flatMap(_ => Seq((bpc - 1).toByte, 1.toByte, 1.toByte))
+    Array[Byte](0xff.toByte, 0x4f.toByte, 0xff.toByte, 0x51.toByte) ++
+      be16b(38 + 3 * nc) ++ be16b(0) ++
+      be32b(w) ++ be32b(h) ++ be32b(0) ++ be32b(0) ++
+      be32b(w) ++ be32b(h) ++ be32b(0) ++ be32b(0) ++
+      be16b(nc) ++ comps ++
+      Array[Byte](0xff.toByte, 0xd9.toByte) ++ // EOC
+      (0 until 12).map(k => ((i + k) % 251).toByte)
+  }
+
+  /** JP2 box container: signature box, ftyp, jp2h(ihdr), jp2c holding the
+    * codestream (LBox 0 = to end of stream). */
+  private def jp2Payload(w: Int, h: Int, nc: Int, bpc: Int, i: Long): Array[Byte] = {
+    val sig = be32b(12) ++ "jP  ".getBytes(ISO_8859_1) ++
+      Array[Byte](0x0d, 0x0a, 0x87.toByte, 0x0a)
+    val ftyp = be32b(20) ++ "ftypjp2 ".getBytes(ISO_8859_1) ++
+      be32b(0) ++ "jp2 ".getBytes(ISO_8859_1)
+    val ihdr = be32b(22) ++ "ihdr".getBytes(ISO_8859_1) ++
+      be32b(h) ++ be32b(w) ++ be16b(nc) ++
+      Array((bpc - 1).toByte, 7.toByte, 0.toByte, 0.toByte)
+    val jp2h = be32b(8 + ihdr.length) ++ "jp2h".getBytes(ISO_8859_1) ++ ihdr
+    val jp2c = be32b(0) ++ "jp2c".getBytes(ISO_8859_1) ++
+      j2kCodestream(w, h, nc, bpc, i)
+    sig ++ ftyp ++ jp2h ++ jp2c
+  }
+
+  /** Page with a /JPXDecode image XObject (JP2 box container on even i,
+    * raw codestream on odd). The engine REFUSES JPX decode — this fixture
+    * exists so the refusal is observable: the header facts (dims,
+    * components, bit depth) must round-trip through the kernel's Jp2
+    * parser against these construction facts (x30). */
+  def jpxImage(i: Long): Doc = {
+    val line = s"JPX image document $i"
+    val (fmt, w, h, nc, bpc) = jpxFacts(i)
+    val payload =
+      if (fmt == "jp2") jp2Payload(w, h, nc, bpc, i) else j2kCodestream(w, h, nc, bpc, i)
+    val enc = new String(payload, ISO_8859_1)
+    val cs = if (nc == 3) "/DeviceRGB" else "/DeviceGray"
+    val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\nq 100 0 0 50 72 600 cm /Im1 Do Q\n"
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 5 0 R >> /XObject << /Im1 6 0 R >> >> /Contents 4 0 R >>",
+      contentObj(content, compress = false),
+      helvetica,
+      s"<< /Type /XObject /Subtype /Image /Width $w /Height $h /ColorSpace $cs " +
+        s"/BitsPerComponent 8 /Filter /JPXDecode /Length ${enc.length} >>\nstream\n$enc\nendstream"))
+    Doc("jpximage", pdf, line + "\n", "en", expectedLegacyOrNull = legacyOf(line))
+  }
+
   /** Standard-security padding constant (ISO 32000-1 Table 21 / Algorithm 2). */
   private val pwPad = Array(
     0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,

@@ -731,6 +731,47 @@ object Surfaces {
     }
   }
 
+  final case class JpxFact(url: String, ok: Boolean, format: String,
+      width: Int, height: Int, components: Int, bpc: Int, decodeRefused: Boolean)
+
+  /** JPX header facts (x30): for each row whose page-1 image XObject is
+    * /JPXDecode, parse the JP2/codestream HEADER (dims, components, bit
+    * depth) from the undecoded stream bytes — full JPX decode stays
+    * refused, and that refusal is part of the row's contract
+    * (decodeRefused must be true via UnsupportedFeature, never a
+    * mis-decode). Rows without a JPX image are ok=false. Shuffle-free
+    * per-row kernel work like the other decode surfaces; never throws. */
+  def jpxHeaderFacts(spark: SparkSession, input: DataFrame): Dataset[JpxFact] = {
+    import spark.implicits._
+    input.select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, payload0) =>
+        val payload = if (payload0 == null) Array.emptyByteArray else payload0
+        val fact =
+          try {
+            for {
+              doc <- DocStructure.openDocument(payload, None).toOption
+              refs <- DocStructure.pageRefs(doc).toOption
+              firstPage <- refs.headOption
+              hits <- Interp.interpretPageImageHits(doc, firstPage).toOption
+              (ref, _) <- hits.headOption
+              dict <- doc.findDictByRef(ref)
+              if Filters.streamFilterNames(dict).getOrElse(Nil).contains("/JPXDecode")
+              bytes <- doc.undecodedStreamByRef(ref).toOption
+              hdr <- Jp2.headerFacts(bytes).toOption
+            } yield {
+              val refused = doc.rawStreamByRef(ref) match {
+                case Left(_: PdfError.UnsupportedFeature) => true
+                case _ => false
+              }
+              JpxFact(url, ok = true, hdr.format, hdr.width, hdr.height,
+                hdr.components, hdr.bpc, refused)
+            }
+          } catch { case _: Throwable => None }
+        fact.getOrElse(JpxFact(url, ok = false, null, -1, -1, -1, -1, decodeRefused = false))
+      })
+  }
+
   final case class ScannedImage(url: String, ok: Boolean,
       width: Int, height: Int, pixelMd5: String)
 

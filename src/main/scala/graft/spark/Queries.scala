@@ -2574,6 +2574,26 @@ object Queries {
            |  pixel_md5 AS "pixelMd5"
            |FROM read_parquet('__AUXSCAN__/*.parquet') ORDER BY url""".stripMargin))
 
+  private val x30 = Q(
+    (spark, _) => {
+      // JPX header facts: JPEG 2000 decode is refused on both engines
+      // (wavelet reconstruction out of scope; the reference rejects
+      // /JPXDecode outright) — this surface makes the refusal observable
+      // and TESTED rather than silent: the kernel parses the JP2 box walk
+      // / codestream SIZ headers (dims, components, bit depth) from the
+      // undecoded stream bytes, asserts the filter chain still refuses
+      // via UnsupportedFeature, and the generator's construction facts
+      // oracle every field. Non-JPX rows must come back ok=false.
+      val c = CorpusGen.jpxCorpus(spark, rows = 60, partitions = 4)
+      Surfaces.jpxHeaderFacts(spark,
+        c.select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang")))
+        .toDF()
+        .orderBy("url")
+    },
+    Some("""SELECT url, ok, format, width, height, components, bpc,
+           |  ok AS "decodeRefused"
+           |FROM read_parquet('__AUXJPX__/*.parquet') ORDER BY url""".stripMargin))
+
   /** Layout-aware chunking on region boundaries (the pretraining-chunker
     * shape pageRegions exists for): paragraphs accumulate in reading
     * order and a chunk break falls where the cumulative token offset
@@ -2808,6 +2828,7 @@ object Queries {
     "x27_sql_extract_legacy" -> x27,
     "x28_form_export" -> x28,
     "x29_object_dump" -> x29,
+    "x30_jpx_headers" -> x30,
     "c1_curation_e2e" -> c1,
     "c2_region_chunks" -> c2,
     "c3_greedy_chunks" -> c3,

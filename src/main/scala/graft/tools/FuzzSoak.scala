@@ -43,7 +43,9 @@ object FuzzSoak {
         graft.spark.FixtureGen.jbig2ImageArith(2, 2, tpgdon = true).bytes,
         graft.spark.FixtureGen.jbig2ImageSym(1).bytes,
         graft.spark.FixtureGen.jbig2ImageSymHuffman(1).bytes,
-        graft.spark.FixtureGen.jbig2ImageSymHuffman(2).bytes) ++ {
+        graft.spark.FixtureGen.jbig2ImageSymHuffman(2).bytes,
+        graft.spark.FixtureGen.jpxImage(0).bytes, // JP2 box container
+        graft.spark.FixtureGen.jpxImage(1).bytes) ++ { // raw J2K codestream
         val dir = java.nio.file.Paths.get("/root/reference/data/fixtures")
         if (java.nio.file.Files.isDirectory(dir)) {
           val st = java.nio.file.Files.list(dir)
@@ -90,6 +92,9 @@ object FuzzSoak {
             graft.spark.Surfaces.resizeImageRow("fuzz", mm, 16)
             graft.spark.Surfaces.decodeAudioRow("fuzz", mm)
             graft.spark.Surfaces.videoFramesRow("fuzz", mm).foreach(_ => ())
+            // JP2/J2K header walk must be total on arbitrary bytes
+            Jp2.headerFacts(mm)
+            Jp2.headerFacts(m)
           } catch {
             case e: Throwable =>
               failures.incrementAndGet()
