@@ -45,6 +45,18 @@ object DedupScaleSmoke {
     }
   }
 
+  /** The mega-tier's single giant duplicate group: one token-rich base
+    * text copied verbatim across the first MEGA doc ids (same token-hash
+    * formula as docText so the token space stays 40-bit). */
+  def megaText: String = {
+    val seed = 987654321987L
+    val ws = (0 until 50).map { k =>
+      val h = (seed * 6364136223846793005L + k * 1442695040888963407L) >>> 24
+      s"tok$h"
+    }
+    (s"document group mega begins here" +: ws :+ "ends").mkString(" ")
+  }
+
   private final class Metrics extends SparkListener {
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
@@ -96,10 +108,17 @@ object DedupScaleSmoke {
     val metrics = new Metrics
     spark.sparkContext.addSparkListener(metrics)
 
+    // Mega tier (MEGA=100000): the first MEGA ids are EXACT copies of one
+    // base text — a single 100k-member duplicate cluster inside the 1M
+    // corpus, the shape that turns an all-pairs verify into k^2 = 10^10
+    // Jaccards. The claim under measurement: rep-chaining keeps verify
+    // links at exactly k-1 and d10 converges with the giant component
+    // INTACT (one component of size k), byte-stable across runs.
+    val mega = sys.env.getOrElse("MEGA", "0").toLong
     val dir = java.nio.file.Files.createTempDirectory("dedup_smoke").toString
     var t0 = System.nanoTime()
     spark.range(0, docs, 1, 256).as[Long].mapPartitions(_.map { i =>
-      val t = docText(i)
+      val t = if (i < mega) megaText else docText(i)
       DocRow(i, t, "en", s"crawl-${i % 7}", t.length.toLong)
     }).toDF().write.mode("overwrite").parquet(s"$dir/documents.parquet")
     println(f"DEDUPSMOKE gen+write $docs docs in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
@@ -159,6 +178,45 @@ object DedupScaleSmoke {
     }
 
     val q = graft.spark.Queries.queries
+    if (mega > 0) {
+      var bad = false
+      run("d1_dedup_exact_mega") {
+        val out = q("d1_dedup_exact")(spark, dir)
+        val maxCopies = out.agg(max("copies")).collect()(0).getLong(0)
+        if (maxCopies != mega) { bad = true; println(s"DEDUPSMOKE FAIL: maxCopies=$maxCopies != $mega") }
+        (out.count(), s" maxCopies=$maxCopies")
+      }
+      run("d6_near_dup_verify_mega") {
+        val out = q("d6_near_dup_verify")(spark, dir).cache()
+        val total = out.count()
+        // rep-chaining contract: the k-copy cluster verifies k-1 links
+        // (all members share band0, rep = doc 0, band-1 links suppressed
+        // by first-band-wins), never k^2
+        val megaLinks = out.filter(col("doc_a") === 0 && col("doc_b") < mega).count()
+        out.unpersist()
+        if (megaLinks != mega - 1) { bad = true; println(s"DEDUPSMOKE FAIL: megaLinks=$megaLinks != ${mega - 1}") }
+        (total, s" megaLinks=$megaLinks (expected ${mega - 1})")
+      }
+      var fpm: (Long, Long, Long) = null
+      run("d10_dedup_components_mega_run1") {
+        val out = q("d10_dedup_components")(spark, dir).cache()
+        fpm = fingerprint(out)
+        val giant = out.groupBy("component").count().agg(max("count")).collect()(0).getLong(0)
+        out.unpersist()
+        if (giant != mega) { bad = true; println(s"DEDUPSMOKE FAIL: giant component=$giant != $mega") }
+        (fpm._1, s" fp=$fpm giantComponent=$giant (expected $mega)")
+      }
+      run("d10_dedup_components_mega_run2") {
+        val fp2 = fingerprint(q("d10_dedup_components")(spark, dir))
+        if (fp2 != fpm) { bad = true; println(s"DEDUPSMOKE FAIL: d10 fingerprints differ: $fpm vs $fp2") }
+        (fp2._1, s" fp=$fp2 stable=${fp2 == fpm}")
+      }
+      println(if (bad) "DEDUPSMOKE done FAILURES" else "DEDUPSMOKE done")
+      spark.stop()
+      if (bad) sys.exit(1)
+      return
+    }
+
     run("d1_dedup_exact") {
       val out = q("d1_dedup_exact")(spark, dir)
       val dupGroups = out.filter(col("copies") > 1).count()
