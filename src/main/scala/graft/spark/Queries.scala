@@ -2750,6 +2750,91 @@ object Queries {
   private def longInput(spark: SparkSession): DataFrame =
     CorpusGen.inputView(CorpusGen.longCorpus(spark, rows = 24, partitions = 4))
 
+  /** Training-SEQUENCE packing (the trainer-side op downstream of
+    * chunking): chunks are assigned to url-hash shards, and within each
+    * shard packed in (url, chunk) order into fixed-capacity sequences —
+    * a sequence closes when the next chunk would cross the capacity
+    * (same greedy rule as the chunker, one level up). Output is the
+    * (shard, seq, offset) assignment per chunk — what a data loader
+    * consumes to build attention-masked packed batches. Packing is
+    * sequential per shard BY DEFINITION (sequence ids are consecutive
+    * within a shard), so the honest scale shape is groupByKey on the
+    * shard: per-group state here is the chunk INDEX (ids + token counts,
+    * never text), and in production the shard count is data-sized (one
+    * shard per ~10^6 docs at 100 TB), keeping every group bounded — the
+    * 8 shards below are sized to the test corpus. */
+  private def packQuery(spark: SparkSession, input: DataFrame, budget: Int,
+      capacity: Int, shards: Int): DataFrame = {
+    val sp2 = spark
+    import sp2.implicits._
+    greedyChunkQuery(spark, input, budget)
+      .select(pmod(tokenHashCol(col("url")), lit(shards)).cast("int").as("shard"),
+        col("url"), col("chunk"), col("tokens"))
+      .as[(Int, String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val cs = it.toArray.sortBy(r => (r._2, r._3))
+        val out = scala.collection.mutable.ListBuffer[(Int, Int, String, Int, Long, Long)]()
+        var seq = 0
+        var acc = 0L
+        for ((_, url, chunk, tok) <- cs) {
+          if (acc > 0 && acc + tok > capacity) { seq += 1; acc = 0L }
+          out += ((shard, seq, url, chunk, acc, tok))
+          acc += tok
+        }
+        out.iterator
+      }
+      .toDF("shard", "seq", "url", "chunk", "offset", "tokens")
+      .orderBy("shard", "seq", "url", "chunk")
+  }
+
+  /** DuckDB replay: the c3 walk rebuilds the chunks, a second recursive
+    * CTE replays the per-shard packing fold with identical state. */
+  private def packOracle(budget: Int, capacity: Int, shards: Int, aux: String): String = {
+    val urlHash = "list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      "[CAST(ord(url[i:i]) AS BIGINT) for i in range(1, len(url)+1)]), " +
+      "(a, b) -> (a*31 + b) % 1000000007)"
+    // reuse the c3 walk verbatim up to (and excluding) its final SELECT,
+    // then continue the CTE chain with the packing fold
+    val base = greedyChunkOracle(budget, aux)
+    val cut = base.indexOf("SELECT w.url, w.chunk, CAST(count(*)")
+    require(cut > 0, "greedyChunkOracle shape changed under packOracle")
+    base.substring(0, cut) +
+      s""", chunks AS (
+         |  SELECT w.url, w.chunk, CAST(sum(w.tok) AS BIGINT) AS tokens
+         |  FROM walk w GROUP BY w.url, w.chunk
+         |), sharded0 AS (
+         |  SELECT url, chunk, tokens, CAST($urlHash % $shards AS INT) AS shard
+         |  FROM chunks
+         |), sharded AS (
+         |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY url, chunk) AS rn
+         |  FROM sharded0
+         |), pack AS (
+         |  SELECT shard, rn, url, chunk, tokens, 0 AS seq,
+         |    CAST(0 AS BIGINT) AS off, tokens AS acc
+         |  FROM sharded WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.shard, s.rn, s.url, s.chunk, s.tokens,
+         |    CASE WHEN p.acc > 0 AND p.acc + s.tokens > $capacity THEN p.seq + 1 ELSE p.seq END,
+         |    CASE WHEN p.acc > 0 AND p.acc + s.tokens > $capacity THEN CAST(0 AS BIGINT) ELSE p.acc END,
+         |    CASE WHEN p.acc > 0 AND p.acc + s.tokens > $capacity THEN s.tokens ELSE p.acc + s.tokens END
+         |  FROM pack p JOIN sharded s ON s.shard = p.shard AND s.rn = p.rn + 1
+         |)
+         |SELECT shard, CAST(seq AS INT) AS seq, url, CAST(chunk AS INT) AS chunk,
+         |  off AS offset, tokens
+         |FROM pack ORDER BY shard, seq, url, chunk""".stripMargin
+  }
+
+  private val c6 = Q(
+    (spark, _) => packQuery(spark, CorpusGen.inputView(corpus(spark)),
+      ChunkBudget, capacity = 32, shards = 8),
+    Some(packOracle(ChunkBudget, 32, 8, "__AUX__")))
+
+  private val c7 = Q(
+    (spark, _) => packQuery(spark, longInput(spark),
+      LongChunkBudget, capacity = 640, shards = 4),
+    Some(packOracle(LongChunkBudget, 640, 4, "__AUXLONG__")))
+
   private val c4 = Q(
     (spark, _) => regionChunkQuery(spark, longInput(spark), LongChunkBudget),
     Some(regionChunkOracle(LongChunkBudget, "__AUXLONG__")))
@@ -2833,7 +2918,9 @@ object Queries {
     "c2_region_chunks" -> c2,
     "c3_greedy_chunks" -> c3,
     "c4_region_chunks_256" -> c4,
-    "c5_greedy_chunks_256" -> c5)
+    "c5_greedy_chunks_256" -> c5,
+    "c6_sequence_pack" -> c6,
+    "c7_sequence_pack_640" -> c7)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, v) => k -> v.fn }

@@ -514,6 +514,34 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(objs(3) < objs(0), objs) // moved, not a fixed point of the init
   }
 
+  test("sequence packing invariants: capacity, completeness, offsets") {
+    val out = graft.spark.Queries.queries("c6_sequence_pack")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // every chunk the chunker emits is packed exactly once
+    val chunks = graft.spark.Queries.queries("c3_greedy_chunks")(spark, "/root/testdata/sf0.001")
+      .select("url", "chunk").collect().map(r => (r.getString(0), r.getInt(1)))
+    val packed = out.map(r => (r.getString(2), r.getInt(3)))
+    assert(packed.toSet == chunks.toSet && packed.length == chunks.length)
+    // per (shard, seq): token sum <= capacity unless a single oversize
+    // chunk; offsets are the exclusive running sum in (url, chunk) order
+    for (((_, _), rs) <- out.groupBy(r => (r.getInt(0), r.getInt(1)))) {
+      val sorted = rs.sortBy(r => (r.getString(2), r.getInt(3)))
+      val total = sorted.map(_.getLong(5)).sum
+      assert(total <= 32 || sorted.length == 1, sorted.mkString("; "))
+      var acc = 0L
+      for (r <- sorted) {
+        assert(r.getLong(4) == acc, r)
+        acc += r.getLong(5)
+      }
+    }
+    // sequence ids are consecutive from 0 within each shard
+    for ((_, rs) <- out.groupBy(_.getInt(0))) {
+      val seqs: Seq[Int] = rs.map(_.getInt(1)).distinct.sorted.toSeq
+      assert(seqs == seqs.indices.toList, seqs.mkString(","))
+    }
+  }
+
   test("greedy chunking invariants: budget respected, concatenation lossless") {
     val out = graft.spark.Queries.queries("c3_greedy_chunks")(spark, "/root/testdata/sf0.001")
       .collect()
