@@ -1489,6 +1489,100 @@ object Queries {
            |FROM bg b JOIN model m USING (bg)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  private val t11 = Q(
+    (spark, dir) => {
+      // URL canonicalization + canonical-dup grouping — the crawl-side
+      // dedup that runs BEFORE any content hash (a 100 TB crawl carries
+      // the same page under scheme-case, default-port, fragment,
+      // tracking-param and param-order variants; canonicalizing first
+      // collapses them for free). Messy URLs are constructed from doc_id
+      // with the same arithmetic on both engines; canonicalization is a
+      // pure codegen'd string pipeline (split_part/filter/array_sort —
+      // no UDF), and the dup count is one shuffle on the canonical key.
+      val d = t(spark, dir, "documents")
+      val i = col("doc_id")
+      val url = concat(
+        when(i % 2 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+        when(i % 3 === 0, lit("WWW.Example.COM"))
+          .when(i % 3 === 1, lit("news.example.com"))
+          .otherwise(lit("Blog.Example.org")),
+        when(i % 5 === 0, when(i % 2 === 0, lit(":443")).otherwise(lit(":80")))
+          .otherwise(lit("")),
+        lit("/Articles/item"), (i % 40).cast("string"),
+        when(i % 4 === 0, lit("/index.html")).otherwise(lit("")),
+        when(i % 7 === 0, lit("?utm_source=feed&b=2&a=1"))
+          .when(i % 7 === 1, lit("?a=1&b=2"))
+          .when(i % 7 === 2, lit("?b=2&a=1&utm_campaign=x"))
+          .otherwise(lit("")),
+        when(i % 6 === 0, lit("#Section-2")).otherwise(lit("")))
+      val noFrag = split_part(url, lit("#"), lit(1))
+      val base = split_part(noFrag, lit("?"), lit(1))
+      val q = split_part(noFrag, lit("?"), lit(2))
+      val scheme = lower(split_part(base, lit("://"), lit(1)))
+      val rest = split_part(base, lit("://"), lit(2))
+      val auth = split_part(rest, lit("/"), lit(1))
+      val path0 = substring(rest, length(auth) + 1, lit(1 << 20))
+      val authCanon = when(scheme === "http",
+        regexp_replace(lower(auth), ":80$", ""))
+        .otherwise(regexp_replace(lower(auth), ":443$", ""))
+      val params = filter(split(q, "&"), p =>
+        p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid") &&
+          !p.startsWith("gclid"))
+      val sortedQ = array_join(array_sort(params), "&")
+      val path1 = regexp_replace(path0, "/index\\.html$", "/")
+      val path2 = when(path1 === "", lit("/")).otherwise(path1)
+      val canon = concat(scheme, lit("://"), authCanon, path2,
+        when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
+      val w = Window.partitionBy("canon")
+      d.select(col("doc_id"), url.as("url"), canon.as("canon"))
+        .withColumn("canon_dups", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    },
+    Some("""WITH messy AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+           |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+           |          WHEN doc_id % 3 = 1 THEN 'news.example.com'
+           |          ELSE 'Blog.Example.org' END) ||
+           |    (CASE WHEN doc_id % 5 = 0 THEN
+           |       (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ELSE '' END) ||
+           |    '/Articles/item' || CAST(doc_id % 40 AS VARCHAR) ||
+           |    (CASE WHEN doc_id % 4 = 0 THEN '/index.html' ELSE '' END) ||
+           |    (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&b=2&a=1'
+           |          WHEN doc_id % 7 = 1 THEN '?a=1&b=2'
+           |          WHEN doc_id % 7 = 2 THEN '?b=2&a=1&utm_campaign=x'
+           |          ELSE '' END) ||
+           |    (CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END) AS url
+           |  FROM documents
+           |), parts AS (
+           |  SELECT doc_id, url,
+           |    lower(split_part(split_part(split_part(url, '#', 1), '?', 1), '://', 1)) AS scheme,
+           |    split_part(split_part(split_part(url, '#', 1), '?', 1), '://', 2) AS rest,
+           |    split_part(split_part(url, '#', 1), '?', 2) AS q
+           |  FROM messy
+           |), comps AS (
+           |  SELECT doc_id, url, scheme,
+           |    (CASE WHEN scheme = 'http'
+           |          THEN regexp_replace(lower(split_part(rest, '/', 1)), ':80$', '')
+           |          ELSE regexp_replace(lower(split_part(rest, '/', 1)), ':443$', '') END) AS auth,
+           |    rest[len(split_part(rest, '/', 1)) + 1:] AS path0,
+           |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+           |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+           |           AND NOT starts_with(p, 'fbclid')
+           |           AND NOT starts_with(p, 'gclid'))), '&') AS sortedq
+           |  FROM parts
+           |), canon AS (
+           |  SELECT doc_id, url,
+           |    scheme || '://' || auth ||
+           |    (CASE WHEN regexp_replace(path0, '/index\.html$', '/') = '' THEN '/'
+           |          ELSE regexp_replace(path0, '/index\.html$', '/') END) ||
+           |    (CASE WHEN sortedq <> '' THEN '?' || sortedq ELSE '' END) AS canon
+           |  FROM comps
+           |)
+           |SELECT doc_id, url, canon,
+           |  count(*) OVER (PARTITION BY canon) AS canon_dups
+           |FROM canon ORDER BY doc_id""".stripMargin))
+
   // ---------- similarity search over embeddings ----------
 
   private val s1 = Q(
@@ -2879,6 +2973,7 @@ object Queries {
     "t8_sample_mix" -> t8,
     "t9_vocab_topk" -> t9,
     "t10_lm_score" -> t10,
+    "t11_url_canon" -> t11,
     "s1_knn_cosine" -> s1,
     "s2_ann_lsh_bucket" -> s2,
     "s3_ann_search" -> s3,
