@@ -195,7 +195,8 @@ object Jbig2 {
   private val MaxSymbolDim = 1 << 12
 
   private def decodeSymbolDict(data: Array[Byte], body: Int, end: Int,
-      inputSyms: Vector[Bm]): Either[PdfError, Vector[Bm]] = {
+      inputSyms: Vector[Bm],
+      customs: Vector[Jbig2Huffman.Table] = Vector.empty): Either[PdfError, Vector[Bm]] = {
     val flags = u16(data, body)
     if (flags < 0) return Left(PdfError.ParseError("JBIG2: truncated symbol dict"))
     if ((flags & 2) == 2)
@@ -206,7 +207,7 @@ object Jbig2 {
     if ((flags & 0x100) != 0 || (flags & 0x200) != 0)
       return Left(PdfError.UnsupportedFeature("JBIG2 retained bitmap coding contexts"))
     if ((flags & 1) == 1)
-      return decodeSymbolDictHuffman(data, body, end, inputSyms, flags)
+      return decodeSymbolDictHuffman(data, body, end, inputSyms, flags, customs)
     val template = (flags >> 10) & 3
     var o = body + 2
     val nAt = atCount(template)
@@ -302,26 +303,51 @@ object Jbig2 {
   // ---------- symbol dictionary, Huffman-coded (T.88 6.5, SDHUFF=1) ----------
 
   /** SDHUFF=1 REFAGG=0: heights/widths via the Annex B standard tables
-    * (DH: B.4/B.5; DW: B.2/B.3; BMSIZE: B.1), each height class's symbols
-    * decoded from ONE collective bitmap — byte-aligned uncompressed rows
-    * when BMSIZE=0, an embedded T.6 (MMR) stream otherwise — then split
-    * by the decoded widths (6.5.9). Custom table segments are refused
-    * (the stream walk already refuses type-53 segments). */
+    * (DH: B.4/B.5; DW: B.2/B.3; BMSIZE: B.1) or CUSTOM tables carried in
+    * referred type-53 segments (B.2.2) — selectors saying "custom"
+    * consume the referred table list in DH, DW, BMSIZE order
+    * (7.4.3.1.6). Each height class's symbols are decoded from ONE
+    * collective bitmap — byte-aligned uncompressed rows when BMSIZE=0,
+    * an embedded T.6 (MMR) stream otherwise — then split by the decoded
+    * widths (6.5.9). */
   private def decodeSymbolDictHuffman(data: Array[Byte], body: Int, end: Int,
-      inputSyms: Vector[Bm], flags: Int): Either[PdfError, Vector[Bm]] = {
+      inputSyms: Vector[Bm], flags: Int,
+      customs: Vector[Jbig2Huffman.Table]): Either[PdfError, Vector[Bm]] = {
     import Jbig2Huffman._
+    var tblIdx = 0
+    def nextCustom(what: String): Either[PdfError, Table] =
+      if (tblIdx < customs.length) { val t = customs(tblIdx); tblIdx += 1; Right(t) }
+      else Left(PdfError.ParseError(s"JBIG2: no referred custom table for $what"))
     val dhT = ((flags >> 2) & 3) match {
       case 0 => B4
       case 1 => B5
-      case _ => return Left(PdfError.UnsupportedFeature("JBIG2 custom Huffman DH table"))
+      case 3 => nextCustom("DH") match {
+        case Right(t) => t
+        case Left(e) => return Left(e)
+      }
+      case _ => return Left(PdfError.ParseError("JBIG2: reserved DH table selector"))
     }
     val dwT = ((flags >> 4) & 3) match {
       case 0 => B2
       case 1 => B3
-      case _ => return Left(PdfError.UnsupportedFeature("JBIG2 custom Huffman DW table"))
+      case 3 => nextCustom("DW") match {
+        case Right(t) => t
+        case Left(e) => return Left(e)
+      }
+      case _ => return Left(PdfError.ParseError("JBIG2: reserved DW table selector"))
     }
-    if (((flags >> 6) & 1) == 1)
-      return Left(PdfError.UnsupportedFeature("JBIG2 custom Huffman BMSIZE table"))
+    // the DW table terminates each height class via OOB — a table without
+    // one can never end a class (standard B.2/B.3 both carry it)
+    if (!dwT.lines.exists(_.kind == Oob))
+      return Left(PdfError.ParseError("JBIG2: DW table has no OOB line"))
+    val bmT = if (((flags >> 6) & 1) == 0) B1
+      else nextCustom("BMSIZE") match {
+        case Right(t) => t
+        case Left(e) => return Left(e)
+      }
+    // AGGINST selection only matters under REFAGG=1, which is refused
+    // above — a stream setting it anyway is declaring tables this decode
+    // would not honor
     if (((flags >> 7) & 1) == 1)
       return Left(PdfError.UnsupportedFeature("JBIG2 custom Huffman AGGINST table"))
     var o = body + 2 // SDHUFF=1: no AT pixels in the header
@@ -381,7 +407,7 @@ object Jbig2 {
           return Left(PdfError.ParseError("JBIG2: truncated symbol dict data"))
       }
       // height class collective bitmap (6.5.9)
-      val bmSize = intOr(B1, "collective bitmap size") match {
+      val bmSize = intOr(bmT, "collective bitmap size") match {
         case Right(v) => v
         case Left(e) => return Left(e)
       }
@@ -525,7 +551,8 @@ object Jbig2 {
     * draw budget and refusal semantics are shared with the arithmetic
     * path. */
   private def decodeTextRegionHuffman(data: Array[Byte], body: Int, end: Int,
-      w: Int, h: Int, syms: Vector[Bm], flags: Int): Either[PdfError, Bm] = {
+      w: Int, h: Int, syms: Vector[Bm], flags: Int,
+      customs: Vector[Jbig2Huffman.Table]): Either[PdfError, Bm] = {
     import Jbig2Huffman._
     val logStrips = (flags >> 2) & 3
     val refCorner = (flags >> 4) & 3
@@ -537,23 +564,42 @@ object Jbig2 {
     if (end - body < 25)
       return Left(PdfError.ParseError("JBIG2: truncated Huffman text region header"))
     val hf = u16(data, body + 19)
+    // custom selectors consume the region's referred type-53 tables in
+    // FS, DS, DT order (7.4.3.1.6)
+    var tblIdx = 0
+    def nextCustom(what: String): Either[PdfError, Table] =
+      if (tblIdx < customs.length) { val t = customs(tblIdx); tblIdx += 1; Right(t) }
+      else Left(PdfError.ParseError(s"JBIG2: no referred custom table for $what"))
     val fsT = (hf & 3) match {
       case 0 => B6
       case 1 => B7
-      case _ => return Left(PdfError.UnsupportedFeature("JBIG2 custom Huffman FS table"))
+      case 3 => nextCustom("FS") match {
+        case Right(t) => t
+        case Left(e) => return Left(e)
+      }
+      case _ => return Left(PdfError.ParseError("JBIG2: reserved FS table selector"))
     }
     val dsT = ((hf >> 2) & 3) match {
       case 0 => B8
       case 1 => B9
       case 2 => B10
-      case _ => return Left(PdfError.UnsupportedFeature("JBIG2 custom Huffman DS table"))
+      case _ => nextCustom("DS") match {
+        case Right(t) => t
+        case Left(e) => return Left(e)
+      }
     }
     val dtT = ((hf >> 4) & 3) match {
       case 0 => B11
       case 1 => B12
       case 2 => B13
-      case _ => return Left(PdfError.UnsupportedFeature("JBIG2 custom Huffman DT table"))
+      case _ => nextCustom("DT") match {
+        case Right(t) => t
+        case Left(e) => return Left(e)
+      }
     }
+    // DS ends each strip via OOB (standard B.8-B.10 all carry it)
+    if (!dsT.lines.exists(_.kind == Oob))
+      return Left(PdfError.ParseError("JBIG2: DS table has no OOB line"))
     val numInstances = be32(data, body + 21)
     if (numInstances < 0 || numInstances > MaxInstances)
       return Left(PdfError.ParseError(s"JBIG2: bad instance count $numInstances"))
@@ -658,7 +704,8 @@ object Jbig2 {
   }
 
   private def decodeTextRegion(data: Array[Byte], body: Int, end: Int,
-      w: Int, h: Int, syms: Vector[Bm]): Either[PdfError, Bm] = {
+      w: Int, h: Int, syms: Vector[Bm],
+      customs: Vector[Jbig2Huffman.Table] = Vector.empty): Either[PdfError, Bm] = {
     if (syms.isEmpty)
       return Left(PdfError.ParseError("JBIG2: text region with no symbols"))
     if (syms.length > MaxSymbols)
@@ -673,7 +720,7 @@ object Jbig2 {
     if ((flags & 2) == 2)
       return Left(PdfError.UnsupportedFeature("JBIG2 refined text region"))
     if ((flags & 1) == 1)
-      return decodeTextRegionHuffman(data, body, end, w, h, syms, flags)
+      return decodeTextRegionHuffman(data, body, end, w, h, syms, flags, customs)
     val logStrips = (flags >> 2) & 3
     val refCorner = (flags >> 4) & 3
     val transposed = (flags >> 6) & 1
@@ -814,16 +861,16 @@ object Jbig2 {
       val body = o
       val end = (o + dataLen).toInt
       segType match {
-        case 36 | 38 | 39 | 4 | 6 | 7 | 0 => // regions + symbol dicts
+        case 36 | 38 | 39 | 4 | 6 | 7 | 0 | 53 => // regions, symbol dicts, tables
           segs ::= Seg(segNum, segType, refs, body, end)
         case 48 => // page info
           if (dataLen >= 17) pageInfo = body
-        case 16 | 20 | 22 | 23 | 40 | 42 | 43 | 53 =>
-          // pattern dict / halftone / refinement / huffman tables: any of
-          // these contributes pixels (or codes) the decode below would
-          // silently drop — refuse, never partially decode
+        case 16 | 20 | 22 | 23 | 40 | 42 | 43 =>
+          // pattern dict / halftone / refinement: any of these
+          // contributes pixels the decode below would silently drop —
+          // refuse, never partially decode
           return Left(PdfError.UnsupportedFeature(
-            s"JBIG2 segment type $segType (halftone/refinement/huffman)"))
+            s"JBIG2 segment type $segType (halftone/refinement)"))
         case _ => () // end-of-page/-stripe/-file, extensions: skip
       }
       off = end
@@ -871,6 +918,26 @@ object Jbig2 {
           // from the region's referred list are decoded — unreferenced
           // dicts would amplify a decode bomb for pixels nobody uses.
           val dictByNum = ordered.filter(_.tpe == 0).map(s => s.num -> s).toMap
+          // custom Huffman tables (type 53), parsed lazily per segment:
+          // a segment's referred type-53 list, in referred order, is its
+          // custom-table pool (T.88 7.4.3.1.6 assigns them in selector
+          // order — each "custom" selector consumes the next one)
+          val tableSegByNum = ordered.filter(_.tpe == 53).map(s => s.num -> s).toMap
+          val tableCache = scala.collection.mutable.Map.empty[Long, Jbig2Huffman.Table]
+          def customsFor(refs: List[Long]): Either[PdfError, Vector[Jbig2Huffman.Table]] = {
+            val b = Vector.newBuilder[Jbig2Huffman.Table]
+            for (n <- refs; s <- tableSegByNum.get(n)) {
+              tableCache.get(n) match {
+                case Some(t) => b += t
+                case None =>
+                  Jbig2Huffman.parseCustomTable(data, s.body, s.end) match {
+                    case Right(t) => tableCache(n) = t; b += t
+                    case Left(e) => return Left(e)
+                  }
+              }
+            }
+            Right(b.result())
+          }
           var needed = Set.empty[Long]
           var frontier = region.refs.filter(dictByNum.contains).toSet
           while (frontier.nonEmpty) {
@@ -881,13 +948,22 @@ object Jbig2 {
           var dictSyms = Map.empty[Long, Vector[Bm]]
           for (d <- ordered if d.tpe == 0 && needed(d.num)) {
             val inputs = d.refs.flatMap(r => dictSyms.getOrElse(r, Vector.empty)).toVector
-            decodeSymbolDict(data, d.body, d.end, inputs) match {
+            val customs = customsFor(d.refs) match {
+              case Right(ts) => ts
+              case Left(e) => return Left(e)
+            }
+            decodeSymbolDict(data, d.body, d.end, inputs, customs) match {
               case Right(sy) => dictSyms = dictSyms.updated(d.num, sy)
               case Left(e) => return Left(e)
             }
           }
           val syms = region.refs.flatMap(r => dictSyms.getOrElse(r, Vector.empty)).toVector
-          decodeTextRegion(data, body, region.end, w.toInt, h.toInt, syms).map(packBm)
+          val regionCustoms = customsFor(region.refs) match {
+            case Right(ts) => ts
+            case Left(e) => return Left(e)
+          }
+          decodeTextRegion(data, body, region.end, w.toInt, h.toInt, syms,
+            regionCustoms).map(packBm)
         } else {
           val grFlags = data(body + 17) & 0xff
           if ((grFlags & 1) == 1) {
@@ -1161,14 +1237,27 @@ object Jbig2 {
     * contract as [[encodeEmbeddedSymbolText]]. */
   def encodeEmbeddedSymbolTextHuffman(symbols: Seq[Array[Array[Boolean]]],
       instances: Seq[(Int, Int, Int)], w: Int, h: Int,
-      mmr: Boolean = false): Array[Byte] = {
+      mmr: Boolean = false, customTables: Boolean = false): Array[Byte] = {
     import Jbig2Huffman._
     require(symbols.nonEmpty && symbols.map(_.length).distinct.length == 1,
       "symbols must share one height")
     val symH = symbols.head.length
-    // ---- symbol dictionary (type 0): SDHUFF=1, all selectors standard ----
+    // custom-table variant: DW rides a custom table segment tiling
+    // [-32, 33) (deltas between successive symbol widths, either sign)
+    // with HTOOB, DT a custom table tiling [0, 16); the dict and region
+    // select them via selector 3 and refer to the table segments —
+    // the same bytes parseCustomTable reads back (dogfooded below)
+    val dwCustomBytes = customTableBytes(low = -32, high = 33, rl = 3, prefLen = 4, oob = true)
+    val dtCustomBytes = customTableBytes(low = 0, high = 16, rl = 2, prefLen = 3, oob = false)
+    val dwCustom = parseCustomTable(dwCustomBytes, 0, dwCustomBytes.length)
+      .getOrElse(sys.error("authored DW table failed to parse"))
+    val dtCustom = parseCustomTable(dtCustomBytes, 0, dtCustomBytes.length)
+      .getOrElse(sys.error("authored DT table failed to parse"))
+    val dwT = if (customTables) dwCustom else B2
+    val dtT = if (customTables) dtCustom else B11
+    // ---- symbol dictionary (type 0): SDHUFF=1 ----
     val dict = new scala.collection.mutable.ArrayBuffer[Byte]
-    val dflags = 1 // SDHUFF; DH=B.4 DW=B.2 BMSIZE=B.1
+    val dflags = if (customTables) 1 | (3 << 4) else 1 // DW custom vs B.2
     dict += ((dflags >> 8) & 0xff).toByte
     dict += (dflags & 0xff).toByte
     writeBe32(dict, symbols.length.toLong)
@@ -1178,10 +1267,10 @@ object Jbig2 {
       B4.encode(bw, Some(symH.toLong)) // one height class
       var prevW = 0L
       for (sym <- symbols) {
-        B2.encode(bw, Some(sym.head.length - prevW))
+        dwT.encode(bw, Some(sym.head.length - prevW))
         prevW = sym.head.length
       }
-      B2.encode(bw, None) // end of height class
+      dwT.encode(bw, None) // end of height class
       // collective bitmap: the symbols side by side
       val offs = symbols.scanLeft(0)(_ + _.head.length)
       val totW = offs.last
@@ -1212,8 +1301,10 @@ object Jbig2 {
     val tflags = 1 | (1 << 4) // SBHUFF, REFCORNER=TOPLEFT
     reg += ((tflags >> 8) & 0xff).toByte
     reg += (tflags & 0xff).toByte
-    reg += 0x00.toByte // huffman flags: FS=B.6 DS=B.8 DT=B.11
-    reg += 0x00.toByte
+    // huffman flags: FS=B.6 DS=B.8, DT=B.11 or custom (bits 4-5 = 3)
+    val hf = if (customTables) 3 << 4 else 0
+    reg += ((hf >> 8) & 0xff).toByte
+    reg += (hf & 0xff).toByte
     writeBe32(reg, instances.length.toLong)
     locally {
       val tw = new BitWriter
@@ -1225,11 +1316,11 @@ object Jbig2 {
       for (_ <- symbols.indices) runT.encode(tw, Some(codeLen.toLong))
       tw.byteAlign()
       val symT = fromLengths(Array.fill(symbols.length)(codeLen))
-      B11.encode(tw, Some(1L)) // initial STRIPT = -1 (B.11's minimum is 1)
+      dtT.encode(tw, Some(1L)) // initial STRIPT = -1 (B.11's minimum is 1)
       var prevT = -1L
       var prevFirstS = 0L
       for ((t, insts) <- instances.groupBy(_._3).toSeq.sortBy(_._1)) {
-        B11.encode(tw, Some(t - prevT)) // strictly ascending strips: DT >= 1
+        dtT.encode(tw, Some(t - prevT)) // strictly ascending strips: DT >= 1
         prevT = t
         val sorted = insts.sortBy(_._2)
         B6.encode(tw, Some(sorted.head._2 - prevFirstS))
@@ -1246,8 +1337,17 @@ object Jbig2 {
       }
       reg ++= tw.result()
     }
-    segmentBytes(0, 48, Nil, pageInfoBytes(w, h)) ++
-      segmentBytes(1, 0, Nil, dict.toArray) ++
-      segmentBytes(2, 6, Seq(1L), reg.toArray)
+    if (customTables)
+      // 1 = DW table, 2 = dict (refers 1), 3 = DT table, 4 = region
+      // (refers dict 2 then table 3 — referred order IS assignment order)
+      segmentBytes(0, 48, Nil, pageInfoBytes(w, h)) ++
+        segmentBytes(1, 53, Nil, dwCustomBytes) ++
+        segmentBytes(2, 0, Seq(1L), dict.toArray) ++
+        segmentBytes(3, 53, Nil, dtCustomBytes) ++
+        segmentBytes(4, 6, Seq(2L, 3L), reg.toArray)
+    else
+      segmentBytes(0, 48, Nil, pageInfoBytes(w, h)) ++
+        segmentBytes(1, 0, Nil, dict.toArray) ++
+        segmentBytes(2, 6, Seq(1L), reg.toArray)
   }
 }

@@ -152,6 +152,77 @@ object Jbig2Huffman {
       Line(len, 0, i.toLong, Normal)
     })
 
+  /** Parse a custom-table segment body (T.88 B.2.2, segment type 53):
+    * flags (HTOOB, HTPS, HTRS), signed HTLOW/HTHIGH, then bit-packed
+    * (preflen, rangelen) pairs tiling [HTLOW, HTHIGH), a lower-range
+    * prefix, an upper-range prefix, and an OOB prefix when HTOOB. Total
+    * and bounded: the line loop is capped, range lengths above 32 and
+    * invalid prefix assignments are refused. */
+  def parseCustomTable(data: Array[Byte], body: Int, end: Int): Either[PdfError, Table] = {
+    if (end - body < 9)
+      return Left(PdfError.ParseError("JBIG2: truncated custom table segment"))
+    val flags = data(body) & 0xff
+    if ((flags & 0x80) != 0)
+      return Left(PdfError.ParseError("JBIG2: reserved custom-table flag bit set"))
+    val htoob = (flags & 1) == 1
+    val htps = ((flags >> 1) & 7) + 1
+    val htrs = ((flags >> 4) & 7) + 1
+    def sbe32(o: Int): Long =
+      (((data(o) & 0xff) << 24) | ((data(o + 1) & 0xff) << 16) |
+        ((data(o + 2) & 0xff) << 8) | (data(o + 3) & 0xff)).toLong
+    val low = sbe32(body + 1)
+    val high = sbe32(body + 5)
+    if (low >= high)
+      return Left(PdfError.ParseError(s"JBIG2: custom table range [$low,$high) empty"))
+    val r = new BitReader(data, body + 9, end)
+    val lines = Vector.newBuilder[Line]
+    var cur = low
+    var nLines = 0
+    while (cur < high) {
+      nLines += 1
+      if (nLines > 4096)
+        return Left(PdfError.ParseError("JBIG2: runaway custom table line count"))
+      val pl = r.bits(htps).toInt
+      val rl = r.bits(htrs).toInt
+      if (rl > 32)
+        return Left(PdfError.ParseError(s"JBIG2: custom table range length $rl"))
+      lines += Line(pl, rl, cur, Normal)
+      cur += 1L << rl
+    }
+    lines += Line(r.bits(htps).toInt, 32, low - 1, Lower)
+    lines += Line(r.bits(htps).toInt, 32, high, Upper)
+    if (htoob) lines += Line(r.bits(htps).toInt, 0, 0, Oob)
+    if (r.overflowed)
+      return Left(PdfError.ParseError("JBIG2: truncated custom table"))
+    val t = new Table(lines.result())
+    if (!t.valid)
+      return Left(PdfError.ParseError("JBIG2: invalid custom table prefix codes"))
+    Right(t)
+  }
+
+  /** Fixture-side author for [[parseCustomTable]]: tiles [low, high) with
+    * lines of range length `rl`, every prefix `prefLen` bits (the caller
+    * keeps the line count under 2^prefLen so canonical assignment stays
+    * valid). HTPS=4, HTRS=6. */
+  def customTableBytes(low: Int, high: Int, rl: Int, prefLen: Int, oob: Boolean): Array[Byte] = {
+    require(prefLen >= 1 && prefLen <= 15 && rl >= 0 && rl <= 32)
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    out += ((if (oob) 1 else 0) | ((4 - 1) << 1) | ((6 - 1) << 4)).toByte
+    for (v <- Seq(low, high); s <- Seq(24, 16, 8, 0)) out += ((v >> s) & 0xff).toByte
+    val w = new BitWriter
+    var cur = low.toLong
+    while (cur < high) {
+      w.bits(prefLen.toLong, 4)
+      w.bits(rl.toLong, 6)
+      cur += 1L << rl
+    }
+    w.bits(prefLen.toLong, 4) // lower range
+    w.bits(prefLen.toLong, 4) // upper range
+    if (oob) w.bits(prefLen.toLong, 4)
+    out ++= w.result()
+    out.toArray
+  }
+
   private def n(p: Int, r: Int, lo: Long) = Line(p, r, lo, Normal)
   private def lo(p: Int, low: Long) = Line(p, 32, low, Lower)
   private def up(p: Int, low: Long) = Line(p, 32, low, Upper)

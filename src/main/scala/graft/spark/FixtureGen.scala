@@ -708,9 +708,12 @@ object FixtureGen {
     val line = s"JBIG2 Huffman symbol image document $i"
     val w = 64
     val h = 24
+    // cycles all three Huffman shapes: standard tables with uncompressed
+    // collective (i%4==0,2 with custom split below), MMR collective
+    // (odd i), CUSTOM DW/DT table segments (i%4==2)
     val enc = new String(graft.core.Jbig2.encodeEmbeddedSymbolTextHuffman(
       jbig2SymGlyphs(i), jbig2SymInstances(i), w, h,
-      mmr = (i % 2) == 1), ISO_8859_1)
+      mmr = (i % 2) == 1, customTables = (i % 4) == 2), ISO_8859_1)
     val content = s"BT /F1 12 Tf 72 720 Td ($line) Tj ET\nq 128 0 0 48 72 560 cm /Im1 Do Q\n"
     val pdf = classicPdf(Seq(
       "<< /Type /Catalog /Pages 2 0 R >>",

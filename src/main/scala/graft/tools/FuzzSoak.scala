@@ -43,7 +43,8 @@ object FuzzSoak {
         graft.spark.FixtureGen.jbig2ImageArith(2, 2, tpgdon = true).bytes,
         graft.spark.FixtureGen.jbig2ImageSym(1).bytes,
         graft.spark.FixtureGen.jbig2ImageSymHuffman(1).bytes,
-        graft.spark.FixtureGen.jbig2ImageSymHuffman(2).bytes,
+        graft.spark.FixtureGen.jbig2ImageSymHuffman(2).bytes, // custom tables
+        graft.spark.FixtureGen.jbig2ImageSymHuffman(4).bytes,
         graft.spark.FixtureGen.jpxImage(0).bytes, // JP2 box container
         graft.spark.FixtureGen.jpxImage(1).bytes) ++ { // raw J2K codestream
         val dir = java.nio.file.Paths.get("/root/reference/data/fixtures")

@@ -302,18 +302,75 @@ class Jbig2Spec extends AnyFunSuite {
     }
   }
 
-  test("Huffman custom-table selectors are refused, not mis-decoded") {
+  test("Huffman custom selector without a referred table is refused, not mis-decoded") {
     def glyph: Array[Array[Boolean]] = Array.tabulate(8, 5)((y, x) => (x + y) % 2 == 0)
     val enc = Jbig2.encodeEmbeddedSymbolTextHuffman(Seq(glyph), Seq((0, 1, 1)), 16, 12)
     // dict flags low byte at offset 42 (same layout as the arith test):
-    // set SDHUFFDH selector to 3 (custom table)
+    // set SDHUFFDH selector to 3 (custom table) — the dict refers NO
+    // type-53 segment, so the selector has nothing to consume
     assert(enc(41) == 0 && enc(42) == 1, "dict flag offset moved")
     val mutated = enc.clone()
     mutated(42) = (1 | (3 << 2)).toByte
     Jbig2.decodeEmbedded(mutated) match {
-      case Left(PdfError.UnsupportedFeature(msg)) => assert(msg.contains("custom"), msg)
-      case other => fail(s"expected custom-table refusal, got $other")
+      case Left(PdfError.ParseError(msg)) => assert(msg.contains("custom table"), msg)
+      case other => fail(s"expected missing-custom-table refusal, got $other")
     }
+    // reserved selector value 2 is refused too
+    val reserved = enc.clone()
+    reserved(42) = (1 | (2 << 2)).toByte
+    assert(Jbig2.decodeEmbedded(reserved).isLeft)
+  }
+
+  test("Huffman CUSTOM tables (T.88 B.2.2): DW + DT table segments decode identically") {
+    def glyph(k: Int): Array[Array[Boolean]] =
+      Array.tabulate(8, 5)((y, x) => ((x * (k + 2) + y * (7 - k)) % 5) < 2)
+    val symbols = Seq(glyph(0), glyph(1), glyph(2))
+    val w = 64
+    val h = 24
+    val instances =
+      (0 until 8).map(c => (c % 3, 2 + c * 7, 3)) ++
+        (0 until 8).map(c => ((c + 1) % 3, 4 + c * 7, 13))
+    val std = Jbig2.decodeEmbedded(
+      Jbig2.encodeEmbeddedSymbolTextHuffman(symbols, instances, w, h))
+      .fold(e => fail(s"standard: $e"), identity)
+    val cus = Jbig2.decodeEmbedded(
+      Jbig2.encodeEmbeddedSymbolTextHuffman(symbols, instances, w, h,
+        customTables = true))
+      .fold(e => fail(s"custom: $e"), identity)
+    assert(java.util.Arrays.equals(std, cus),
+      "custom-table stream decodes differently from the standard-table stream")
+    // the custom stream really is custom-coded: its dict flags select
+    // table 3 for DW and its region flags select custom DT
+    val enc = Jbig2.encodeEmbeddedSymbolTextHuffman(symbols, instances, w, h,
+      customTables = true)
+    assert(Jbig2.decodeEmbedded(enc).isRight)
+    // truncating the DW table segment must refuse the whole stream
+    // (segment walk sees a bad table), not decode partially
+    val cut = enc.take(60)
+    assert(Jbig2.decodeEmbedded(cut).isLeft)
+  }
+
+  test("parseCustomTable: authored bytes round-trip and malformed bytes are refused") {
+    import graft.core.Jbig2Huffman._
+    val bs = customTableBytes(low = -32, high = 33, rl = 3, prefLen = 4, oob = true)
+    val t = parseCustomTable(bs, 0, bs.length).fold(e => fail(e.render), identity)
+    // encode/decode identity across the whole range, both range escapes, OOB
+    for (v <- Seq(-32L, -1L, 0L, 5L, 32L, -100L, 500L)) {
+      val w = new BitWriter
+      t.encode(w, Some(v))
+      val r = new BitReader(w.result(), 0, w.result().length)
+      assert(t.decode(r) == Right(Some(v)), s"v=$v")
+    }
+    locally {
+      val w = new BitWriter
+      t.encode(w, None)
+      val r = new BitReader(w.result(), 0, w.result().length)
+      assert(t.decode(r) == Right(None))
+    }
+    // totality: truncations never throw; low >= high is refused (same
+    // flags byte our author emits, range [9, 5))
+    for (n <- 0 until bs.length) parseCustomTable(bs.take(n), 0, n)
+    assert(parseCustomTable(Array[Byte](0x56, 0, 0, 0, 9, 0, 0, 0, 5, 0, 0), 0, 11).isLeft)
   }
 
   test("MQ coder matches the ITU-T T.88 Annex H.2 external test sequence") {
