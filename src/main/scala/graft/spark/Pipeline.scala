@@ -1231,6 +1231,44 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** STREAM-STATIC incremental dedup (the streaming production shape of
+    * d11): a recrawl stream's band keys probe the persisted bucketed
+    * signature index via a stream-static inner equi-join — STATELESS
+    * (no watermark, no state store; every matched pair emits in the
+    * micro-batch it arrives), so an unbounded recrawl feed dedups
+    * against a 100 TB standing corpus with per-batch work proportional
+    * to the batch. Band keying is row-local (same minhash arithmetic as
+    * the batch path); returns the verified (doc_a=index, doc_b=stream)
+    * pairs at Jaccard >= 0.5 with d6's first-band-wins candidate
+    * dedupe. */
+  def incrementalDedupPairs(spark0: SparkSession, idxTable: String,
+      deltaDir0: String, queryName: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val deltaDir = streamDir(deltaDir0)
+    val schema = spark.read.parquet(deltaDir).schema
+    val stream = spark.readStream.schema(schema).parquet(deltaDir)
+    val probe = Queries.bandedSigs(Queries.sigKeyed(stream))
+      .select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("b0").as("b0b"), col("band"))
+    val idx = spark.table(idxTable).select(col("band"),
+      col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("b0").as("b0a"))
+    val jac = round(col("inter").cast("double") /
+      (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4)
+    val q = probe.join(idx, "band")
+      .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .filter(jac >= 0.5)
+      .select("doc_a", "doc_b")
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   final case class UserSession(user_id: Long, events: Long, firstTs: java.sql.Timestamp,
       lastTs: java.sql.Timestamp, distinctTypes: Int)
 

@@ -436,7 +436,7 @@ object Queries {
     * stage rides (d6). Row-local, shuffle-free by construction; shared by
     * d6 (full-corpus verify) and d11 (incremental verify vs a persisted
     * index). */
-  private def sigKeyed(df: DataFrame): DataFrame =
+  private[graft] def sigKeyed(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
         transform(toksCol, tok => tokenHashCol(tok)).as("xs"))
       .filter(size(col("xs")) > 0)
@@ -1002,9 +1002,27 @@ object Queries {
            |WHERE s.doc_id % 50 <> 0
            |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin))
 
+  /** The deterministic recrawl delta d11/x31 verify against the index:
+    * exact re-crawls (%10=0), near-dup re-crawls with one appended token
+    * (%10=5), fresh documents (%10=1) and a second copy of each fresh
+    * document (within-delta duplicates) — all derivable by DuckDB. */
+  private[graft] def recrawlDelta(docs: DataFrame): DataFrame = {
+    val freshText = concat(lit("fresh "), col("doc_id").cast("string"),
+      lit(" block "), substring(md5(col("text")), 1, 16))
+    docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 5)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" recrawlnote")).as("text")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 1)
+        .select((col("doc_id") + 200000).as("doc_id"), freshText.as("text")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 1)
+        .select((col("doc_id") + 300000).as("doc_id"), freshText.as("text")))
+  }
+
   /** One index/probe row per (band, doc): positional band key, the doc's
     * band0 (first-band-wins pair dedupe) and its token-hash set. */
-  private def bandedSigs(k: DataFrame): DataFrame = k.select(
+  private[graft] def bandedSigs(k: DataFrame): DataFrame = k.select(
     col("doc_id"), col("hs"), col("band0").as("b0"),
     explode(array(concat(lit("0:"), col("band0")),
       concat(lit("1:"), col("band1")))).as("band"))
@@ -1091,19 +1109,7 @@ object Queries {
       // engines), fresh documents (%10=1) and a second copy of each fresh
       // document (within-delta duplicates)
       val docs = t(spark, dir, "documents")
-      val freshText = concat(lit("fresh "), col("doc_id").cast("string"),
-        lit(" block "), substring(md5(col("text")), 1, 16))
-      val delta =
-        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-          .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 5)
-            .select((col("doc_id") + 100000).as("doc_id"),
-              concat(col("text"), lit(" recrawlnote")).as("text")))
-          .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 1)
-            .select((col("doc_id") + 200000).as("doc_id"), freshText.as("text")))
-          .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 1)
-            .select((col("doc_id") + 300000).as("doc_id"), freshText.as("text")))
-      incrementalDedup(spark, idxTable, delta)
+      incrementalDedup(spark, idxTable, recrawlDelta(docs))
     },
     Some(s"""WITH delta AS (
             |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
@@ -1182,6 +1188,105 @@ object Queries {
             |FROM dkeyed k
             |LEFT JOIN old_match o USING (doc_id)
             |LEFT JOIN new_match n USING (doc_id)
+            |ORDER BY doc_id""".stripMargin))
+
+  private val x31 = Q(
+    (spark, dir) => {
+      // STREAMING incremental dedup: the d11 recrawl delta arrives as a
+      // STREAM and probes the persisted bucketed signature index through
+      // a stateless stream-static join (Streaming.incrementalDedupPairs).
+      // vs d11: no within-delta (new<->new) linking — a stream classifies
+      // against the STANDING corpus; intra-batch dups are the batch
+      // compactor's job — so the oracle is d11's old_match half with
+      // statuses {dup_old, new}.
+      val sid = ProcessHandle.current().pid().toString + "_x31_" +
+        java.lang.Integer.toHexString(System.identityHashCode(spark))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sigidx_$sid"
+      val idxTable = s"graft_sig_index_$sid"
+      registerBucketedCleanup(base)
+      buildSignatureIndex(t(spark, dir, "documents"), idxTable, s"$base/sig")
+      val deltaDir = s"$base/delta"
+      recrawlDelta(t(spark, dir, "documents"))
+        .write.mode("overwrite").parquet(deltaDir)
+      val pairs = graft.spark.Streaming.incrementalDedupPairs(spark, idxTable,
+        deltaDir, "x31_" + java.lang.Long.toHexString(System.nanoTime()))
+      // batch classification over the streamed pairs — rebuilt on the
+      // PAIRS' session (under the RocksDB env switch the stream ran on an
+      // isolated child session; mixing sessions in one plan is undefined)
+      val s2 = pairs.sparkSession
+      val best = pairs.groupBy(col("doc_b").as("doc_id"))
+        .agg(min("doc_a").as("cluster_old"))
+      recrawlDelta(t(s2, dir, "documents")).select("doc_id")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("cluster_old").isNotNull, lit("dup_old"))
+            .otherwise(lit("new")).as("status"),
+          coalesce(col("cluster_old"), col("doc_id")).as("cluster"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH delta AS (
+            |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+            |  UNION ALL
+            |  SELECT doc_id + 100000, text || ' recrawlnote' FROM documents WHERE doc_id % 10 = 5
+            |  UNION ALL
+            |  SELECT doc_id + 200000, 'fresh ' || CAST(doc_id AS VARCHAR) || ' block ' || substr(md5(text), 1, 16)
+            |  FROM documents WHERE doc_id % 10 = 1
+            |  UNION ALL
+            |  SELECT doc_id + 300000, 'fresh ' || CAST(doc_id AS VARCHAR) || ' block ' || substr(md5(text), 1, 16)
+            |  FROM documents WHERE doc_id % 10 = 1
+            |), btoks AS (
+            |  SELECT doc_id, $duckTokenHash AS x
+            |  FROM (SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS t
+            |        FROM documents)
+            |), dtoks AS (
+            |  SELECT doc_id, $duckTokenHash AS x
+            |  FROM (SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS t
+            |        FROM delta)
+            |), bsig AS (
+            |  SELECT doc_id,
+            |    min((x*1299721 + 104729) % 1000000007) AS mh0,
+            |    min((x*7919 + 7507) % 1000000007) AS mh1,
+            |    min((x*104183 + 337) % 1000000007) AS mh2,
+            |    min((x*909091 + 5861) % 1000000007) AS mh3
+            |  FROM btoks GROUP BY 1
+            |), dsig AS (
+            |  SELECT doc_id,
+            |    min((x*1299721 + 104729) % 1000000007) AS mh0,
+            |    min((x*7919 + 7507) % 1000000007) AS mh1,
+            |    min((x*104183 + 337) % 1000000007) AS mh2,
+            |    min((x*909091 + 5861) % 1000000007) AS mh3
+            |  FROM dtoks GROUP BY 1
+            |), bhs AS (
+            |  SELECT doc_id, list_sort(list_distinct(list(x))) AS hs FROM btoks GROUP BY 1
+            |), dhs AS (
+            |  SELECT doc_id, list_sort(list_distinct(list(x))) AS hs FROM dtoks GROUP BY 1
+            |), bkeyed AS (
+            |  SELECT h.doc_id, h.hs,
+            |    md5(concat(CAST(mh0 AS VARCHAR), ':', CAST(mh1 AS VARCHAR))) AS band0,
+            |    md5(concat(CAST(mh2 AS VARCHAR), ':', CAST(mh3 AS VARCHAR))) AS band1
+            |  FROM bhs h JOIN bsig USING (doc_id)
+            |), dkeyed AS (
+            |  SELECT h.doc_id, h.hs,
+            |    md5(concat(CAST(mh0 AS VARCHAR), ':', CAST(mh1 AS VARCHAR))) AS band0,
+            |    md5(concat(CAST(mh2 AS VARCHAR), ':', CAST(mh3 AS VARCHAR))) AS band1
+            |  FROM dhs h JOIN dsig USING (doc_id)
+            |), old_links AS (
+            |  SELECT d.doc_id AS doc_b, b.doc_id AS doc_a, d.hs AS hs_b, b.hs AS hs_a
+            |  FROM dkeyed d JOIN bkeyed b ON d.band0 = b.band0
+            |  UNION ALL
+            |  SELECT d.doc_id, b.doc_id, d.hs, b.hs
+            |  FROM dkeyed d JOIN bkeyed b ON d.band1 = b.band1 AND d.band0 <> b.band0
+            |), old_match AS (
+            |  SELECT doc_b AS doc_id, min(doc_a) AS cluster_old FROM old_links
+            |  WHERE round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE) /
+            |        (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))), 4) >= 0.5
+            |  GROUP BY 1
+            |)
+            |SELECT k.doc_id,
+            |  CASE WHEN o.cluster_old IS NOT NULL THEN 'dup_old' ELSE 'new' END AS status,
+            |  coalesce(o.cluster_old, k.doc_id) AS cluster
+            |FROM dkeyed k
+            |LEFT JOIN old_match o USING (doc_id)
             |ORDER BY doc_id""".stripMargin))
 
   // ---------- training-data ops: text analysis ----------
@@ -3009,6 +3114,7 @@ object Queries {
     "x28_form_export" -> x28,
     "x29_object_dump" -> x29,
     "x30_jpx_headers" -> x30,
+    "x31_stream_incremental" -> x31,
     "c1_curation_e2e" -> c1,
     "c2_region_chunks" -> c2,
     "c3_greedy_chunks" -> c3,
