@@ -1594,6 +1594,97 @@ object Queries {
            |FROM bg b JOIN model m USING (bg)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  private val t12 = Q(
+    (spark, dir) => {
+      // Distributed-TRAINED quality probe (CCNet/fastText-shaped "train
+      // the filter on the corpus", one level up from t10's count-based
+      // model): a linear least-squares probe over row-local features,
+      // fitted by 3 full-batch gradient-descent steps that run as plain
+      // Spark aggregations. The gradient sum is the parity hazard — a
+      // double sum is accumulation-order-dependent — so each row's
+      // contribution is rounded to 9 decimals and summed as
+      // DECIMAL(30,12): order-independent, map-side-combinable (the
+      // 100 TB shape; no per-group collect), and exact — the 3 guard
+      // digits absorb double-representation error (|g| <= ~60 means
+      // repr error ~1e-14 << the 5e-13 rounding boundary), so Spark and
+      // DuckDB round to the SAME decimal every time. Weights (a 4-double
+      // artifact) collect to the driver per step and re-enter as
+      // literals — exactly how MLlib iterates. The label (n_chars >=
+      // 300) is derivable by the oracle, which replays all 3 unrolled
+      // steps in SQL.
+      val d = t(spark, dir, "documents")
+      val toks = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      val stops = size(regexp_extract_all(col("text"),
+        lit("(?i)\\b(the|a|of|and|to|in|is|that|it|for)\\b"), lit(0)))
+      val feats = d.select(col("doc_id"),
+        when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"),
+        (least(col("n_chars"), lit(600)).cast("double") / 600.0).as("f1"),
+        (least(toks, lit(120)).cast("double") / 120.0).as("f2"),
+        (stops.cast("double") / greatest(toks, lit(1))).as("f3"))
+        .cache()
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      for (_ <- 0 until 3) {
+        val pred = lit(w(0)) + lit(w(1)) * col("f1") +
+          lit(w(2)) * col("f2") + lit(w(3)) * col("f3")
+        val r = pred - col("y")
+        def g(x: Column) = sum(round(r * x, 9).cast("decimal(30,12)"))
+        val row = feats.agg(g(lit(1.0)), g(col("f1")), g(col("f2")), g(col("f3")),
+          count(lit(1))).collect()(0)
+        val n = row.getLong(4).toDouble
+        for (k <- 0 until 4)
+          w(k) = w(k) - 0.5 * (row.getDecimal(k).doubleValue() / n)
+      }
+      val score = lit(w(0)) + lit(w(1)) * col("f1") +
+        lit(w(2)) * col("f2") + lit(w(3)) * col("f3")
+      feats.select(col("doc_id"), round(score, 6).as("score"),
+        (score >= 0.5).as("pred"), col("y").cast("int").as("label"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH feats AS (
+           |  SELECT doc_id,
+           |    CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+           |    CAST(least(n_chars, 600) AS DOUBLE) / 600.0 AS f1,
+           |    CAST(least(len(regexp_extract_all(text, '\S+')), 120) AS DOUBLE) / 120.0 AS f2,
+           |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that|it|for)\b')) AS DOUBLE)
+           |      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS f3
+           |  FROM documents
+           |), s1 AS (
+           |  SELECT CAST(sum(CAST(round((0.0 + 0.0*f1 + 0.0*f2 + 0.0*f3 - y) * 1.0, 9) AS DECIMAL(30,12))) AS DOUBLE) AS g0,
+           |         CAST(sum(CAST(round((0.0 + 0.0*f1 + 0.0*f2 + 0.0*f3 - y) * f1, 9) AS DECIMAL(30,12))) AS DOUBLE) AS g1,
+           |         CAST(sum(CAST(round((0.0 + 0.0*f1 + 0.0*f2 + 0.0*f3 - y) * f2, 9) AS DECIMAL(30,12))) AS DOUBLE) AS g2,
+           |         CAST(sum(CAST(round((0.0 + 0.0*f1 + 0.0*f2 + 0.0*f3 - y) * f3, 9) AS DECIMAL(30,12))) AS DOUBLE) AS g3,
+           |         count(*) AS n
+           |  FROM feats
+           |), w1 AS (
+           |  SELECT 0.0 - 0.5*(g0/n) AS a, 0.0 - 0.5*(g1/n) AS b,
+           |         0.0 - 0.5*(g2/n) AS c, 0.0 - 0.5*(g3/n) AS d FROM s1
+           |), s2 AS (
+           |  SELECT CAST(sum(CAST(round((w.a + w.b*f1 + w.c*f2 + w.d*f3 - y) * 1.0, 9) AS DECIMAL(30,12))) AS DOUBLE) AS g0,
+           |         CAST(sum(CAST(round((w.a + w.b*f1 + w.c*f2 + w.d*f3 - y) * f1, 9) AS DECIMAL(30,12))) AS DOUBLE) AS g1,
+           |         CAST(sum(CAST(round((w.a + w.b*f1 + w.c*f2 + w.d*f3 - y) * f2, 9) AS DECIMAL(30,12))) AS DOUBLE) AS g2,
+           |         CAST(sum(CAST(round((w.a + w.b*f1 + w.c*f2 + w.d*f3 - y) * f3, 9) AS DECIMAL(30,12))) AS DOUBLE) AS g3,
+           |         count(*) AS n
+           |  FROM feats, w1 w
+           |), w2 AS (
+           |  SELECT w.a - 0.5*(g0/n) AS a, w.b - 0.5*(g1/n) AS b,
+           |         w.c - 0.5*(g2/n) AS c, w.d - 0.5*(g3/n) AS d FROM s2, w1 w
+           |), s3 AS (
+           |  SELECT CAST(sum(CAST(round((w.a + w.b*f1 + w.c*f2 + w.d*f3 - y) * 1.0, 9) AS DECIMAL(30,12))) AS DOUBLE) AS g0,
+           |         CAST(sum(CAST(round((w.a + w.b*f1 + w.c*f2 + w.d*f3 - y) * f1, 9) AS DECIMAL(30,12))) AS DOUBLE) AS g1,
+           |         CAST(sum(CAST(round((w.a + w.b*f1 + w.c*f2 + w.d*f3 - y) * f2, 9) AS DECIMAL(30,12))) AS DOUBLE) AS g2,
+           |         CAST(sum(CAST(round((w.a + w.b*f1 + w.c*f2 + w.d*f3 - y) * f3, 9) AS DECIMAL(30,12))) AS DOUBLE) AS g3,
+           |         count(*) AS n
+           |  FROM feats, w2 w
+           |), w3 AS (
+           |  SELECT w.a - 0.5*(g0/n) AS a, w.b - 0.5*(g1/n) AS b,
+           |         w.c - 0.5*(g2/n) AS c, w.d - 0.5*(g3/n) AS d FROM s3, w2 w
+           |)
+           |SELECT f.doc_id,
+           |  round(w.a + w.b*f.f1 + w.c*f.f2 + w.d*f.f3, 6) AS score,
+           |  (w.a + w.b*f.f1 + w.c*f.f2 + w.d*f.f3) >= 0.5 AS pred,
+           |  CAST(f.y AS INT) AS label
+           |FROM feats f, w3 w ORDER BY f.doc_id""".stripMargin))
+
   private val t11 = Q(
     (spark, dir) => {
       // URL canonicalization + canonical-dup grouping — the crawl-side
@@ -3079,6 +3170,7 @@ object Queries {
     "t9_vocab_topk" -> t9,
     "t10_lm_score" -> t10,
     "t11_url_canon" -> t11,
+    "t12_trained_quality" -> t12,
     "s1_knn_cosine" -> s1,
     "s2_ann_lsh_bucket" -> s2,
     "s3_ann_search" -> s3,

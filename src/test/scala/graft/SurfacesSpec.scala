@@ -514,6 +514,21 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(objs(3) < objs(0), objs) // moved, not a fixed point of the init
   }
 
+  test("t12 trained quality probe: learns above base rate, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.spark.Queries.queries("t12_trained_quality")(spark, dir).collect()
+    assert(out.length == 500)
+    val acc = out.count(r => r.getBoolean(2) == (r.getInt(3) == 1)).toDouble / out.length
+    val base = math.max(out.count(_.getInt(3) == 1), out.count(_.getInt(3) == 0))
+      .toDouble / out.length
+    // 3 GD steps must beat always-predict-majority — the training
+    // actually trained (not a fixed point of w=0)
+    assert(acc > base + 0.05, s"acc=$acc base=$base")
+    // and be a pure function of the data (fresh plan, fresh shuffles)
+    val again = graft.spark.Queries.queries("t12_trained_quality")(spark, dir).collect()
+    assert(out.sameElements(again))
+  }
+
   test("sequence packing invariants: capacity, completeness, offsets") {
     val out = graft.spark.Queries.queries("c6_sequence_pack")(spark, "/root/testdata/sf0.001")
       .collect()
