@@ -99,7 +99,16 @@ object Bench {
              (reps.size < 2 || (reps.size < 4 && reps.max / reps.min > 2.0))) {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // checksum EVERY column, not count(): count() lets the
+          // optimizer eliminate unique-key left joins whose columns go
+          // unreferenced (measured: d11's whole verify was optimized
+          // away, benching the query at ~1/4 its true cost) — hashing
+          // the full row forces the complete computation the driver's
+          // correctness dump performs
+          val df = fn(spark, sfDir)
+          df.agg(count(lit(1)),
+            sum(pmod(xxhash64(df.columns.map(c => col(c).cast("string")): _*),
+              lit(1000000007L)))).collect()
           reps += (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>

@@ -1233,14 +1233,20 @@ object Streaming {
 
   /** STREAM-STATIC incremental dedup (the streaming production shape of
     * d11): a recrawl stream's band keys probe the persisted bucketed
-    * signature index via a stream-static inner equi-join — STATELESS
-    * (no watermark, no state store; every matched pair emits in the
+    * signature index via a stream-static inner equi-join — the join
+    * itself is stateless (no watermark; every candidate verifies in the
     * micro-batch it arrives), so an unbounded recrawl feed dedups
     * against a 100 TB standing corpus with per-batch work proportional
     * to the batch. Band keying is row-local (same minhash arithmetic as
-    * the batch path); returns the verified (doc_a=index, doc_b=stream)
-    * pairs at Jaccard >= 0.5 with d6's first-band-wins candidate
-    * dedupe. */
+    * the batch path); candidates verify at Jaccard >= 0.5 with d6's
+    * first-band-wins dedupe, and the per-document min-cluster reduction
+    * runs INSIDE the stream (a near-dup-heavy corpus yields ~1,000
+    * candidates per document — reducing before the sink moves one row
+    * per document instead of every verified pair). The reduction keys
+    * state by doc_id, bounded by the delta's distinct documents; a
+    * forever-stream would window it by arrival batch instead. Returns
+    * (doc_b, cluster_old) — the matched documents and their oldest
+    * matching index doc. */
   def incrementalDedupPairs(spark0: SparkSession, idxTable: String,
       deltaDir0: String, queryName: String): DataFrame = {
     val spark = streamSession(spark0)
@@ -1252,17 +1258,25 @@ object Streaming {
         col("b0").as("b0b"), col("band"))
     val idx = spark.table(idxTable).select(col("band"),
       col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("b0").as("b0a"))
-    val jac = round(col("inter").cast("double") /
-      (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4)
-    val q = probe.join(idx, "band")
+    // Jaccard >= 1/2 as integer arithmetic (3i >= a+b): one
+    // array_intersect per candidate even after the predicate is pushed
+    // into the join condition (a ratio form evaluates it 3x there), no
+    // float rounding at the threshold. Broadcasting the DELTA side
+    // (delta-proportional by definition) runs the verify over the
+    // bucketed index scan's full parallelism — streaming plans have no
+    // AQE, and the default choice broadcast the static index instead,
+    // leaving the verify on however few partitions the micro-batch's
+    // files mapped to.
+    val q = broadcast(probe).join(idx, "band")
       .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .filter(jac >= 0.5)
-      .select("doc_a", "doc_b")
+      .filter(size(array_intersect(col("hs_a"), col("hs_b"))) * 3 >=
+        size(col("hs_a")) + size(col("hs_b")))
+      .groupBy(col("doc_b"))
+      .agg(min(col("doc_a")).as("cluster_old"))
       .writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode(OutputMode.Append())
+      .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

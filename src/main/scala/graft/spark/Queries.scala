@@ -1047,16 +1047,20 @@ object Queries {
     val dk = sigKeyed(delta)
     val dIdx = bandedSigs(dk).select(col("doc_id").as("doc_b"),
       col("hs").as("hs_b"), col("b0").as("b0b"), col("band"))
-    def jac = round(col("inter").cast("double") /
-      (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4)
+    // Jaccard >= 1/2 as PURE INTEGER arithmetic: i/(a+b-i) >= 1/2 <=>
+    // 3i >= a+b. One array_intersect per candidate (the predicate gets
+    // pushed into the join condition, where a ratio form would evaluate
+    // the intersect three times — measured 2x slower) and no float
+    // rounding at the threshold (the r5 d6 parity-window class)
+    def jacHalf = size(array_intersect(col("hs_a"), col("hs_b"))) * 3 >=
+      size(col("hs_a")) + size(col("hs_b"))
     // new<->old: delta bands probe the bucketed index; a band-1 match
     // only counts when the band0s differ (exact pair dedupe, as in d6)
     val idx = spark.table(idxTable).select(col("band"),
       col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("b0").as("b0a"))
     val oldMatch = dIdx.join(idx, "band")
       .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .filter(jac >= 0.5)
+      .filter(jacHalf)
       .groupBy(col("doc_b").as("doc_id")).agg(min("doc_a").as("cluster_old"))
     // new<->new: within-delta candidates, linked to the smaller doc_id
     val dIdxA = bandedSigs(dk).select(col("doc_id").as("doc_a"),
@@ -1064,8 +1068,7 @@ object Queries {
     val newMatch = dIdx.join(dIdxA, "band")
       .filter(col("doc_a") < col("doc_b"))
       .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .filter(jac >= 0.5)
+      .filter(jacHalf)
       .groupBy(col("doc_b").as("doc_id")).agg(min("doc_a").as("cluster_new"))
     dk.select("doc_id")
       .join(oldMatch, Seq("doc_id"), "left")
@@ -1165,8 +1168,7 @@ object Queries {
             |  FROM dkeyed d JOIN bkeyed b ON d.band1 = b.band1 AND d.band0 <> b.band0
             |), old_match AS (
             |  SELECT doc_b AS doc_id, min(doc_a) AS cluster_old FROM old_links
-            |  WHERE round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE) /
-            |        (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))), 4) >= 0.5
+            |  WHERE len(list_intersect(hs_a, hs_b)) * 3 >= len(hs_a) + len(hs_b)
             |  GROUP BY 1
             |), new_links AS (
             |  SELECT d.doc_id AS doc_b, a.doc_id AS doc_a, d.hs AS hs_b, a.hs AS hs_a
@@ -1176,8 +1178,7 @@ object Queries {
             |  FROM dkeyed d JOIN dkeyed a ON d.band1 = a.band1 AND d.band0 <> a.band0 AND a.doc_id < d.doc_id
             |), new_match AS (
             |  SELECT doc_b AS doc_id, min(doc_a) AS cluster_new FROM new_links
-            |  WHERE round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE) /
-            |        (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))), 4) >= 0.5
+            |  WHERE len(list_intersect(hs_a, hs_b)) * 3 >= len(hs_a) + len(hs_b)
             |  GROUP BY 1
             |)
             |SELECT k.doc_id,
@@ -1214,8 +1215,7 @@ object Queries {
       // PAIRS' session (under the RocksDB env switch the stream ran on an
       // isolated child session; mixing sessions in one plan is undefined)
       val s2 = pairs.sparkSession
-      val best = pairs.groupBy(col("doc_b").as("doc_id"))
-        .agg(min("doc_a").as("cluster_old"))
+      val best = pairs.select(col("doc_b").as("doc_id"), col("cluster_old"))
       recrawlDelta(t(s2, dir, "documents")).select("doc_id")
         .join(best, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -1278,8 +1278,7 @@ object Queries {
             |  FROM dkeyed d JOIN bkeyed b ON d.band1 = b.band1 AND d.band0 <> b.band0
             |), old_match AS (
             |  SELECT doc_b AS doc_id, min(doc_a) AS cluster_old FROM old_links
-            |  WHERE round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE) /
-            |        (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))), 4) >= 0.5
+            |  WHERE len(list_intersect(hs_a, hs_b)) * 3 >= len(hs_a) + len(hs_b)
             |  GROUP BY 1
             |)
             |SELECT k.doc_id,

@@ -625,10 +625,14 @@ class SurfacesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = graft.spark.Streaming.windowedEventCountsPlan(spark, dir)
       .queryExecution.analyzed.toString
     assert(plan.contains("EventTimeWatermark"), plan.take(2000))
-    // no Complete output mode anywhere in the streaming surfaces
+    // Complete output mode retains all groups forever — allowed in
+    // exactly ONE place: x31's incrementalDedupPairs, whose group key is
+    // the delta's doc_id (state bounded by the delta, documented at the
+    // site). Any new use must justify its state bound here.
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/spark/Pipeline.scala")), "UTF-8")
-    assert(!src.contains("OutputMode.Complete"), "Complete mode retains all windows forever")
+    assert("OutputMode\\.Complete".r.findAllIn(src).length == 1,
+      "unexpected Complete-mode use (retains all groups forever)")
   }
 
   test("KMV sketch: exact below K, bounded state and sane estimate above") {
