@@ -1100,14 +1100,42 @@ object Streaming {
     * child session (mutating the caller's conf would leak the provider
     * into unrelated queries). The same oracles must stay green either
     * way; the RocksDB gate run is recorded in BENCH/BASELINE.md. */
-  private[graft] def streamSession(spark0: SparkSession): SparkSession =
+  /** Streaming state-partition sizing (round 7, guide §2.2 + §5): a
+    * stateful micro-batch pays one state-store open/commit PER SHUFFLE
+    * PARTITION regardless of data volume, so partitions must be sized to
+    * STATE VOLUME, not inherited from the batch session (x22 measured
+    * 8s -> ~3s going 32 -> 8 in round 5; round 7 applies the same sizing
+    * to every stream). Parameterized via SPARK_GRAFT_STREAM_SHUFFLE —
+    * never hard-coded to the local core count; a cluster sets it to
+    * state rows / target-rows-per-store. Partition count does not change
+    * any result: aggregations/sessionization are keyed, and every
+    * streaming query ends in a deterministic total-order sort. */
+  private[graft] def streamShufflePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt).getOrElse(8)
+
+  /** Every stream runs on an ISOLATED child session (newSession shares
+    * the SparkContext but owns its SQLConf + temp-view catalog): the
+    * shuffle-partition sizing above — and, under the
+    * SPARK_GRAFT_STATE_STORE=rocksdb switch (verdict r5 item 4), the
+    * RocksDBStateStoreProvider — must not leak into the caller's
+    * session, where they would reshape concurrently planned batch
+    * queries. The same oracles stay green either way; the RocksDB gate
+    * run is recorded in BENCH/BASELINE.md. */
+  private[graft] def streamSession(spark0: SparkSession): SparkSession = {
+    val s = spark0.newSession()
+    // newSession resets runtime conf to the context defaults — inherit the
+    // caller's state-store provider choice (SurfacesSpec's RocksDB gate
+    // sets it on the calling session)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark0.conf.getOption(providerKey).foreach(s.conf.set(providerKey, _))
+    s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions.toString)
     if (sys.env.get("SPARK_GRAFT_STATE_STORE").exists(_.equalsIgnoreCase("rocksdb"))) {
-      val s = spark0.newSession()
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       System.err.println("[graft] streaming state store: RocksDBStateStoreProvider")
-      s
-    } else spark0
+    }
+    s
+  }
 
   /** The file stream source needs a directory; single-file tables are
     * copied into a temp dir. */
@@ -1196,11 +1224,10 @@ object Streaming {
     * matches emit as soon as both rows have arrived; the watermark only
     * gates state cleanup. */
   def attributedPurchases(spark0: SparkSession, eventsDir0: String, queryName: String): DataFrame = {
-    // the stream runs in an ISOLATED child session: shuffle partitions are
-    // sized to state volume below, and mutating the CALLER's conf would
-    // leak into concurrently planned queries (newSession shares the
-    // SparkContext but owns its SQLConf + temp-view catalog)
-    val spark = streamSession(spark0.newSession())
+    // isolated child session with state-sized shuffle partitions
+    // (streamSession — the r5 measurement that motivated the sizing,
+    // 8s -> ~3s at 8 vs 32, was made on this query)
+    val spark = streamSession(spark0)
     val eventsDir = streamDir(eventsDir0)
     val schema = spark.read.parquet(eventsDir).schema
     def src(tpe: String, alias: String) = spark.readStream.schema(schema).parquet(eventsDir)
@@ -1213,14 +1240,11 @@ object Streaming {
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("interval 1 hour"))
-    // State-partition sizing: a streaming join spins TWO state stores per
-    // shuffle partition per micro-batch; at this input scale 32 partitions
-    // are pure per-store overhead (measured 8s -> ~3s at 8). The shuffle
+    // state-partition sizing now lives in streamSession (the shuffle
     // partition count is pinned at stream START and baked into the
     // checkpoint, so sizing it on the stream's own session is the
-    // real-world move too — on a cluster you size it to state volume, not
-    // to the session default.
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // real-world move — on a cluster you size it to state volume, not
+    // to the session default)
     val q = joined.writeStream
       .format("memory")
       .queryName(queryName)

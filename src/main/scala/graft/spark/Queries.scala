@@ -276,8 +276,12 @@ object Queries {
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Identical 48-bit token hash on both engines:
-    * fold (acc*31 + charcode) % 1000000007 over the token's chars. */
-  private def tokenHashCol(tok: Column): Column =
+    * fold (acc*31 + charcode) % 1000000007 over the token's chars.
+    * Round 7: the hot dedup paths use the compiled Kernels.tokenHash
+    * instead (same arithmetic, pinned by KernelParitySpec); this
+    * expression form remains the cross-engine reference and hashes the
+    * (short) url in packQuery. */
+  private[graft] def tokenHashCol(tok: Column): Column =
     aggregate(
       sequence(lit(1), length(tok)),
       lit(7L),
@@ -293,7 +297,7 @@ object Queries {
     * parity stays exact by construction — and the shuffle moves longs, not
     * ~50-char strings. Kept in ONE place (with [[duckShingle]]) because
     * the arithmetic must match the oracle digit for digit. */
-  private def shingleGramsCol: Column = {
+  private[graft] def shingleGramsCol: Column = {
     def roll(m: Long)(i: Column) =
       aggregate(slice(col("th"), i, lit(8)), lit(7L),
         (a, x) => pmod(a * m + x, lit(1000000007L)))
@@ -309,13 +313,256 @@ object Queries {
       "+ list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]), (a, b) -> (a*137 + b) % 1000000007)"
 
   /** Row-local distinct-token array (whitespace split, empties dropped). */
-  private def toksCol: Column =
+  private[graft] def toksCol: Column =
     array_distinct(filter(split(col("text"), "\\s+"), x => length(x) > 0))
 
   /** Row-local minhash permutation: min over the token-hash array of
     * (x*a + b) mod p — a per-row fold, shuffle-free by construction. */
-  private def minPerm(xs: Column, a: Long, b: Long): Column =
+  private[graft] def minPerm(xs: Column, a: Long, b: Long): Column =
     array_min(transform(xs, x => pmod(x * a + b, lit(1000000007L))))
+
+  // ---------- round-7 compiled kernels for the token-hash pipeline ----------
+  // Optimization round (guide §1.2 step 2, per-task work): the dedup/text
+  // suites computed their per-row token hashes through Catalyst
+  // higher-order functions — ONE interpreted aggregate step per CHARACTER
+  // (substring + ascii + pmod over boxed longs), then another full
+  // interpreted pass over the hash array per minhash permutation (x4),
+  // per simhash bit (x16) or per shingle position (x2). At sf0.1 that
+  // expression interpreter dominated d3/d11/x31 (measured: d3 2.3s,
+  // d11 4.5s best-rep, r6 bench). These kernels compute the IDENTICAL
+  // values — same \S+ tokenization (Java regex, as split("\\s+") +
+  // drop-empties), same first-occurrence string distinct, same
+  // (acc*31 + codepoint) % 1e9+7 fold (Spark's ascii() returns the full
+  // codepoint, non-BMP included), same permutation/vote/shingle
+  // arithmetic — in compiled per-row loops, so every downstream value and
+  // every DuckDB oracle is unchanged. KernelParitySpec pins kernel ==
+  // legacy-Catalyst-expression on adversarial inputs (unicode incl.
+  // non-BMP, empties, whitespace runs) and on corpus rows.
+  private[graft] object Kernels extends Serializable {
+    private val NonWs = java.util.regex.Pattern.compile("\\S+")
+    final val Mod = 1000000007L
+
+    /** regexp_extract_all(text, "\\S+"): maximal non-whitespace runs. */
+    def tokens(text: String): Array[String] = {
+      val m = NonWs.matcher(text)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (m.find()) out += m.group()
+      out.toArray
+    }
+
+    /** tokenHashCol: fold (acc*31 + codepoint) % 1e9+7 from acc0 = 7. */
+    def tokenHash(tok: String): Long = {
+      var h = 7L
+      var i = 0
+      val n = tok.length
+      while (i < n) {
+        val cp = tok.codePointAt(i)
+        h = (h * 31 + cp) % Mod
+        i += Character.charCount(cp)
+      }
+      h
+    }
+
+    /** transform(toksCol, tokenHashCol): hashes of the DISTINCT tokens in
+      * first-occurrence order. Distinctness is by token STRING — colliding
+      * hashes stay duplicated, exactly like the expression form. */
+    def distinctTokenHashes(text: String): Array[Long] = {
+      val ts = tokens(text)
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i < ts.length) { seen.add(ts(i)); i += 1 }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = tokenHash(it.next()); j += 1 }
+      out
+    }
+
+    def minPerm(xs: Array[Long], a: Long, b: Long): Long = {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < xs.length) {
+        val v = (xs(i) * a + b) % Mod
+        if (v < m) m = v
+        i += 1
+      }
+      m
+    }
+
+    /** array_sort(array_distinct(xs)). */
+    def sortedDistinct(xs: Array[Long]): Array[Long] = {
+      val c = xs.clone()
+      java.util.Arrays.sort(c)
+      var w = 0
+      var i = 0
+      while (i < c.length) {
+        if (w == 0 || c(i) != c(w - 1)) { c(w) = c(i); w += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(c, w)
+    }
+  }
+
+  /** d2/d5/d10 signature (the 4 minhash permutations). */
+  final case class MinSig(mh0: Long, mh1: Long, mh2: Long, mh3: Long)
+  /** d6/d11/x31 signature (sorted distinct hash set + permutations). */
+  final case class FullSig(hs: Array[Long], mh0: Long, mh1: Long, mh2: Long, mh3: Long)
+  /** t7's row-local repetition stats. */
+  final case class RepStats(tokens: Int, bigrams: Int, distinct_bigrams: Int,
+      top_word_count: java.lang.Integer)
+
+  private def minSigOf(xs: Array[Long]): MinSig =
+    MinSig(Kernels.minPerm(xs, 1299721, 104729), Kernels.minPerm(xs, 7919, 7507),
+      Kernels.minPerm(xs, 104183, 337), Kernels.minPerm(xs, 909091, 5861))
+
+  /** NULL for no tokens — callers filter, replicating filter(size(xs)>0). */
+  private[graft] val minSigUdf = udf((text: String) =>
+    if (text == null) null
+    else {
+      val xs = Kernels.distinctTokenHashes(text)
+      if (xs.isEmpty) null else minSigOf(xs)
+    })
+
+  private[graft] val fullSigUdf = udf((text: String) =>
+    if (text == null) null
+    else {
+      val xs = Kernels.distinctTokenHashes(text)
+      if (xs.isEmpty) null
+      else {
+        val m = minSigOf(xs)
+        FullSig(Kernels.sortedDistinct(xs), m.mh0, m.mh1, m.mh2, m.mh3)
+      }
+    })
+
+  /** 16-bit simhash over the distinct-token hashes: one compiled pass
+    * accumulating all 16 bit votes (the expression form re-folded the
+    * whole array once PER BIT). Same ±1 votes, same majority rule. */
+  private[graft] val simhash16Udf = udf((text: String) =>
+    if (text == null) null
+    else {
+      val xs = Kernels.distinctTokenHashes(text)
+      if (xs.isEmpty) null
+      else {
+        val votes = new Array[Int](16)
+        var i = 0
+        while (i < xs.length) {
+          val x = xs(i)
+          var b = 0
+          while (b < 16) {
+            if (((x >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+          i += 1
+        }
+        var sh = 0L
+        var b = 0
+        while (b < 16) { if (votes(b) > 0) sh |= 1L << b; b += 1 }
+        java.lang.Long.valueOf(sh)
+      }
+    })
+
+  /** shingleGramsCol over the in-order token-hash array: distinct 60-bit
+    * 8-token shingle keys (roll131 * p + roll137), first-occurrence order,
+    * empty below 8 tokens — byte-identical values to the expression form
+    * (the oracle replays the same folds). */
+  private[graft] val shinglesUdf = udf((text: String) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val ts = Kernels.tokens(text)
+      if (ts.length < 8) Array.empty[Long]
+      else {
+        val th = new Array[Long](ts.length)
+        var i = 0
+        while (i < ts.length) { th(i) = Kernels.tokenHash(ts(i)); i += 1 }
+        val seen = new java.util.LinkedHashSet[java.lang.Long]()
+        i = 0
+        while (i + 8 <= th.length) {
+          var a = 7L
+          var b = 7L
+          var j = i
+          while (j < i + 8) {
+            a = (a * 131 + th(j)) % Kernels.Mod
+            b = (b * 137 + th(j)) % Kernels.Mod
+            j += 1
+          }
+          seen.add(java.lang.Long.valueOf(a * Kernels.Mod + b))
+          i += 1
+        }
+        val out = new Array[Long](seen.size)
+        val it = seen.iterator()
+        var k = 0
+        while (it.hasNext) { out(k) = it.next(); k += 1 }
+        out
+      }
+    })
+
+  /** t7's per-row stats in one compiled pass: top_word_count is the max
+    * token frequency via a hash count — O(tokens), same VALUE as the
+    * O(distinct x tokens) HOF mode scan it replaces (r6 verdict's one
+    * perf-weak plan); distinct bigrams via a string hash set. NULL
+    * top_word_count for token-less rows, as array_max over empty. */
+  private[graft] val repStatsUdf = udf((text: String) =>
+    if (text == null) null
+    else {
+      val ts = Kernels.tokens(text)
+      val n = ts.length
+      var top: java.lang.Integer = null
+      if (n > 0) {
+        val counts = new java.util.HashMap[String, Integer]()
+        var best = 0
+        var i = 0
+        while (i < n) {
+          val c = counts.getOrDefault(ts(i), 0) + 1
+          counts.put(ts(i), c)
+          if (c > best) best = c
+          i += 1
+        }
+        top = best
+      }
+      var big = 0
+      var distinctBig = 0
+      if (n >= 2) {
+        big = n - 1
+        val set = new java.util.HashSet[String]()
+        var i = 0
+        while (i < n - 1) { set.add(ts(i) + " " + ts(i + 1)); i += 1 }
+        distinctBig = set.size
+      }
+      RepStats(n, big, distinctBig, top)
+    })
+
+  /** d4's distinct character-3-gram count over CODEPOINT windows (Spark
+    * substring slices by codepoint), each packed into one long (3 x 21
+    * bits — exact, no collision) in a hash set: O(n) vs the expression
+    * form's per-window substring allocation + array_distinct. Replicates
+    * the sequence(1,0) quirk: below 3 codepoints the legacy expression
+    * evaluates substring at positions [1,0], both yielding the whole
+    * text — distinct count 1. */
+  private[graft] val gram3Udf = udf((text: String) =>
+    if (text == null) 1
+    else {
+      val n = text.codePointCount(0, text.length)
+      if (n <= 2) 1
+      else {
+        val cps = new Array[Int](n)
+        var i = 0
+        var k = 0
+        while (i < text.length) {
+          val cp = text.codePointAt(i)
+          cps(k) = cp
+          k += 1
+          i += Character.charCount(cp)
+        }
+        val seen = new java.util.HashSet[java.lang.Long]()
+        i = 0
+        while (i + 3 <= n) {
+          seen.add(java.lang.Long.valueOf(
+            (cps(i).toLong << 42) | (cps(i + 1).toLong << 21) | cps(i + 2).toLong))
+          i += 1
+        }
+        seen.size
+      }
+    })
 
   private val d2 = Q(
     (spark, dir) => {
@@ -323,15 +570,15 @@ object Queries {
       // permutations (a*x+b) mod p folded over per-row token hashes, banded
       // 2x2 -> bucket keys for LSH near-dup joins. At 100 TB the token
       // stream never shuffles — the plan's only exchange is the
-      // deterministic output sort (PlanSpec pins this).
+      // deterministic output sort (PlanSpec pins this). Round 7: the
+      // signature runs in the compiled kernel (minSigUdf — identical
+      // arithmetic, KernelParitySpec), not per-char Catalyst aggregates.
       t(spark, dir, "documents")
-        .select(col("doc_id"), transform(toksCol, tok => tokenHashCol(tok)).as("xs"))
-        .filter(size(col("xs")) > 0)
+        .select(col("doc_id"), minSigUdf(col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
         .select(col("doc_id"),
-          minPerm(col("xs"), 1299721, 104729).as("mh0"),
-          minPerm(col("xs"), 7919, 7507).as("mh1"),
-          minPerm(col("xs"), 104183, 337).as("mh2"),
-          minPerm(col("xs"), 909091, 5861).as("mh3"))
+          col("sig.mh0").as("mh0"), col("sig.mh1").as("mh1"),
+          col("sig.mh2").as("mh2"), col("sig.mh3").as("mh3"))
         .withColumn("band0", md5(concat_ws(":", col("mh0"), col("mh1"))))
         .withColumn("band1", md5(concat_ws(":", col("mh2"), col("mh3"))))
         .orderBy("doc_id")
@@ -359,14 +606,12 @@ object Queries {
       // over the distinct-token hash array — zero shuffles before the
       // deterministic output sort (was: two chained groupBys over an
       // exploded (token x bit) stream, O(16·tokens) exchange at scale).
+      // Round 7: one compiled pass accumulating all 16 votes (simhash16Udf)
+      // replaces the nested interpreted aggregate that re-folded the hash
+      // array once per bit — same votes, same value (KernelParitySpec).
       t(spark, dir, "documents")
-        .select(col("doc_id"), transform(toksCol, tok => tokenHashCol(tok)).as("xs"))
-        .filter(size(col("xs")) > 0)
-        .select(col("doc_id"),
-          expr("""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
-            acc + CASE WHEN aggregate(xs, CAST(0 AS BIGINT), (a, x) ->
-              a + CASE WHEN (shiftright(x, b) % 2) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) > 0
-            THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""").as("simhash16"))
+        .select(col("doc_id"), simhash16Udf(col("text")).as("simhash16"))
+        .filter(col("simhash16").isNotNull)
         .orderBy("doc_id")
     },
     Some(s"""WITH toks AS (
@@ -385,11 +630,14 @@ object Queries {
 
   private val d4 = Q(
     (spark, dir) => {
-      // character-3-gram profile: the building block of n-gram Jaccard dedup
+      // character-3-gram profile: the building block of n-gram Jaccard
+      // dedup. Round 7: the distinct count runs in the compiled gram3Udf
+      // (packed codepoint windows in a hash set) instead of materializing
+      // one substring per position + array_distinct — same value incl.
+      // the short-text quirk (KernelParitySpec).
       t(spark, dir, "documents").select(
         col("doc_id"),
-        expr("size(array_distinct(transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))))")
-          .as("distinct_3grams"),
+        gram3Udf(col("text")).as("distinct_3grams"),
         greatest(length(col("text")) - 2, lit(0)).as("total_3grams"))
         .orderBy("doc_id")
     },
@@ -406,12 +654,9 @@ object Queries {
       // are row-local; the only exchanges are the bucket aggregation
       // (partial -> final, map-side combined) and the output sort.
       t(spark, dir, "documents")
-        .select(col("doc_id"), transform(toksCol, tok => tokenHashCol(tok)).as("xs"))
-        .filter(size(col("xs")) > 0)
-        .select(
-          minPerm(col("xs"), 1299721, 104729).as("mh0"),
-          minPerm(col("xs"), 7919, 7507).as("mh1"))
-        .groupBy(md5(concat_ws(":", col("mh0"), col("mh1"))).as("bucket"))
+        .select(minSigUdf(col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
+        .groupBy(md5(concat_ws(":", col("sig.mh0"), col("sig.mh1"))).as("bucket"))
         .agg(count(lit(1)).as("docs"),
           (count(lit(1)) * (count(lit(1)) - 1) / 2).cast("long").as("candidate_pairs"))
         .orderBy("bucket")
@@ -437,15 +682,11 @@ object Queries {
     * d6 (full-corpus verify) and d11 (incremental verify vs a persisted
     * index). */
   private[graft] def sigKeyed(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-        transform(toksCol, tok => tokenHashCol(tok)).as("xs"))
-      .filter(size(col("xs")) > 0)
-      .withColumn("hs", array_sort(array_distinct(col("xs"))))
-      .withColumn("band0", md5(concat_ws(":",
-        minPerm(col("xs"), 1299721, 104729), minPerm(col("xs"), 7919, 7507))))
-      .withColumn("band1", md5(concat_ws(":",
-        minPerm(col("xs"), 104183, 337), minPerm(col("xs"), 909091, 5861))))
-      .select("doc_id", "hs", "band0", "band1")
+    df.select(col("doc_id"), fullSigUdf(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig.hs").as("hs"),
+        md5(concat_ws(":", col("sig.mh0"), col("sig.mh1"))).as("band0"),
+        md5(concat_ws(":", col("sig.mh2"), col("sig.mh3"))).as("band1"))
 
   private val d6 = Q(
     (spark, dir) => {
@@ -766,10 +1007,10 @@ object Queries {
       // 100 TB plan for exact-substring dedup (partial aggregation
       // map-side, shingle key ~uniform by construction).
       val d = t(spark, dir, "documents")
-      val w = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
-      val sh = d
-        .select(col("doc_id"), transform(w, tok => tokenHashCol(tok)).as("th"))
-        .select(col("doc_id"), explode(shingleGramsCol).as("g"))
+      // round 7: shingle construction in the compiled kernel (shinglesUdf —
+      // same rolling folds, KernelParitySpec) instead of per-char Catalyst
+      // aggregates + per-position slice folds
+      val sh = d.select(col("doc_id"), explode(shinglesUdf(col("text"))).as("g"))
       // per-doc shingles are distinct, so count-per-key == docs containing g
       val flagged = sh.withColumn("docs", count(lit(1)).over(Window.partitionBy("g")))
       flagged.groupBy("doc_id")
@@ -816,16 +1057,12 @@ object Queries {
       // steps (star edges keep diameters tiny). This is the keeper-
       // assignment step a corpus-scale dedup actually ships.
       val sig = t(spark, dir, "documents")
-        .select(col("doc_id"), transform(toksCol, tok => tokenHashCol(tok)).as("xs"))
-        .filter(size(col("xs")) > 0)
+        .select(col("doc_id"), minSigUdf(col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
         .select(col("doc_id"),
-          minPerm(col("xs"), 1299721, 104729).as("mh0"),
-          minPerm(col("xs"), 7919, 7507).as("mh1"),
-          minPerm(col("xs"), 104183, 337).as("mh2"),
-          minPerm(col("xs"), 909091, 5861).as("mh3"))
-        .withColumn("band0", md5(concat_ws(":", col("mh0"), col("mh1"))))
-        .withColumn("band1", md5(concat_ws(":", col("mh2"), col("mh3"))))
-        .select("doc_id", "band0", "band1").cache()
+          md5(concat_ws(":", col("sig.mh0"), col("sig.mh1"))).as("band0"),
+          md5(concat_ws(":", col("sig.mh2"), col("sig.mh3"))).as("band1"))
+        .cache()
       // contract the graph to bucket REPRESENTATIVES first: every doc
       // points at its two bucket-min reps, and those two reps are linked
       // through the doc — so components over the (tiny) rep graph
@@ -967,10 +1204,8 @@ object Queries {
       val body = concat(col("text"),
         when(pmod(col("doc_id"), lit(50)) === 0 || pmod(col("doc_id"), lit(11)) === 0,
           lit(" canary eval suite phrase alpha beta gamma delta")).otherwise(lit("")))
-      val w = regexp_extract_all(body, lit("\\S+"), lit(0))
-      val sh = d
-        .select(col("doc_id"), transform(w, tok => tokenHashCol(tok)).as("th"))
-        .select(col("doc_id"), explode(shingleGramsCol).as("g"))
+      // round 7: shingle kernel (see d8)
+      val sh = d.select(col("doc_id"), explode(shinglesUdf(body)).as("g"))
       val benchSh = sh.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select(col("g")).distinct()
       sh.filter(pmod(col("doc_id"), lit(50)) =!= 0)
@@ -1216,7 +1451,11 @@ object Queries {
       // isolated child session; mixing sessions in one plan is undefined)
       val s2 = pairs.sparkSession
       val best = pairs.select(col("doc_b").as("doc_id"), col("cluster_old"))
-      recrawlDelta(t(s2, dir, "documents")).select("doc_id")
+      // classification base = docs with >=1 token (sigKeyed), matching
+      // d11's Spark side and the oracle's dkeyed base (ADVICE r6: a
+      // hypothetical empty-text delta doc must not emit a spurious 'new'
+      // row that the oracle lacks)
+      sigKeyed(recrawlDelta(t(s2, dir, "documents"))).select("doc_id")
         .join(best, Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(col("cluster_old").isNotNull, lit("dup_old"))
@@ -1438,29 +1677,28 @@ object Queries {
     (spark, dir) => {
       // Gopher-style repetition quality filters, re-expressed for a corpus
       // without line structure: distinct-bigram ratio (low => boilerplate
-      // loops) and top-unigram fraction (high => keyword stuffing). All
-      // ROW-LOCAL Catalyst higher-order functions — the per-row mode scan
-      // is O(distinct-vocab x tokens), bounded by document length, and the
-      // whole query stays a single pass with no shuffle but the output sort.
+      // loops) and top-unigram fraction (high => keyword stuffing).
+      // ROW-LOCAL; single pass with no shuffle but the output sort.
+      // Round 7 (r6 verdict's one perf-weak plan): the per-row stats run
+      // in the compiled repStatsUdf — top_word_count via an O(tokens)
+      // hash count instead of the O(distinct-vocab x tokens) HOF mode
+      // scan, distinct bigrams via a hash set instead of materialized
+      // bigram strings + array_distinct. Values identical (the mode IS
+      // the max hash-count; KernelParitySpec pins it), so the oracle is
+      // untouched and a 10^6-token document now costs O(n), not O(n^2).
       val d = t(spark, dir, "documents")
-      val w = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
-      val bigrams = when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      val topCount = array_max(transform(array_distinct(col("w")),
-        x => size(filter(col("w"), y => y === x))))
-      d.select(col("doc_id"), w.as("w"), bigrams.as("big"))
+      d.select(col("doc_id"), repStatsUdf(col("text")).as("r"))
         .select(
           col("doc_id"),
-          size(col("w")).as("tokens"),
-          size(col("big")).as("bigrams"),
-          size(array_distinct(col("big"))).as("distinct_bigrams"),
-          when(size(col("big")) > 0,
-            round(size(array_distinct(col("big"))).cast("double") / size(col("big")), 4))
+          col("r.tokens").as("tokens"),
+          col("r.bigrams").as("bigrams"),
+          col("r.distinct_bigrams").as("distinct_bigrams"),
+          when(col("r.bigrams") > 0,
+            round(col("r.distinct_bigrams").cast("double") / col("r.bigrams"), 4))
             .otherwise(lit(1.0)).as("bigram_ratio"),
-          topCount.as("top_word_count"),
-          round(topCount.cast("double") / greatest(size(col("w")), lit(1)), 4).as("top_word_frac"))
+          col("r.top_word_count").as("top_word_count"),
+          round(col("r.top_word_count").cast("double") / greatest(col("r.tokens"), lit(1)), 4)
+            .as("top_word_frac"))
         .withColumn("repetition_ok",
           col("bigram_ratio") >= 0.5 && col("top_word_frac") <= 0.2)
         .orderBy("doc_id")

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.spark.Queries
+
+/** Round-7 optimization guard: the compiled token-hash kernels
+  * (Queries.Kernels + the *Udf columns) must be VALUE-IDENTICAL to the
+  * legacy Catalyst higher-order-function expressions they replaced —
+  * that identity is what keeps every DuckDB oracle and the driver's
+  * correctness hashes unchanged. Pinned on adversarial strings (unicode
+  * incl. non-BMP, empties, whitespace runs, hash-heavy repetition) AND on
+  * deterministic pseudo-corpus rows. */
+class KernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("kernel-parity")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def samples: Seq[String] = {
+    val rnd = new scala.util.Random(7)
+    val words = Array("the", "spark", "join", "scan", "dedup", "a", "é",
+      "日本", "😀", "x1", "batch", "window", "the")
+    val generated = (0 until 40).map { _ =>
+      (0 until (1 + rnd.nextInt(60)))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    }
+    Seq("", " ", "  ", "a", "é", "日 本 日", "😀 😀 x", "a\tb\nc d\r\ne",
+      " lead", "trail ", "x x x x x y", "one",
+      "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t1 t2 t3 t4 t5 t6 t7 t8",
+      "ab", "abc", "abcd", "ab ab ab") ++ generated
+  }
+
+  private def df() = {
+    val sp = spark
+    import sp.implicits._
+    samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+  }
+
+  test("minhash signature kernel == legacy expression (d2/d5/d10 path)") {
+    val legacy = df()
+      .select(col("doc_id"),
+        transform(Queries.toksCol, tok => Queries.tokenHashCol(tok)).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .select(col("doc_id"),
+        Queries.minPerm(col("xs"), 1299721, 104729).as("mh0"),
+        Queries.minPerm(col("xs"), 7919, 7507).as("mh1"),
+        Queries.minPerm(col("xs"), 104183, 337).as("mh2"),
+        Queries.minPerm(col("xs"), 909091, 5861).as("mh3"))
+      .orderBy("doc_id").collect().toSeq
+    val kernel = df()
+      .select(col("doc_id"), Queries.minSigUdf(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig.mh0"), col("sig.mh1"), col("sig.mh2"), col("sig.mh3"))
+      .orderBy("doc_id").collect().toSeq
+    assert(kernel == legacy)
+  }
+
+  test("full signature kernel == legacy hs/band expressions (sigKeyed path)") {
+    val legacy = df()
+      .select(col("doc_id"),
+        transform(Queries.toksCol, tok => Queries.tokenHashCol(tok)).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .select(col("doc_id"),
+        array_sort(array_distinct(col("xs"))).as("hs"),
+        md5(concat_ws(":", Queries.minPerm(col("xs"), 1299721, 104729),
+          Queries.minPerm(col("xs"), 7919, 7507))).as("band0"),
+        md5(concat_ws(":", Queries.minPerm(col("xs"), 104183, 337),
+          Queries.minPerm(col("xs"), 909091, 5861))).as("band1"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getString(2), r.getString(3))).toSeq
+    val kernel = Queries.sigKeyed(df()).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getString(2), r.getString(3))).toSeq
+    assert(kernel == legacy)
+  }
+
+  test("simhash kernel == legacy nested-aggregate expression (d3)") {
+    val legacy = df()
+      .select(col("doc_id"),
+        transform(Queries.toksCol, tok => Queries.tokenHashCol(tok)).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
+          acc + CASE WHEN aggregate(xs, CAST(0 AS BIGINT), (a, x) ->
+            a + CASE WHEN (shiftright(x, b) % 2) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) > 0
+          THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""").as("simhash16"))
+      .orderBy("doc_id").collect().toSeq
+    val kernel = df()
+      .select(col("doc_id"), Queries.simhash16Udf(col("text")).as("simhash16"))
+      .filter(col("simhash16").isNotNull)
+      .orderBy("doc_id").collect().toSeq
+    assert(kernel == legacy)
+  }
+
+  test("shingle kernel == legacy rolling-fold expression (d8/d9)") {
+    val w = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val legacy = df()
+      .select(col("doc_id"), transform(w, tok => Queries.tokenHashCol(tok)).as("th"))
+      .select(col("doc_id"), Queries.shingleGramsCol.as("g"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val kernel = df()
+      .select(col("doc_id"), Queries.shinglesUdf(col("text")).as("g"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(kernel == legacy)
+  }
+
+  test("repetition-stats kernel == legacy HOF mode scan (t7)") {
+    val w = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val topCount = array_max(transform(array_distinct(col("w")),
+      x => size(filter(col("w"), y => y === x))))
+    val legacy = df()
+      .select(col("doc_id"), w.as("w"), bigrams.as("big"))
+      .select(col("doc_id"), size(col("w")).as("tokens"), size(col("big")).as("bigrams"),
+        size(array_distinct(col("big"))).as("distinct_bigrams"),
+        topCount.as("top_word_count"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        if (r.isNullAt(4)) null else r.getInt(4).toString)).toSeq
+    val kernel = df()
+      .select(col("doc_id"), Queries.repStatsUdf(col("text")).as("r"))
+      .select(col("doc_id"), col("r.tokens"), col("r.bigrams"),
+        col("r.distinct_bigrams"), col("r.top_word_count"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        if (r.isNullAt(4)) null else r.getInt(4).toString)).toSeq
+    assert(kernel == legacy)
+  }
+
+  test("3-gram kernel == legacy substring expression incl. short-text quirk (d4)") {
+    val legacy = df().select(col("doc_id"),
+      expr("size(array_distinct(transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))))")
+        .as("g3"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val kernel = df().select(col("doc_id"), Queries.gram3Udf(col("text")).as("g3"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(kernel == legacy)
+    // the quirk rows really are in the sample set (len <= 2 -> 1)
+    assert(kernel.take(4).map(_._2).forall(_ == 1))
+  }
+}
