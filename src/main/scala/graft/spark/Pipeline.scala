@@ -1293,7 +1293,10 @@ object Streaming {
     // files mapped to.
     val q = broadcast(probe).join(idx, "band")
       .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
-      .filter(size(array_intersect(col("hs_a"), col("hs_b"))) * 3 >=
+      // round 7: compiled sorted-merge intersect (Queries.interSizeUdf) —
+      // the per-candidate interpreted ArrayIntersect was this stream's
+      // dominant cost (addBatch 3030ms of 4413ms, R07Probe)
+      .filter(Queries.interSizeUdf(col("hs_a"), col("hs_b")) * 3 >=
         size(col("hs_a")) + size(col("hs_b")))
       .groupBy(col("doc_b"))
       .agg(min(col("doc_a")).as("cluster_old"))

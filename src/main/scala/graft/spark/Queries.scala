@@ -242,13 +242,22 @@ object Queries {
       // per-session paths would otherwise leak one table copy into /tmp per
       // JVM (the gates run many): this JVM deletes its own dir on exit
       registerBucketedCleanup(base)
+      // round 7: pre-partition each write by its bucket key into the
+      // bucket count (repartition and bucketBy share Murmur3 hash
+      // partitioning, so every writer task holds exactly one bucket) —
+      // the sort+parquet-encode runs on 8 cores instead of the 1-2 scan
+      // splits, and each bucket lands in ONE file, so the SMJ's scans
+      // read pre-sorted buckets (R07Probe: the li write was 1.1s of
+      // q12's 1.8s; guide §6 output sizing / §2 parallelize the write)
       t(spark, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/li").saveAsTable(liTable)
       t(spark, dir, "orders")
         .select("o_orderkey", "o_orderstatus")
+        .repartition(8, col("o_orderkey"))
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$base/ord").saveAsTable(ordTable)
@@ -564,6 +573,30 @@ object Queries {
       }
     })
 
+  /** |hs_a ∩ hs_b| for two SORTED-DISTINCT long arrays (the only shape
+    * sigKeyed/fullSigUdf produce) by a compiled linear merge — replaces
+    * size(array_intersect(...)) in the dedup verify paths, where the
+    * interpreted ArrayIntersect allocated a hash set PER CANDIDATE PAIR.
+    * The corpus is dup-heavy by construction (band0 at sf0.1: 57 buckets
+    * for 5000 docs, max bucket 3137), so the band join yields millions of
+    * candidate pairs and the per-pair intersect dominated d6/d11/x31
+    * (x31's one micro-batch: addBatch 3030ms of 4413ms total, R07Probe).
+    * Merge-count of sorted sets == intersection cardinality — same value,
+    * pinned against array_intersect in KernelParitySpec. */
+  private[graft] val interSizeUdf = udf((a: Array[Long], b: Array[Long]) => {
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  })
+
   private val d2 = Q(
     (spark, dir) => {
       // MinHash over the distinct-token set, computed ROW-LOCALLY: 4
@@ -720,7 +753,9 @@ object Queries {
           && col("b0a") =!= col("b0b"))
       link0.select("doc_a", "doc_b", "hs_a", "hs_b")
         .unionByName(link1.select("doc_a", "doc_b", "hs_a", "hs_b"))
-        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+        // round 7: compiled sorted-merge intersect (hs is sorted-distinct
+        // by construction) — see interSizeUdf
+        .withColumn("inter", interSizeUdf(col("hs_a"), col("hs_b")))
         .withColumn("jaccard", round(col("inter").cast("double") /
           (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
         .filter(col("jaccard") >= 0.5)
@@ -1115,20 +1150,21 @@ object Queries {
               least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("lbl"))
           // path halving: adopt the label of one's current label
           val l2 = hop.select(col("v").as("v2"), col("lbl").as("lbl2"))
-          val next = hop.join(l2, hop("lbl") === l2("v2"), "left")
-            .select(hop("v"), hop("lbl0"),
-              least(hop("lbl"), coalesce(col("lbl2"), hop("lbl"))).as("nl"))
-            .cache()
-          changed = next.filter(col("nl") < col("lbl0")).count()
           // localCheckpoint TRUNCATES the logical lineage (cache alone does
           // not — cached plans substitute only at physical planning, so the
           // halving self-join doubled the ANALYZED plan tree per round and
           // analysis time grew exponentially: measured 2.7s -> 11.5s per
-          // round on a 102-vertex graph)
-          val newLabels = next.select(col("v"), col("nl").as("lbl"))
+          // round on a 102-vertex graph). Round 7: ONE eager checkpoint per
+          // round (was cache -> count -> second materialization into the
+          // checkpoint); the convergence count then reads the materialized
+          // rows for near-free — halves the per-round job count.
+          val next = hop.join(l2, hop("lbl") === l2("v2"), "left")
+            .select(hop("v"), hop("lbl0"),
+              least(hop("lbl"), coalesce(col("lbl2"), hop("lbl"))).as("nl"))
             .localCheckpoint(true)
+          changed = next.filter(col("nl") < col("lbl0")).count()
+          val newLabels = next.select(col("v"), col("nl").as("lbl"))
           labels.unpersist(false)
-          next.unpersist(false)
           labels = newLabels
           iter += 1
           dbg(s"iter=$iter changed=$changed")
@@ -1279,15 +1315,21 @@ object Queries {
     * (doc_id, status in {dup_old, dup_new, new}, cluster). */
   private[graft] def incrementalDedup(spark: SparkSession, idxTable: String,
       delta: DataFrame): DataFrame = {
-    val dk = sigKeyed(delta)
+    // round 7: the delta's signatures feed FOUR subtrees (two probe sides,
+    // the within-delta pair join's both sides, the classification base) —
+    // materialize them once (localCheckpoint, the d7 precedent; released
+    // by the ContextCleaner) instead of re-scanning the documents parquet
+    // and re-running the kernel per subtree. Bounded by the delta.
+    val dk = sigKeyed(delta).localCheckpoint(true)
     val dIdx = bandedSigs(dk).select(col("doc_id").as("doc_b"),
       col("hs").as("hs_b"), col("b0").as("b0b"), col("band"))
     // Jaccard >= 1/2 as PURE INTEGER arithmetic: i/(a+b-i) >= 1/2 <=>
-    // 3i >= a+b. One array_intersect per candidate (the predicate gets
-    // pushed into the join condition, where a ratio form would evaluate
-    // the intersect three times — measured 2x slower) and no float
-    // rounding at the threshold (the r5 d6 parity-window class)
-    def jacHalf = size(array_intersect(col("hs_a"), col("hs_b"))) * 3 >=
+    // 3i >= a+b. One intersect per candidate (a ratio form would evaluate
+    // it three times) and no float rounding at the threshold (the r5 d6
+    // parity-window class). Round 7: compiled sorted-merge intersect
+    // (interSizeUdf) — the interpreted ArrayIntersect built a hash set
+    // per candidate pair, the dominant cost on this dup-heavy corpus.
+    def jacHalf = interSizeUdf(col("hs_a"), col("hs_b")) * 3 >=
       size(col("hs_a")) + size(col("hs_b"))
     // new<->old: delta bands probe the bucketed index; a band-1 match
     // only counts when the band0s differ (exact pair dedupe, as in d6)
@@ -2149,37 +2191,95 @@ object Queries {
            |SELECT qid, vec_id, cell, rank, sim FROM ranked WHERE rank <= 3
            |ORDER BY qid, rank""".stripMargin))
 
+  /** One assignment row per (vector, centroid) from the compiled kernel. */
+  final case class AssignCell(cid: Long, cdist: Double, crank: Int)
+
   /** One Lloyd assignment pass: every vector ranked against the current
-    * centroids by rounded squared-L2 distance (ties -> lowest cid), via a
-    * broadcast of the K-row codebook — the vectors never shuffle. */
+    * centroids by rounded squared-L2 distance (ties -> lowest cid).
+    * Round 7 (guide §1.2 step 1 then 2): the K-row codebook is COLLECTED
+    * — a few-KB artifact, exactly what the training loop re-broadcasts
+    * per iteration anyway — and each vector ranks all K centroids
+    * row-locally in a compiled kernel: same in-order (x-c)^2 fold (left
+    * fold over dimensions, as the zip_with/aggregate form), same HALF_UP
+    * 6-decimal rounding (BigDecimal.valueOf — Spark Round's double path,
+    * pinned in KernelParitySpec), same (cdist, cid) tie-break via a
+    * stable sort over cid-ascending centroids. This removes the N x K
+    * row expansion AND the per-pass row_number window shuffle — the
+    * assignment is now exchange-free. */
   private[graft] def kmeansAssign(e: DataFrame, cent: DataFrame): DataFrame = {
-    val sqDist = round(aggregate(zip_with(col("cv"), col("emb"),
-      (c, x) => (x - c) * (x - c)), lit(0.0), (acc, x) => acc + x), 6)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").asc, col("cid").asc)
-    e.join(broadcast(cent))
-      .select(col("vec_id"), col("emb"), col("cid"), sqDist.as("cdist"))
-      .withColumn("crank", row_number().over(wAssign))
+    val cents = cent.select(col("cid"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val cids = cents.map(_._1)
+    val cvs = cents.map(_._2)
+    val assignUdf = udf((emb: Seq[Double]) => {
+      val x = emb.toArray
+      val k = cvs.length
+      val ds = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cv = cvs(c)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(cv.length, x.length)
+        while (i < n) {
+          val d = x(i) - cv(i)
+          acc += d * d
+          i += 1
+        }
+        ds(c) = java.math.BigDecimal.valueOf(acc)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        c += 1
+      }
+      // stable sort by distance over cid-ascending indices == row_number
+      // ordered by (cdist asc, cid asc)
+      Array.tabulate(k)(identity).sortBy(ds(_)).zipWithIndex.map {
+        case (ci, rank) => AssignCell(cids(ci), ds(ci), rank + 1)
+      }
+    })
+    e.select(col("vec_id"), col("emb"), explode(assignUdf(col("emb"))).as("a"))
+      .select(col("vec_id"), col("emb"), col("a.cid").as("cid"),
+        col("a.cdist").as("cdist"), col("a.crank").as("crank"))
   }
+
+  /** In-order per-dimension mean over vec_id-sorted member vectors: the
+    * identical IEEE addition sequence as the legacy per-(cell, dim)
+    * sort_array(collect_list) -> aggregate fold, one compiled pass per
+    * cell instead of a posexplode to N x d rows + two chained groupBys. */
+  private[graft] val meanVecUdf = udf((embs: Seq[Seq[Double]]) => {
+    val n = embs.length
+    val d = embs.head.length
+    val out = new Array[Double](d)
+    var r = 0
+    while (r < n) {
+      val e = embs(r)
+      var i = 0
+      while (i < d) { out(i) += e(i); i += 1 }
+      r += 1
+    }
+    var i = 0
+    while (i < d) { out(i) /= n; i += 1 }
+    out
+  })
 
   /** Deterministic Lloyd training over (vec_id, emb: array<double>) rows:
     * init = vectors 0..7, `iters` fixed assignment+mean rounds. The mean
-    * folds in vec_id order (sort_array(collect_list) -> aggregate) because
+    * folds in vec_id order (sort_array -> in-order kernel fold) because
     * a plain double sum is accumulation-order-dependent — irreproducible
-    * across partitionings and unmatchable by any oracle replay. */
+    * across partitionings and unmatchable by any oracle replay. Round 7:
+    * each iteration's K x d centroid artifact is collected to the driver
+    * (inside the next kmeansAssign) and re-enters as kernel literals —
+    * one bounded job per Lloyd round instead of a 3-deep lazy mega-plan
+    * of broadcast joins + windows. */
   private[graft] def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
     var cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("emb").as("cv"))
     for (_ <- 0 until iters) {
       cent = kmeansAssign(e, cent).filter(col("crank") === 1)
-        .select(col("cid"), col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
-        .groupBy("cid", "i")
-        .agg((aggregate(
-          transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
-            s => s.getField("x")),
-          lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("m"))
         .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
-          s => s.getField("m")).as("cv"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("emb")))).as("rows"))
+        .select(col("cid"),
+          meanVecUdf(transform(col("rows"), r => r.getField("emb"))).as("cv"))
     }
     cent
   }

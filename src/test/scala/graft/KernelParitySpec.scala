@@ -145,6 +145,79 @@ class KernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernel == legacy)
   }
 
+  test("sorted-merge intersect kernel == array_intersect size (d6/d11/x31 verify)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      def arr() = Queries.Kernels.sortedDistinct(
+        Array.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong))
+      (i.toLong, arr(), arr())
+    } :+ ((300L, Array.empty[Long], Array[Long](1, 2, 3))) :+
+      ((301L, Array[Long](5), Array[Long](5)))
+    val df = rows.toDF("id", "a", "b")
+    val legacy = df.select(col("id"), size(array_intersect(col("a"), col("b"))))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val kernel = df.select(col("id"), Queries.interSizeUdf(col("a"), col("b")))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(kernel == legacy)
+  }
+
+  test("BigDecimal.valueOf HALF_UP == Spark round(double, 6) (s5 distances)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    // magnitudes spanning the squared-distance domain plus half-way points
+    val vals = (0 until 2000).map(_ => rnd.nextDouble() * math.pow(10, rnd.nextInt(6) - 2)) ++
+      Seq(0.0, 1.2345665, 1.2345675, 0.0000005, 123.4567895, 1e-9)
+    val viaSpark = vals.toDF("v").select(round(col("v"), 6)).collect().map(_.getDouble(0))
+    val viaKernel = vals.map(v => java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    assert(viaSpark.toSeq == viaKernel)
+  }
+
+  test("k-means kernel == legacy expression pipeline (s5 training + assignment)") {
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+    def legacyAssign(cent: org.apache.spark.sql.DataFrame) = {
+      val sqDist = round(aggregate(zip_with(col("cv"), col("emb"),
+        (c, x) => (x - c) * (x - c)), lit(0.0), (acc, x) => acc + x), 6)
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").asc, col("cid").asc)
+      e.join(broadcast(cent))
+        .select(col("vec_id"), col("emb"), col("cid"), sqDist.as("cdist"))
+        .withColumn("crank", row_number().over(wAssign))
+    }
+    def legacyCentroids(iters: Int) = {
+      var cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("emb").as("cv"))
+      for (_ <- 0 until iters) {
+        cent = legacyAssign(cent).filter(col("crank") === 1)
+          .select(col("cid"), col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
+          .groupBy("cid", "i")
+          .agg((aggregate(
+            transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+              s => s.getField("x")),
+            lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("m"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+            s => s.getField("m")).as("cv"))
+      }
+      cent
+    }
+    def centRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cid").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toSeq
+    // trained codebooks bit-identical after 3 Lloyd rounds
+    assert(centRows(Queries.kmeansCentroids(e, 3)) == centRows(legacyCentroids(3)))
+    // and the full final assignment (dist + rank per vector x centroid)
+    def assignRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid", "cdist", "crank").orderBy("vec_id", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(assignRows(Queries.kmeansAssign(e, Queries.kmeansCentroids(e, 3))) ==
+      assignRows(legacyAssign(legacyCentroids(3))))
+  }
+
   test("3-gram kernel == legacy substring expression incl. short-text quirk (d4)") {
     val legacy = df().select(col("doc_id"),
       expr("size(array_distinct(transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))))")
