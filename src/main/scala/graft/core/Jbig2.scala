@@ -40,7 +40,7 @@ object Jbig2 {
     * a per-row Array[Array[...]] would let a tall-skinny region (w=1,
     * h=64M — the area cap alone passes it) allocate gigabytes of
     * row-object overhead, the WAV-style decode-bomb class. */
-  private final case class Bm(w: Int, h: Int, bits: Array[Boolean])
+  private[graft] final case class Bm(w: Int, h: Int, bits: Array[Boolean])
 
   private final case class Seg(num: Long, tpe: Int, refs: List[Long], body: Int, end: Int)
 
@@ -516,8 +516,16 @@ object Jbig2 {
   /** Clip one symbol blit to the page intersection (an off-page instance
     * must cost nothing), charge the clipped area against the region-wide
     * draw budget, then draw. Returns the updated cumulative count. */
-  private def blitInstance(bits: Array[Boolean], w: Int, h: Int, bm: Bm,
+  private[graft] def blitInstance(bits: Array[Boolean], w: Int, h: Int, bm: Bm,
       curS: Long, offT: Long, drawn: Long, maxDrawn: Long): Either[PdfError, Long] = {
+    // Fully off-page instances return BEFORE any .toInt: the arithmetic
+    // decoder's 32-bit branch can yield |offT|/|curS| up to ~2^32 and the
+    // Huffman Lower/Upper lines read 32-bit offsets, so math.max(0L,
+    // -offT).toInt would WRAP for such values and index bits/bm.bits
+    // negatively (totality violation) or draw wrong pixels. After this
+    // guard every clip bound lies in [-bm.h, h] x [-bm.w, w] — Int-safe.
+    if (offT <= -bm.h.toLong || offT >= h.toLong ||
+        curS <= -bm.w.toLong || curS >= w.toLong) return Right(drawn)
     val ry0 = math.max(0L, -offT).toInt
     val ry1 = math.min(bm.h.toLong, h.toLong - offT).toInt
     val rx0 = math.max(0L, -curS).toInt
@@ -550,7 +558,7 @@ object Jbig2 {
     * B.8-B.10, DT: B.11-B.13), CURT as LOG2SBSTRIPS raw bits. Placement,
     * draw budget and refusal semantics are shared with the arithmetic
     * path. */
-  private def decodeTextRegionHuffman(data: Array[Byte], body: Int, end: Int,
+  private[graft] def decodeTextRegionHuffman(data: Array[Byte], body: Int, end: Int,
       w: Int, h: Int, syms: Vector[Bm], flags: Int,
       customs: Vector[Jbig2Huffman.Table]): Either[PdfError, Bm] = {
     import Jbig2Huffman._
@@ -561,6 +569,16 @@ object Jbig2 {
       val raw = (flags >> 10) & 0x1f
       if (raw > 15) raw - 32 else raw
     }
+    // mirror the arithmetic path's refusals (the SBHUFF dispatch happens
+    // BEFORE them in decodeTextRegion): a transposed or non-OR-composited
+    // Huffman text region must refuse loudly, not silently decode with
+    // wrong placement/compositing (file policy, line 15)
+    val transposed = (flags >> 6) & 1
+    val combOp = (flags >> 7) & 3
+    if (transposed == 1)
+      return Left(PdfError.UnsupportedFeature("JBIG2 transposed text region"))
+    if (combOp != 0)
+      return Left(PdfError.UnsupportedFeature(s"JBIG2 text region comb op $combOp"))
     if (end - body < 25)
       return Left(PdfError.ParseError("JBIG2: truncated Huffman text region header"))
     val hf = u16(data, body + 19)

@@ -442,4 +442,57 @@ class Jbig2Spec extends AnyFunSuite {
       Seq(solid), Seq((0, 0, 0), (0, 4, 2), (0, 8, 4)), 24, 16)
     assert(Jbig2.decodeEmbedded(ok).isRight)
   }
+
+  test("blitInstance: >=32-bit offsets cost nothing and never wrap into the bitmap (r6 advice)") {
+    // the arithmetic decodeInt's 32-bit branch yields up to ±(2^32+4435)
+    // and Huffman Lower/Upper lines read 32-bit offsets — a truncating
+    // .toInt on such an offT/curS wrapped (e.g. to Int.MinValue) and
+    // indexed bits/bm.bits negatively; the guard must return BEFORE any
+    // Int conversion
+    val bits = new Array[Boolean](16 * 16)
+    val glyph = Jbig2.Bm(8, 8, Array.fill(64)(true))
+    val huge = Seq(1L << 32, -(1L << 32), Int.MaxValue.toLong + 7,
+      Int.MinValue.toLong - 7, 1L << 31, -(1L << 31) - 1, (1L << 32) + 4435)
+    for (offT <- huge; curS <- 0L +: huge) {
+      val r = Jbig2.blitInstance(bits, 16, 16, glyph, curS, offT, 5L, 512L)
+      assert(r == Right(5L), s"offT=$offT curS=$curS -> $r")
+    }
+    for (curS <- huge) {
+      val r = Jbig2.blitInstance(bits, 16, 16, glyph, curS, 0L, 5L, 512L)
+      assert(r == Right(5L), s"curS=$curS -> $r")
+    }
+    assert(bits.forall(!_), "off-page instance drew pixels")
+    // boundary: exactly off-page on each side costs nothing
+    for ((s, t) <- Seq((0L, -8L), (0L, 16L), (-8L, 0L), (16L, 0L)))
+      assert(Jbig2.blitInstance(bits, 16, 16, glyph, s, t, 1L, 512L) == Right(1L))
+    assert(bits.forall(!_))
+    // one row/column visible draws exactly that clip and charges it
+    assert(Jbig2.blitInstance(bits, 16, 16, glyph, 0L, -7L, 0L, 512L) == Right(8L))
+    assert(bits.count(identity) == 8)
+    java.util.Arrays.fill(bits, false)
+    // fully in-range draws the whole glyph
+    assert(Jbig2.blitInstance(bits, 16, 16, glyph, 4L, 4L, 0L, 512L) == Right(64L))
+    assert(bits.count(identity) == 64)
+  }
+
+  test("Huffman text region refuses TRANSPOSED and non-OR comb ops like the arithmetic path (r6 advice)") {
+    // the SBHUFF dispatch precedes the arithmetic path's refusals; the
+    // Huffman decoder must apply the same ones rather than decode with
+    // wrong placement/compositing and report success
+    val data = new Array[Byte](64)
+    val syms = Vector(Jbig2.Bm(2, 2, Array.fill(4)(false)))
+    Jbig2.decodeTextRegionHuffman(data, 0, 64, 8, 8, syms, (1 << 6) | 1,
+      Vector.empty) match {
+      case Left(PdfError.UnsupportedFeature(msg)) =>
+        assert(msg.toLowerCase.contains("transposed"), msg)
+      case other => fail(s"expected transposed refusal, got $other")
+    }
+    for (op <- 1 to 3)
+      Jbig2.decodeTextRegionHuffman(data, 0, 64, 8, 8, syms, (op << 7) | 1,
+        Vector.empty) match {
+        case Left(PdfError.UnsupportedFeature(msg)) =>
+          assert(msg.contains("comb op"), msg)
+        case other => fail(s"expected comb-op refusal, got $other")
+      }
+  }
 }
