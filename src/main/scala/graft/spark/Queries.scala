@@ -837,20 +837,33 @@ object Queries {
     }.reduce(_.unionByName(_))
 
   private[graft] def signLshBandPairs(allv: DataFrame, cap: Long = 64L): DataFrame = {
-    // per-band oversize band keys, tiny by construction (≤ totalRows/cap
-    // keys can exceed the cap); materialized ONCE (localCheckpoint) and
-    // reused by both the audit and the flag joins below
-    val big = (0 until 4).map { j =>
-      allv.groupBy(col(s"band$j")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > cap)
-        .localCheckpoint(true)
-    }
+    // Round 7: the per-band oversize keys come from ONE aggregation over
+    // the exploded (band, key) pairs — four groupBy jobs + four
+    // localCheckpoints collapse into a single job whose result (tiny by
+    // construction: ≤ 4 x rows/cap keys) is collected and reused as
+    // LITERAL sets by the flag predicates below, replacing four broadcast
+    // left joins. Same flags, same drops, same audit values.
+    val bigRows = allv.select(explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"), col(s"band$j").as("key"))): _*)).as("bk"))
+      .groupBy(col("bk.j").as("j"), col("bk.key").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .collect()
+    val bigKeys: Array[Set[Long]] = Array.tabulate(4)(j =>
+      bigRows.filter(_.getInt(0) == j).map(_.getLong(1)).toSet)
     // no silent caps: the drop audit rides an observe() on the one audit
     // action, so the counters land in the SQL metrics stream (QueryExecution
     // listeners / event log — what a cluster's ops pipeline exports) as
     // metrics rows, not a driver log line. A pair oversize in SEVERAL bands
     // is counted once per band here; the recovery below means only pairs
-    // oversize in EVERY shared band are truly lost.
+    // oversize in EVERY shared band are truly lost. The audit inputs are
+    // the already-collected oversize rows (local relations — no re-scan).
+    val sp = allv.sparkSession
+    import sp.implicits._
+    val big = (0 until 4).map { j =>
+      bigRows.filter(_.getInt(0) == j).map(r => (r.getLong(1), r.getLong(2))).toSeq
+        .toDF(s"band$j", "n")
+    }
     val obs = org.apache.spark.sql.Observation()
     signLshDropAudit(big)
       .observe(obs,
@@ -871,9 +884,9 @@ object Queries {
     // band-i bucket but a healthy band-j bucket would be lost in EVERY
     // band instead of recovered by band j
     val flagged = (0 until 4).foldLeft(allv) { (df, j) =>
-      df.join(broadcast(big(j).select(col(s"band$j"), lit(true).as(s"drop$j"))),
-          Seq(s"band$j"), "left")
-        .withColumn(s"drop$j", coalesce(col(s"drop$j"), lit(false)))
+      df.withColumn(s"drop$j",
+        if (bigKeys(j).isEmpty) lit(false)
+        else col(s"band$j").isInCollection(bigKeys(j)))
     }
     val lhs = flagged.select(col("id").as("id_a") +: col("embedding").as("emb_a") +:
       ((0 until 4).map(j => col(s"band$j").as(s"a$j")) ++
@@ -1115,6 +1128,18 @@ object Queries {
       val edges = half
         .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
         .cache()
+      // Round 7 (guide §2: scale-adaptive partitioning): the propagation
+      // rounds run on the CONTRACTED rep graph, whose size is known here
+      // — one count of the (cached) edge set sizes the rounds' shuffle
+      // partitions to the graph (~50k edges per partition, at least 1,
+      // at most the session's parallelism) instead of a constant. At
+      // sf0.1 the rep graph is a few hundred edges, so each round's 5-6
+      // tiny stages run on 1 partition instead of 4 — pure scheduler
+      // overhead removed; a 100 TB rep graph sizes up automatically.
+      val edgeCount = edges.count()
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+          edgeCount / 50000 + 1)).toString)
       var labels = withReps
         .select(explode(array(col("rep_band0"), col("rep_band1"))).as("v"))
         .distinct()

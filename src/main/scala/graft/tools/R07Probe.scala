@@ -85,16 +85,16 @@ object R07Probe {
           col("b0").as("b0b"), col("band"))
       val idx2 = child.table(s"idx_$sid").select(col("band"),
         col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("b0").as("b0a"))
-      timed("manual stream run") {
+      for (rep <- 1 to 2) timed(s"manual stream run (current code) #$rep") {
         val q = broadcast(probe2).join(idx2, "band")
           .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
-          .filter(size(array_intersect(col("hs_a"), col("hs_b"))) * 3 >=
+          .filter(Queries.interSizeUdf(col("hs_a"), col("hs_b")) * 3 >=
             size(col("hs_a")) + size(col("hs_b")))
           .groupBy(col("doc_b"))
           .agg(min(col("doc_a")).as("cluster_old"))
           .writeStream
           .format("memory")
-          .queryName("probe_manual")
+          .queryName("probe_manual_" + rep)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
