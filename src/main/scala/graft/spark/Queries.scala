@@ -597,6 +597,75 @@ object Queries {
     n
   })
 
+  /** round(dot/(|a||b|), 6) over FLOAT vectors with the exact arithmetic
+    * of the HOF form it replaces (s1/s3/s4 + d7's verify): per-element
+    * FLOAT product then widening (zip_with on float columns multiplies in
+    * float), in-order double accumulation for dot and both norms,
+    * BigDecimal.valueOf HALF_UP rounding (Spark Round's double path) —
+    * one compiled pass instead of three interpreted aggregates per pair.
+    * Pinned against the expression form in KernelParitySpec. */
+  private[graft] val cosSim6FUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+    val aa = a.toArray
+    val bb = b.toArray
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    val n = math.min(aa.length, bb.length)
+    var i = 0
+    while (i < n) { dot += aa(i) * bb(i); i += 1 }
+    i = 0
+    while (i < aa.length) { na += aa(i) * aa(i); i += 1 }
+    i = 0
+    while (i < bb.length) { nb += bb(i) * bb(i); i += 1 }
+    java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  })
+
+  /** Double-vector variant (s5's search stage, where emb is cast double). */
+  private[graft] val cosSim6DUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    val aa = a.toArray
+    val bb = b.toArray
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    val n = math.min(aa.length, bb.length)
+    var i = 0
+    while (i < n) { dot += aa(i) * bb(i); i += 1 }
+    i = 0
+    while (i < aa.length) { na += aa(i) * aa(i); i += 1 }
+    i = 0
+    while (i < bb.length) { nb += bb(i) * bb(i); i += 1 }
+    java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  })
+
+  /** s2/s3's 8-plane sign-LSH bucket in one compiled pass: the plane
+    * values cos(i*(k+1)*0.7 + k) are data-independent constants
+    * (precomputed with the same Math.cos the Catalyst cos calls), the
+    * projection is the same float-widened in-order double fold, the
+    * bucket the same sum of set bits. The HOF form re-built the 64-entry
+    * cosine array per row PER PLANE — 512 interpreted cos() calls per
+    * row. Pinned in KernelParitySpec. */
+  private[graft] val signBucket8Udf = {
+    val planes = Array.tabulate(8)(k =>
+      Array.tabulate(64)(i => math.cos(i.toDouble * (k + 1) * 0.7 + k)))
+    udf((emb: Seq[Float]) => {
+      val x = emb.toArray
+      var bucket = 0L
+      var k = 0
+      while (k < 8) {
+        val p = planes(k)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(x.length, p.length)
+        while (i < n) { acc += x(i) * p(i); i += 1 }
+        if (acc > 0) bucket |= 1L << k
+        k += 1
+      }
+      bucket
+    })
+  }
+
   private val d2 = Q(
     (spark, dir) => {
       // MinHash over the distinct-token set, computed ROW-LOCALLY: 4
@@ -974,12 +1043,10 @@ object Queries {
         // recovery and reuse.
         .localCheckpoint(true)
       val links = signLshBandPairs(allv)
-      val dot = aggregate(zip_with(col("emb_a"), col("emb_b"), (a, x) => a * x),
-        lit(0.0), (acc, x) => acc + x)
-      val na = sqrt(aggregate(col("emb_a"), lit(0.0), (acc, x) => acc + x * x))
-      val nb = sqrt(aggregate(col("emb_b"), lit(0.0), (acc, x) => acc + x * x))
       links
-        .select(col("id_a"), col("id_b"), round(dot / (na * nb), 6).as("sim"))
+        // round 7: compiled cosine kernel (same fold order + rounding)
+        .select(col("id_a"), col("id_b"),
+          cosSim6FUdf(col("emb_a"), col("emb_b")).as("sim"))
         .filter(col("sim") >= 0.9)
         .orderBy("id_a", "id_b")
     },
@@ -1329,6 +1396,12 @@ object Queries {
   private[graft] def buildSignatureIndex(docs: DataFrame, table: String,
       path: String): Unit =
     bandedSigs(sigKeyed(docs))
+      // round 7: pre-partition by the bucket key (repartition and
+      // bucketBy share Murmur3 hash partitioning) so the signature
+      // kernel + sort + parquet encode run on all 8 bucket tasks rather
+      // than on the corpus scan's splits, and each bucket lands in ONE
+      // sorted file (q12 got the same treatment)
+      .repartition(8, col("band"))
       .write.mode("overwrite")
       .bucketBy(8, "band").sortBy("band")
       .option("path", path).saveAsTable(table)
@@ -2092,14 +2165,11 @@ object Queries {
       val e = t(spark, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val dot = aggregate(zip_with(col("qv"), col("embedding"), (a, x) => a * x),
-        lit(0.0), (acc, x) => acc + x)
-      val qn = sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x))
-      val en = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
       broadcast(queries).join(e, col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"),
-          round(dot / (qn * en), 6).as("sim"))
+          // round 7: compiled cosine kernel (same fold order + rounding)
+          cosSim6FUdf(col("qv"), col("embedding")).as("sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("qid", "vec_id", "rank", "sim")
@@ -2124,18 +2194,12 @@ object Queries {
       // hyperplanes -> bucket id; the scale path for similarity search
       // (bucket-join instead of full cross join).
       val e = t(spark, dir, "embeddings")
-      // deterministic pseudo-hyperplanes from the dimension index
-      val planes = (0 until 8).map { k =>
-        val proj = aggregate(
-          zip_with(col("embedding"),
-            transform(sequence(lit(0), size(col("embedding")) - 1),
-              i => cos(i.cast("double") * (k + 1) * 0.7 + k)),
-            (x, h) => x * h),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0, lit(1L << k)).otherwise(lit(0L))
-      }
+      // deterministic pseudo-hyperplanes from the dimension index —
+      // round 7: one compiled pass over precomputed plane constants
+      // (signBucket8Udf) instead of 8 interpreted projections that each
+      // rebuilt the 64-entry cosine array per row
       e.select(col("vec_id"), col("label"),
-        planes.reduce(_ + _).as("bucket"))
+        signBucket8Udf(col("embedding")).as("bucket"))
         .orderBy("vec_id")
     },
     Some("""SELECT vec_id, label,
@@ -2159,29 +2223,22 @@ object Queries {
       val e = t(spark, dir, "embeddings")
       val cent = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val sim = {
-        val dot = aggregate(zip_with(col("cv"), col("embedding"), (a, x) => a * x),
-          lit(0.0), (acc, x) => acc + x)
-        val nc = sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x))
-        val ne = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
-        round(dot / (nc * ne), 6)
-      }
+      // round 7: compiled cosine kernel in the assignment and the rerank
+      // (same fold order + rounding — see cosSim6FUdf)
       val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
       val assigned = e.join(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("cid"), sim.as("csim"))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          cosSim6FUdf(col("cv"), col("embedding")).as("csim"))
         .withColumn("crank", row_number().over(wAssign))
       val cells = assigned.filter(col("crank") === 1)
         .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
       val probes = assigned.filter(col("vec_id") < 10 && col("crank") <= 2)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid").as("cell"))
-      val qdot = aggregate(zip_with(col("qv"), col("embedding"), (a, x) => a * x),
-        lit(0.0), (acc, x) => acc + x)
-      val qn = sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x))
-      val en = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
       val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
       probes.join(cells, Seq("cell"))
         .filter(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id"), col("cell"), round(qdot / (qn * en), 6).as("sim"))
+        .select(col("qid"), col("vec_id"), col("cell"),
+          cosSim6FUdf(col("qv"), col("embedding")).as("sim"))
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= 3)
         .select("qid", "vec_id", "cell", "rank", "sim")
@@ -2341,14 +2398,12 @@ object Queries {
         .select(col("vec_id"), col("emb"), col("cid").as("cell"))
       val probes = fin.filter(col("vec_id") < 10 && col("crank") <= 2)
         .select(col("vec_id").as("qid"), col("emb").as("qv"), col("cid").as("cell"))
-      val qdot = aggregate(zip_with(col("qv"), col("emb"), (a, x) => a * x),
-        lit(0.0), (acc, x) => acc + x)
-      val qn = sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x))
-      val en = sqrt(aggregate(col("emb"), lit(0.0), (acc, x) => acc + x * x))
       val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
       probes.join(cells, Seq("cell"))
         .filter(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id"), col("cell"), round(qdot / (qn * en), 6).as("sim"))
+        // round 7: compiled cosine kernel (double variant)
+        .select(col("qid"), col("vec_id"), col("cell"),
+          cosSim6DUdf(col("qv"), col("emb")).as("sim"))
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= 3)
         .select("qid", "vec_id", "cell", "rank", "sim")
@@ -2436,29 +2491,17 @@ object Queries {
       // bucket (the scale path — bucket join instead of cross join),
       // then exact cosine top-3 within the bucket
       val e = t(spark, dir, "embeddings")
-      val planes = (0 until 8).map { k =>
-        val proj = aggregate(
-          zip_with(col("embedding"),
-            transform(sequence(lit(0), size(col("embedding")) - 1),
-              i => cos(i.cast("double") * (k + 1) * 0.7 + k)),
-            (x, h) => x * h),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0, lit(1L << k)).otherwise(lit(0L))
-      }
+      // round 7: compiled plane projection + cosine kernels (see s2/s1)
       val bucketed = e.select(col("vec_id"), col("embedding"),
-        planes.reduce(_ + _).as("bucket"))
+        signBucket8Udf(col("embedding")).as("bucket"))
       val queries = bucketed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
-      val dot = aggregate(zip_with(col("qv"), col("embedding"), (a, x) => a * x),
-        lit(0.0), (acc, x) => acc + x)
-      val qn = sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x))
-      val en = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
       queries.join(bucketed, Seq("bucket"))
         .filter(col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"), col("bucket"),
-          round(dot / (qn * en), 6).as("sim"))
+          cosSim6FUdf(col("qv"), col("embedding")).as("sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("qid", "vec_id", "bucket", "rank", "sim")

@@ -218,6 +218,68 @@ class KernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assignRows(legacyAssign(legacyCentroids(3))))
   }
 
+  test("cosine + sign-bucket kernels == legacy HOF expressions (s1-s4/d7, s5 search)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 200L).map { i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat),
+        Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = rows.toDF("id", "a", "b")
+    // float cosine: zip_with multiplies in FLOAT, aggregate accumulates
+    // the widened products in order
+    val dot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(col("b"), lit(0.0), (acc, x) => acc + x * x))
+    val legacyCos = df.select(col("id"), round(dot / (na * nb), 6))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val kernelCos = df.select(col("id"), Queries.cosSim6FUdf(col("a"), col("b")))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(kernelCos == legacyCos)
+    // double cosine (s5 search path)
+    val dd = df.select(col("id"),
+      transform(col("a"), x => x.cast("double")).as("a"),
+      transform(col("b"), x => x.cast("double")).as("b"))
+    val legacyCosD = dd.select(col("id"), round(dot / (na * nb), 6))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val kernelCosD = dd.select(col("id"), Queries.cosSim6DUdf(col("a"), col("b")))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(kernelCosD == legacyCosD)
+    // 8-plane sign bucket (s2/s3): the legacy per-plane projection
+    val planes = (0 until 8).map { k =>
+      val proj = aggregate(
+        zip_with(col("a"),
+          transform(sequence(lit(0), size(col("a")) - 1),
+            i => cos(i.cast("double") * (k + 1) * 0.7 + k)),
+          (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << k)).otherwise(lit(0L))
+    }
+    val legacyBucket = df.select(col("id"), planes.reduce(_ + _))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val kernelBucket = df.select(col("id"), Queries.signBucket8Udf(col("a")))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(kernelBucket == legacyBucket)
+    // and on the real embeddings table, not just synthetic vectors
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val le = e.select(col("vec_id"),
+      (0 until 8).map { k =>
+        val proj = aggregate(
+          zip_with(col("embedding"),
+            transform(sequence(lit(0), size(col("embedding")) - 1),
+              i => cos(i.cast("double") * (k + 1) * 0.7 + k)),
+            (x, h) => x * h),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _).as("bkt"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ke = e.select(col("vec_id"), Queries.signBucket8Udf(col("embedding")).as("bkt"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ke == le)
+  }
+
   test("3-gram kernel == legacy substring expression incl. short-text quirk (d4)") {
     val legacy = df().select(col("doc_id"),
       expr("size(array_distinct(transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))))")
