@@ -1279,7 +1279,10 @@ object Streaming {
     val stream = spark.readStream.schema(schema).parquet(deltaDir)
     val probe = Queries.bandedSigs(Queries.sigKeyed(stream))
       .select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
-        col("b0").as("b0b"), col("band"))
+        col("b0").as("b0b"), col("band"),
+        // per-probe-row band-0 flag: the first-band-wins filter below
+        // would otherwise run a substring + compare per candidate PAIR
+        (substring(col("band"), 1, 2) === "0:").as("is0"))
     val idx = spark.table(idxTable).select(col("band"),
       col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("b0").as("b0a"))
     // Jaccard >= 1/2 as integer arithmetic (3i >= a+b): one
@@ -1292,7 +1295,7 @@ object Streaming {
     // leaving the verify on however few partitions the micro-batch's
     // files mapped to.
     val q = broadcast(probe).join(idx, "band")
-      .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
+      .filter(col("is0") || col("b0a") =!= col("b0b"))
       // round 7: compiled sorted-merge intersect (Queries.interSizeUdf) —
       // the per-candidate interpreted ArrayIntersect was this stream's
       // dominant cost (addBatch 3030ms of 4413ms, R07Probe)

@@ -505,6 +505,17 @@ object Queries {
       }
     })
 
+  /** t10's in-order token bigram strings ("tok_i tok_{i+1}") in one
+    * compiled pass — same tokens, same concatenation, empty below 2
+    * tokens (as the when/otherwise form). Pinned in KernelParitySpec. */
+  private[graft] val bigramsUdf = udf((text: String) =>
+    if (text == null) Array.empty[String]
+    else {
+      val ts = Kernels.tokens(text)
+      if (ts.length < 2) Array.empty[String]
+      else Array.tabulate(ts.length - 1)(i => ts(i) + " " + ts(i + 1))
+    })
+
   /** t7's per-row stats in one compiled pass: top_word_count is the max
     * token frequency via a hash count — O(tokens), same VALUE as the
     * O(distinct x tokens) HOF mode scan it replaces (r6 verdict's one
@@ -1419,8 +1430,13 @@ object Queries {
     // by the ContextCleaner) instead of re-scanning the documents parquet
     // and re-running the kernel per subtree. Bounded by the delta.
     val dk = sigKeyed(delta).localCheckpoint(true)
+    // is0 (band-0 row?) is a per-PROBE-ROW fact precomputed here: the
+    // first-band-wins filter below would otherwise evaluate a substring
+    // + string-compare once per candidate PAIR (millions on this
+    // dup-heavy corpus) instead of once per delta band row (thousands)
     val dIdx = bandedSigs(dk).select(col("doc_id").as("doc_b"),
-      col("hs").as("hs_b"), col("b0").as("b0b"), col("band"))
+      col("hs").as("hs_b"), col("b0").as("b0b"), col("band"),
+      (substring(col("band"), 1, 2) === "0:").as("is0"))
     // Jaccard >= 1/2 as PURE INTEGER arithmetic: i/(a+b-i) >= 1/2 <=>
     // 3i >= a+b. One intersect per candidate (a ratio form would evaluate
     // it three times) and no float rounding at the threshold (the r5 d6
@@ -1434,7 +1450,7 @@ object Queries {
     val idx = spark.table(idxTable).select(col("band"),
       col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("b0").as("b0a"))
     val oldMatch = dIdx.join(idx, "band")
-      .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
+      .filter(col("is0") || col("b0a") =!= col("b0b"))
       .filter(jacHalf)
       .groupBy(col("doc_b").as("doc_id")).agg(min("doc_a").as("cluster_old"))
     // new<->new: within-delta candidates, linked to the smaller doc_id
@@ -1442,7 +1458,7 @@ object Queries {
       col("hs").as("hs_a"), col("b0").as("b0a"), col("band"))
     val newMatch = dIdx.join(dIdxA, "band")
       .filter(col("doc_a") < col("doc_b"))
-      .filter(substring(col("band"), 1, 2) === "0:" || col("b0a") =!= col("b0b"))
+      .filter(col("is0") || col("b0a") =!= col("b0b"))
       .filter(jacHalf)
       .groupBy(col("doc_b").as("doc_id")).agg(min("doc_a").as("cluster_new"))
     dk.select("doc_id")
@@ -1770,6 +1786,43 @@ object Queries {
   private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
 
+  /** t6's PII counts + redaction in one compiled pass over the SAME
+    * java.util.regex patterns Spark's regexp_* use (count == number of
+    * find() matches; replacement chain email -> ip -> phone in the same
+    * order; md5 = lowercase hex over UTF-8 bytes, as Spark md5) — was six
+    * separate interpreted regex expression evaluations per row. Pinned in
+    * KernelParitySpec. */
+  final case class PiiStats(emails: Int, ips: Int, phones: Int, redacted_md5: String)
+  private[graft] val piiUdf = {
+    val eRe = java.util.regex.Pattern.compile(EmailRe)
+    val iRe = java.util.regex.Pattern.compile(Ipv4Re)
+    val pRe = java.util.regex.Pattern.compile(PhoneRe)
+    udf((body: String) =>
+      if (body == null) null
+      else {
+        def cnt(p: java.util.regex.Pattern): Int = {
+          val m = p.matcher(body)
+          var n = 0
+          while (m.find()) n += 1
+          n
+        }
+        val redacted = pRe.matcher(
+          iRe.matcher(
+            eRe.matcher(body).replaceAll("<EMAIL>")).replaceAll("<IP>"))
+          .replaceAll("<PHONE>")
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(redacted.getBytes("UTF-8"))
+        val hex = new StringBuilder(32)
+        var i = 0
+        while (i < dig.length) {
+          hex.append(Character.forDigit((dig(i) >> 4) & 0xf, 16))
+          hex.append(Character.forDigit(dig(i) & 0xf, 16))
+          i += 1
+        }
+        PiiStats(cnt(eRe), cnt(iRe), cnt(pRe), hex.toString)
+      })
+  }
+
   private val t6 = Q(
     (spark, dir) => {
       // PII detection + redaction (emails / IPv4s / phone-style numbers).
@@ -1786,13 +1839,15 @@ object Queries {
             lit(".7 ext 555-0142")))
           .otherwise(lit("")))
       d.select(col("doc_id"), injected.as("body"))
+        // round 7: one compiled pass (piiUdf) for the six regex
+        // evaluations + md5 — same patterns, same values
+        .select(col("doc_id"), piiUdf(col("body")).as("p"))
         .select(
           col("doc_id"),
-          size(regexp_extract_all(col("body"), lit(EmailRe), lit(0))).as("emails"),
-          size(regexp_extract_all(col("body"), lit(Ipv4Re), lit(0))).as("ips"),
-          size(regexp_extract_all(col("body"), lit(PhoneRe), lit(0))).as("phones"),
-          md5(regexp_replace(regexp_replace(regexp_replace(col("body"),
-            EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")).as("redacted_md5"))
+          col("p.emails").as("emails"),
+          col("p.ips").as("ips"),
+          col("p.phones").as("phones"),
+          col("p.redacted_md5").as("redacted_md5"))
         .withColumn("has_pii", col("emails") + col("ips") + col("phones") > 0)
         .orderBy("doc_id")
     },
@@ -1940,13 +1995,10 @@ object Queries {
       // always-broadcastable side at any corpus scale). Low scores mark
       // disfluent outliers.
       val d = t(spark, dir, "documents")
-      val w = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
-      val bigrams = when(size(col("w")) >= 2,
-        transform(sequence(lit(1), size(col("w")) - 1),
-          i => concat(element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1))))
-        .otherwise(array().cast("array<string>"))
-      val docBigrams = d.select(col("doc_id"), w.as("w"))
-        .select(col("doc_id"), explode(bigrams).as("bg"))
+      // round 7: compiled bigram construction (bigramsUdf — same tokens,
+      // same "a b" concatenation, empty below 2 tokens)
+      val docBigrams = d.select(col("doc_id"),
+        explode(bigramsUdf(col("text"))).as("bg"))
       val model = docBigrams.groupBy("bg").agg(count(lit(1)).as("freq"))
       docBigrams.join(broadcast(model), Seq("bg"))
         .groupBy("doc_id")
