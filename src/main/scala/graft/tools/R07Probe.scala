@@ -103,6 +103,61 @@ object R07Probe {
       Thread.sleep(500)
     }
 
+    println("== x22/x15 stream internals (listener on the child session)")
+    locally {
+      val child = graft.spark.Streaming.streamSession(spark)
+      child.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          val dur = Option(p.durationMs)
+            .map(m => m.entrySet().toArray.map(_.toString).sorted.mkString(" "))
+            .getOrElse("")
+          println(f"    batch=${p.batchId} in=${p.numInputRows} $dur")
+          Option(p.stateOperators).foreach(_.foreach(so =>
+            println(s"      state rows=${so.numRowsTotal} updated=${so.numRowsUpdated} " +
+              s"commitMs=${so.commitTimeMs} mem=${so.memoryUsedBytes}")))
+        }
+      })
+      val eventsDir = s"$sfDir/events.parquet"
+      // x15 plan on the child, manual run
+      val dir15 = {
+        val d = java.nio.file.Files.createTempDirectory("probe_ev").toString
+        java.nio.file.Files.copy(java.nio.file.Paths.get(eventsDir),
+          java.nio.file.Paths.get(d, "events.parquet"))
+        d
+      }
+      timed("x15 manual stream") {
+        val q = graft.spark.Streaming.windowedEventCountsPlan(child, dir15)
+          .writeStream.format("memory").queryName("probe_x15")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // x22 replica on the child
+      val schema = child.read.parquet(dir15).schema
+      def src(tpe: String, alias: String) = child.readStream.schema(schema).parquet(dir15)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").cast("long").as(s"${alias}_user"),
+          col("ts").cast("timestamp").as(s"${alias}_ts"),
+          col("event_id").cast("long").as(s"${alias}_id"))
+        .withWatermark(s"${alias}_ts", "10 minutes")
+      timed("x22 manual stream") {
+        val q = src("click", "c").join(src("purchase", "p"),
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("interval 1 hour"))
+          .writeStream.format("memory").queryName("probe_x22")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      Thread.sleep(500)
+    }
+
     println("== q12 decomposition")
     timed("q12 end-to-end")(force(Queries.queries("q12_bucketed_join")(spark, sfDir)))
     timed("li bucketed write only") {
