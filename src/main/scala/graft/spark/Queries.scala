@@ -687,8 +687,10 @@ object Queries {
       // signature runs in the compiled kernel (minSigUdf — identical
       // arithmetic, KernelParitySpec), not per-char Catalyst aggregates.
       t(spark, dir, "documents")
+        // rlike pre-filter == legacy size(xs)>0; keeps the kernel out of
+        // the pushed filter (single evaluation — guide §4.4, see sigKeyed)
+        .filter(col("text").rlike("\\S"))
         .select(col("doc_id"), minSigUdf(col("text")).as("sig"))
-        .filter(col("sig").isNotNull)
         .select(col("doc_id"),
           col("sig.mh0").as("mh0"), col("sig.mh1").as("mh1"),
           col("sig.mh2").as("mh2"), col("sig.mh3").as("mh3"))
@@ -723,8 +725,8 @@ object Queries {
       // replaces the nested interpreted aggregate that re-folded the hash
       // array once per bit — same votes, same value (KernelParitySpec).
       t(spark, dir, "documents")
+        .filter(col("text").rlike("\\S")) // == legacy size(xs)>0; §4.4
         .select(col("doc_id"), simhash16Udf(col("text")).as("simhash16"))
-        .filter(col("simhash16").isNotNull)
         .orderBy("doc_id")
     },
     Some(s"""WITH toks AS (
@@ -767,8 +769,8 @@ object Queries {
       // are row-local; the only exchanges are the bucket aggregation
       // (partial -> final, map-side combined) and the output sort.
       t(spark, dir, "documents")
+        .filter(col("text").rlike("\\S")) // == legacy size(xs)>0; §4.4
         .select(minSigUdf(col("text")).as("sig"))
-        .filter(col("sig").isNotNull)
         .groupBy(md5(concat_ws(":", col("sig.mh0"), col("sig.mh1"))).as("bucket"))
         .agg(count(lit(1)).as("docs"),
           (count(lit(1)) * (count(lit(1)) - 1) / 2).cast("long").as("candidate_pairs"))
@@ -795,8 +797,14 @@ object Queries {
     * d6 (full-corpus verify) and d11 (incremental verify vs a persisted
     * index). */
   private[graft] def sigKeyed(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), fullSigUdf(col("text")).as("sig"))
-      .filter(col("sig").isNotNull)
+    // `text rlike \S` == "has >= 1 token" == the legacy filter(size(xs)>0)
+    // == sig non-null (KernelParitySpec pins the equivalence). Filtering
+    // BEFORE the kernel instead of on sig-is-null keeps the UDF out of
+    // the pushed-down filter — Catalyst otherwise evaluates the UDF
+    // TWICE per row (once below the pushed filter, once in the project;
+    // guide §4.4), which doubled every signature pass.
+    df.filter(col("text").rlike("\\S"))
+      .select(col("doc_id"), fullSigUdf(col("text")).as("sig"))
       .select(col("doc_id"), col("sig.hs").as("hs"),
         md5(concat_ws(":", col("sig.mh0"), col("sig.mh1"))).as("band0"),
         md5(concat_ws(":", col("sig.mh2"), col("sig.mh3"))).as("band1"))
@@ -1183,8 +1191,8 @@ object Queries {
       // steps (star edges keep diameters tiny). This is the keeper-
       // assignment step a corpus-scale dedup actually ships.
       val sig = t(spark, dir, "documents")
+        .filter(col("text").rlike("\\S")) // == legacy size(xs)>0; §4.4
         .select(col("doc_id"), minSigUdf(col("text")).as("sig"))
-        .filter(col("sig").isNotNull)
         .select(col("doc_id"),
           md5(concat_ws(":", col("sig.mh0"), col("sig.mh1"))).as("band0"),
           md5(concat_ws(":", col("sig.mh2"), col("sig.mh3"))).as("band1"))

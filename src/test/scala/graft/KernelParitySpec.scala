@@ -145,6 +145,24 @@ class KernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernel == legacy)
   }
 
+  test("rlike(\\S) pre-filter selects exactly the legacy size(xs)>0 rows") {
+    // the signature queries filter BEFORE the kernel (text has >= 1
+    // token) instead of on the kernel's null result, so Catalyst cannot
+    // duplicate the UDF below a pushed filter (guide §4.4); the two
+    // predicates must keep the identical row set — incl. empty and
+    // whitespace-only strings in the sample set
+    val legacy = df()
+      .select(col("doc_id"),
+        transform(Queries.toksCol, tok => Queries.tokenHashCol(tok)).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val kept = df().filter(col("text").rlike("\\S"))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == legacy)
+    // and the whitespace-only rows really are in the sample (non-vacuous)
+    assert(kept.size < samples.size)
+  }
+
   test("sorted-merge intersect kernel == array_intersect size (d6/d11/x31 verify)") {
     val sp = spark
     import sp.implicits._
