@@ -594,61 +594,87 @@ object Queries {
     * (x31's one micro-batch: addBatch 3030ms of 4413ms total, R07Probe).
     * Merge-count of sorted sets == intersection cardinality — same value,
     * pinned against array_intersect in KernelParitySpec. */
-  private[graft] val interSizeUdf = udf((a: Array[Long], b: Array[Long]) => {
-    var i = 0
-    var j = 0
-    var n = 0
-    while (i < a.length && j < b.length) {
-      val x = a(i)
-      val y = b(j)
-      if (x == y) { n += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    n
-  })
+  private[graft] val interSizeUdf = udf((a: Array[Long], b: Array[Long]) =>
+    if (a == null || b == null) null // size(array_intersect) null-propagates
+    else {
+      var i = 0
+      var j = 0
+      var n = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i)
+        val y = b(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      java.lang.Integer.valueOf(n)
+    })
+
+  /** Spark Round's double path: NaN/Infinity pass through unchanged
+    * (BigDecimal.valueOf(NaN) would throw NumberFormatException). The
+    * cosine kernels additionally map a non-finite SIM to null BEFORE
+    * this (see cosSim6FUdf); round6 itself stays total for the k-means
+    * distance path, where a NaN distance just ranks last. */
+  private def round6(v: Double): Double =
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** round(dot/(|a||b|), 6) over FLOAT vectors with the exact arithmetic
     * of the HOF form it replaces (s1/s3/s4 + d7's verify): per-element
     * FLOAT product then widening (zip_with on float columns multiplies in
-    * float), in-order double accumulation for dot and both norms,
-    * BigDecimal.valueOf HALF_UP rounding (Spark Round's double path) —
-    * one compiled pass instead of three interpreted aggregates per pair.
-    * Pinned against the expression form in KernelParitySpec. */
-  private[graft] val cosSim6FUdf = udf((a: Seq[Float], b: Seq[Float]) => {
-    val aa = a.toArray
-    val bb = b.toArray
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    val n = math.min(aa.length, bb.length)
-    var i = 0
-    while (i < n) { dot += aa(i) * bb(i); i += 1 }
-    i = 0
-    while (i < aa.length) { na += aa(i) * aa(i); i += 1 }
-    i = 0
-    while (i < bb.length) { nb += bb(i) * bb(i); i += 1 }
-    java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-  })
+    * float), in-order double accumulation for dot and both norms, Spark
+    * Round double semantics (see round6) — one compiled pass instead of
+    * three interpreted aggregates per pair. Null inputs and ragged
+    * lengths return null, exactly as the legacy null-propagating
+    * zip_with/aggregate chain did. Pinned against the expression form in
+    * KernelParitySpec (degenerate inputs included). */
+  private[graft] val cosSim6FUdf = udf((a: Seq[Float], b: Seq[Float]) =>
+    if (a == null || b == null || a.length != b.length) null
+    else {
+      val aa = a.toArray
+      val bb = b.toArray
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < aa.length) {
+        dot += aa(i) * bb(i)
+        i += 1
+      }
+      i = 0
+      while (i < aa.length) { na += aa(i) * aa(i); i += 1 }
+      i = 0
+      while (i < bb.length) { nb += bb(i) * bb(i); i += 1 }
+      val v = dot / (math.sqrt(na) * math.sqrt(nb))
+      // degenerate (zero-magnitude) pair -> null, not NaN: Spark orders
+      // NaN ABOVE every value, so a NaN sim would pass >= thresholds and
+      // top the desc rankings as a spurious match; the legacy expression
+      // crashed the query here (ANSI DIVIDE_BY_ZERO). Null drops the row
+      // from every filter/ranking. Identical on non-degenerate data.
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) null
+      else java.lang.Double.valueOf(round6(v))
+    })
 
   /** Double-vector variant (s5's search stage, where emb is cast double). */
-  private[graft] val cosSim6DUdf = udf((a: Seq[Double], b: Seq[Double]) => {
-    val aa = a.toArray
-    val bb = b.toArray
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    val n = math.min(aa.length, bb.length)
-    var i = 0
-    while (i < n) { dot += aa(i) * bb(i); i += 1 }
-    i = 0
-    while (i < aa.length) { na += aa(i) * aa(i); i += 1 }
-    i = 0
-    while (i < bb.length) { nb += bb(i) * bb(i); i += 1 }
-    java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-  })
+  private[graft] val cosSim6DUdf = udf((a: Seq[Double], b: Seq[Double]) =>
+    if (a == null || b == null || a.length != b.length) null
+    else {
+      val aa = a.toArray
+      val bb = b.toArray
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < aa.length) { dot += aa(i) * bb(i); i += 1 }
+      i = 0
+      while (i < aa.length) { na += aa(i) * aa(i); i += 1 }
+      i = 0
+      while (i < bb.length) { nb += bb(i) * bb(i); i += 1 }
+      val v = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) null // see float variant
+      else java.lang.Double.valueOf(round6(v))
+    })
 
   /** s2/s3's 8-plane sign-LSH bucket in one compiled pass: the plane
     * values cos(i*(k+1)*0.7 + k) are data-independent constants
@@ -660,21 +686,29 @@ object Queries {
   private[graft] val signBucket8Udf = {
     val planes = Array.tabulate(8)(k =>
       Array.tabulate(64)(i => math.cos(i.toDouble * (k + 1) * 0.7 + k)))
-    udf((emb: Seq[Float]) => {
-      val x = emb.toArray
-      var bucket = 0L
-      var k = 0
-      while (k < 8) {
-        val p = planes(k)
-        var acc = 0.0
-        var i = 0
-        val n = math.min(x.length, p.length)
-        while (i < n) { acc += x(i) * p(i); i += 1 }
-        if (acc > 0) bucket |= 1L << k
-        k += 1
-      }
-      bucket
-    })
+    udf((emb: Seq[Float]) =>
+      if (emb == null) null // the legacy projection null-propagated
+      else {
+        val x = emb.toArray
+        var bucket = 0L
+        var k = 0
+        while (k < 8) {
+          val p = planes(k)
+          var acc = 0.0
+          var i = 0
+          // the legacy transform built cos values for the FULL embedding
+          // length; fall back to Math.cos past the precomputed 64 so any
+          // dimensionality reproduces the expression form exactly
+          while (i < x.length) {
+            val h = if (i < 64) p(i) else math.cos(i.toDouble * (k + 1) * 0.7 + k)
+            acc += x(i) * h
+            i += 1
+          }
+          if (acc > 0) bucket |= 1L << k
+          k += 1
+        }
+        java.lang.Long.valueOf(bucket)
+      })
   }
 
   private val d2 = Q(
@@ -2369,8 +2403,7 @@ object Queries {
           acc += d * d
           i += 1
         }
-        ds(c) = java.math.BigDecimal.valueOf(acc)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        ds(c) = round6(acc) // Spark Round semantics incl. NaN passthrough
         c += 1
       }
       // stable sort by distance over cid-ascending indices == row_number
@@ -2387,7 +2420,12 @@ object Queries {
   /** In-order per-dimension mean over vec_id-sorted member vectors: the
     * identical IEEE addition sequence as the legacy per-(cell, dim)
     * sort_array(collect_list) -> aggregate fold, one compiled pass per
-    * cell instead of a posexplode to N x d rows + two chained groupBys. */
+    * cell instead of a posexplode to N x d rows + two chained groupBys.
+    * Scale note: the per-cell collect now gathers members' FULL vectors
+    * (one aggregation row of N x d doubles vs the legacy d rows of N
+    * scalars), so the bounded-SAMPLE-per-round training rule in the s5
+    * docstring is what keeps the group buffer small at corpus scale —
+    * the same bound the legacy in-order fold already required. */
   private[graft] val meanVecUdf = udf((embs: Seq[Seq[Double]]) => {
     val n = embs.length
     val d = embs.head.length

@@ -44,6 +44,18 @@ class KernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "ab", "abc", "abcd", "ab ab ab") ++ generated
   }
 
+  /** The legacy s2/s3 sign-LSH plane expressions over column `c`. */
+  private def signPlanes(c: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    (0 until 8).map { k =>
+      val proj = aggregate(
+        zip_with(c,
+          transform(sequence(lit(0), size(c) - 1),
+            i => cos(i.cast("double") * (k + 1) * 0.7 + k)),
+          (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << k)).otherwise(lit(0L))
+    }
+
   private def df() = {
     val sp = spark
     import sp.implicits._
@@ -296,6 +308,68 @@ class KernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val ke = e.select(col("vec_id"), Queries.signBucket8Udf(col("embedding")).as("bkt"))
       .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(ke == le)
+  }
+
+  test("kernels preserve legacy null/NaN/degenerate-input semantics") {
+    val sp = spark
+    import sp.implicits._
+    // zero vectors: under Spark 4's default ANSI mode the LEGACY
+    // expression FAILS the whole query (Divide throws DIVIDE_BY_ZERO on
+    // the 0-norm denominator — pinned here); the kernel instead yields
+    // the IEEE NaN, which every >= / top-k filter then drops. Strictly
+    // more total on degenerate embeddings (d7's own comments name the
+    // zero-vector failure mode), identical on all non-degenerate data.
+    val zeros = Seq((1L, Array.fill(8)(0.0f), Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(0.0f), Array.fill(8)(0.0f)))
+      .toDF("id", "a", "b")
+    val dot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(col("b"), lit(0.0), (acc, x) => acc + x * x))
+    intercept[Exception] {
+      zeros.select(col("id"), round(dot / (na * nb), 6)).collect()
+    }
+    // the kernel yields NULL (not NaN: Spark orders NaN above everything,
+    // so a NaN sim would pass >= thresholds as a spurious top match)
+    val kernelNull = zeros.select(col("id"), Queries.cosSim6FUdf(col("a"), col("b")))
+      .orderBy("id").collect().map(_.isNullAt(1)).toSeq
+    assert(kernelNull == Seq(true, true))
+    // and the null rows are DROPPED by a >= filter — no spurious matches
+    assert(zeros.filter(Queries.cosSim6FUdf(col("a"), col("b")) >= 0.9).count() == 0)
+    // null arrays: legacy expressions null-propagate; kernels must return
+    // null (never NPE) for cosine, intersect-size and sign buckets
+    val withNulls = Seq(
+      (1L, Array(1.0f, 2.0f), null.asInstanceOf[Array[Float]]),
+      (2L, null.asInstanceOf[Array[Float]], Array(1.0f, 2.0f)),
+      (3L, Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("id", "a", "b")
+    val cos = withNulls.select(Queries.cosSim6FUdf(col("a"), col("b")))
+      .collect().map(r => r.isNullAt(0)).toSeq
+    assert(cos == Seq(true, true, false))
+    val nullsL = Seq((1L, Array(1L, 2L), null.asInstanceOf[Array[Long]]))
+      .toDF("id", "a", "b")
+    assert(nullsL.select(Queries.interSizeUdf(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+    assert(withNulls.select(Queries.signBucket8Udf(col("b")))
+      .collect().map(_.isNullAt(0)).toSeq == Seq(true, false, false))
+    // ragged lengths: legacy zip_with pads with null -> null sim; the
+    // kernel returns null for unequal lengths
+    val ragged = Seq((1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("id", "a", "b")
+    val legacyRag = ragged.select(round(dot / (na * nb), 6)).collect().head.isNullAt(0)
+    val kernelRag = ragged.select(Queries.cosSim6FUdf(col("a"), col("b")))
+      .collect().head.isNullAt(0)
+    assert(legacyRag && kernelRag)
+    // dim > 64: the sign-bucket kernel must reproduce the legacy
+    // full-length projection, not truncate at the precomputed table
+    val rnd = new scala.util.Random(23)
+    val wide = (0L until 20L).map(i => (i, Array.fill(100)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val legacyWide = wide.select(col("vec_id"), signPlanes(col("embedding")).reduce(_ + _))
+      .orderBy("vec_id").collect().map(_.getLong(1)).toSeq
+    val kernelWide = wide.select(col("vec_id"),
+      Queries.signBucket8Udf(col("embedding"))).orderBy("vec_id")
+      .collect().map(_.getLong(1)).toSeq
+    assert(kernelWide == legacyWide)
   }
 
   test("bigram + PII kernels == legacy regex expressions (t10, t6)") {
