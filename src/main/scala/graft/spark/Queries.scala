@@ -220,6 +220,25 @@ object Queries {
         rm(new java.io.File(base))
       }))
 
+  /** Run two INDEPENDENT Spark actions concurrently (guide §2.6): the
+    * driver calling actions sequentially is the only reason they
+    * serialize — the scheduler happily runs both jobs at once, and the
+    * second job's tasks back-fill executor slots freed by the first
+    * job's straggler tail. Used where one query pays two independent
+    * materializations (the two sides of a bucketed join, an index build
+    * next to a delta write) whose results do not depend on each other.
+    * The child thread inherits the caller's SparkContext local
+    * properties (InheritableThreadLocal), so scheduling behavior matches
+    * the calling thread's. Failures on either side propagate. */
+  private def inParallel(a: => Unit, b: => Unit): Unit = {
+    @volatile var err: Throwable = null
+    val th = new Thread(() => try a catch { case e: Throwable => err = e },
+      "graft-parallel-action")
+    th.start()
+    try b finally th.join()
+    if (err != null) throw err
+  }
+
   private val q12 = Q(
     (spark, dir) => {
       // Bucketed co-located fact-fact join: both sides are written bucketed
@@ -249,18 +268,20 @@ object Queries {
       // splits, and each bucket lands in ONE file, so the SMJ's scans
       // read pre-sorted buckets (R07Probe: the li write was 1.1s of
       // q12's 1.8s; guide §6 output sizing / §2 parallelize the write)
-      t(spark, dir, "lineitem")
-        .select("l_orderkey", "l_quantity", "l_extendedprice")
-        .repartition(8, col("l_orderkey"))
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$base/li").saveAsTable(liTable)
-      t(spark, dir, "orders")
-        .select("o_orderkey", "o_orderstatus")
-        .repartition(8, col("o_orderkey"))
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$base/ord").saveAsTable(ordTable)
+      // the two table writes are independent — overlap them (guide §2.6)
+      inParallel(
+        t(spark, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .repartition(8, col("l_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/li").saveAsTable(liTable),
+        t(spark, dir, "orders")
+          .select("o_orderkey", "o_orderstatus")
+          .repartition(8, col("o_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/ord").saveAsTable(ordTable))
       spark.table(liTable)
         .join(spark.table(ordTable), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
@@ -1465,13 +1486,18 @@ object Queries {
     * both at Jaccard >= 0.5 with d6's first-band-wins pair dedupe. Output:
     * (doc_id, status in {dup_old, dup_new, new}, cluster). */
   private[graft] def incrementalDedup(spark: SparkSession, idxTable: String,
-      delta: DataFrame): DataFrame = {
+      delta: DataFrame): DataFrame =
     // round 7: the delta's signatures feed FOUR subtrees (two probe sides,
     // the within-delta pair join's both sides, the classification base) —
     // materialize them once (localCheckpoint, the d7 precedent; released
     // by the ContextCleaner) instead of re-scanning the documents parquet
     // and re-running the kernel per subtree. Bounded by the delta.
-    val dk = sigKeyed(delta).localCheckpoint(true)
+    incrementalDedupKeyed(spark, idxTable, sigKeyed(delta).localCheckpoint(true))
+
+  /** [[incrementalDedup]] over an ALREADY-materialized signature frame
+    * (d11 builds it concurrently with the index write — guide §2.6). */
+  private[graft] def incrementalDedupKeyed(spark: SparkSession, idxTable: String,
+      dk: DataFrame): DataFrame = {
     // is0 (band-0 row?) is a per-PROBE-ROW fact precomputed here: the
     // first-band-wins filter below would otherwise evaluate a substring
     // + string-compare once per candidate PAIR (millions on this
@@ -1537,15 +1563,20 @@ object Queries {
       val idxTable = s"graft_sig_index_$sid"
       registerBucketedCleanup(base)
       // pass 1 (the standing corpus, paid once): persist the signature index
-      buildSignatureIndex(t(spark, dir, "documents"), idxTable, s"$base/sig")
       // pass 2: the recrawl delta, constructed deterministically from the
       // documents table so DuckDB can replay it — exact re-crawls (%10=0),
       // near-dup re-crawls with one appended token (%10=5; LSH catches the
       // ones whose band keys survive the new token, identically in both
       // engines), fresh documents (%10=1) and a second copy of each fresh
-      // document (within-delta duplicates)
+      // document (within-delta duplicates).
+      // The index write and the delta's signature materialization are
+      // independent — overlap them (guide §2.6)
       val docs = t(spark, dir, "documents")
-      incrementalDedup(spark, idxTable, recrawlDelta(docs))
+      var dk: DataFrame = null
+      inParallel(
+        buildSignatureIndex(docs, idxTable, s"$base/sig"),
+        { dk = sigKeyed(recrawlDelta(docs)).localCheckpoint(true) })
+      incrementalDedupKeyed(spark, idxTable, dk)
     },
     Some(s"""WITH delta AS (
             |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
@@ -1638,10 +1669,12 @@ object Queries {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_sigidx_$sid"
       val idxTable = s"graft_sig_index_$sid"
       registerBucketedCleanup(base)
-      buildSignatureIndex(t(spark, dir, "documents"), idxTable, s"$base/sig")
+      // index write and delta write are independent — overlap (guide §2.6)
       val deltaDir = s"$base/delta"
-      recrawlDelta(t(spark, dir, "documents"))
-        .write.mode("overwrite").parquet(deltaDir)
+      inParallel(
+        buildSignatureIndex(t(spark, dir, "documents"), idxTable, s"$base/sig"),
+        recrawlDelta(t(spark, dir, "documents"))
+          .write.mode("overwrite").parquet(deltaDir))
       val pairs = graft.spark.Streaming.incrementalDedupPairs(spark, idxTable,
         deltaDir, "x31_" + java.lang.Long.toHexString(System.nanoTime()))
       // batch classification over the streamed pairs — rebuilt on the
